@@ -1,0 +1,94 @@
+"""Quality operators: stats UDF (Python, once) + native rule expressions (JVM).
+
+``with_doc_stats`` computes the per-document statistics struct in one Arrow-
+batched UDF. Everything downstream — threshold comparisons, the drop_reasons
+array, the keep flag — is native Column expressions, so:
+
+- re-tuning thresholds re-runs only JVM exprs, never the Python stage;
+- Catalyst can push the ``keep`` predicate into later stages / prune columns;
+- the rule evaluation participates in whole-stage codegen.
+
+The stats themselves call oracle/quality.py:doc_stats — identical semantics to
+the row-wise oracle, asserted in tests/test_parity.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from language_identification_spark.oracle.quality import (
+    RULES,
+    STAT_FIELDS,
+    WORD_LENGTH_RULE_LANGS,
+    QualityConfig,
+    doc_stats,
+)
+
+STATS_SCHEMA = StructType([StructField(f, DoubleType()) for f in STAT_FIELDS])
+
+
+@F.pandas_udf(STATS_SCHEMA)
+def doc_stats_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    for series in batches:
+        yield pd.DataFrame([doc_stats(t) for t in series], columns=STAT_FIELDS)
+
+
+def with_doc_stats(df: DataFrame, text_col: str = "extracted_text") -> DataFrame:
+    return df.withColumn("stats", doc_stats_udf(F.col(text_col)))
+
+
+def rule_columns(
+    config: QualityConfig,
+    stats_col: str = "stats",
+    lang_col: str = "lid.lang",
+    conf_col: str = "lid.conf",
+    text_col: str = "extracted_text",
+    ppl_col: str | None = None,
+) -> list[tuple[str, Column]]:
+    """(rule_name, boolean Column) for every configured rule — native exprs
+    mirroring oracle/quality.py:apply_rules."""
+    s = F.col(stats_col)
+    lang_ok_for_wordlen = F.col(lang_col).isin(*WORD_LENGTH_RULE_LANGS)
+    cols: list[tuple[str, Column]] = [
+        ("empty_text", F.col(text_col).isNull())
+    ]
+    empty = F.col(text_col).isNull()
+    for name, stat, op, attr, gated in RULES:
+        threshold = F.lit(float(getattr(config, attr)))
+        cond = s[stat] < threshold if op == "<" else s[stat] > threshold
+        if gated:
+            cond = cond & lang_ok_for_wordlen
+        cols.append((name, cond & ~empty))
+    cols.append(
+        ("lang_conf_low", (F.col(conf_col) < F.lit(config.min_lang_conf)) & ~empty)
+    )
+    if ppl_col is not None:
+        cols.append(
+            ("perplexity_high", (F.col(ppl_col) > F.lit(config.max_ppl)) & ~empty)
+        )
+    return cols
+
+
+def with_keep_decision(
+    df: DataFrame,
+    config: QualityConfig,
+    ppl_col: str | None = None,
+    text_col: str = "extracted_text",
+) -> DataFrame:
+    """Add drop_reasons (sorted array<string>, matching the oracle's sorted
+    output) and keep (boolean). Pure JVM expressions."""
+    rules = rule_columns(config, ppl_col=ppl_col, text_col=text_col)
+    reason_structs = F.array(
+        *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    reasons = F.array_sort(
+        F.filter(reason_structs, lambda x: x.isNotNull())
+    )
+    return df.withColumn("drop_reasons", reasons).withColumn(
+        "keep", F.size("drop_reasons") == 0
+    )

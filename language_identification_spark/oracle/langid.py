@@ -1,0 +1,243 @@
+"""Language identification: unicode-script classifier + char-n-gram Naive Bayes.
+
+Two cooperating backends, mirroring the reference's architecture:
+
+- ``detect_script`` / ``script_langid`` ~ the script-based classifier at
+  /root/reference/language_identification/script_langid/scripts_langid.py:40-84
+  (per-char script lookup -> per-doc score -> language). Our codepoint-range
+  table is built from public Unicode block assignments (the reference derives
+  an equivalent table from scripts.json / ucd.all.flat.xml in
+  iso15924/parse-ucd.ipynb). Scripts used by exactly one language in the
+  supported set give an immediate high-confidence answer; Latin-script
+  languages are deferred to the n-gram model.
+
+- ``NgramNBModel`` ~ the fastText stage (fasttext_wrapper.py:39-45): a batch
+  text classifier returning ``[(lang, prob)]`` sorted by probability with a
+  confidence threshold. fastText's native lib and lid.176 weights are not
+  available in this environment, so the engine ships a multinomial Naive Bayes
+  over character n-grams — the same model family fastText reduces to for
+  langid — trained deterministically by a Spark aggregation job
+  (operators/lid.py) or by ``NgramNBModel.train`` on small corpora. When the
+  real ``fasttext`` package + model file are present they are used instead
+  (operators/lid.py gates on import).
+
+The model is representable as a flat table ``(lang, ngram, logprob)`` plus
+per-lang priors/defaults, so training is a pure Spark groupBy/agg job and
+scoring broadcasts a small dict — never the unpicklable native object
+(SURVEY.md §2.8 L1).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from collections.abc import Iterable
+
+from language_identification_spark.oracle.tokenize import char_ngrams
+
+# Public Unicode block ranges (inclusive) -> script name. Coarse but exact for
+# the supported language set; extend by adding rows (it is data, not code).
+SCRIPT_RANGES: list[tuple[int, int, str]] = [
+    (0x0041, 0x005A, "latin"),
+    (0x0061, 0x007A, "latin"),
+    (0x00C0, 0x024F, "latin"),
+    (0x0370, 0x03FF, "greek"),
+    (0x0400, 0x04FF, "cyrillic"),
+    (0x0530, 0x058F, "armenian"),
+    (0x0590, 0x05FF, "hebrew"),
+    (0x0600, 0x06FF, "arabic"),
+    (0x0750, 0x077F, "arabic"),
+    (0x08A0, 0x08FF, "arabic"),
+    (0x0900, 0x097F, "devanagari"),
+    (0x0980, 0x09FF, "bengali"),
+    (0x0B80, 0x0BFF, "tamil"),
+    (0x0E00, 0x0E7F, "thai"),
+    (0x0E80, 0x0EFF, "lao"),
+    (0x0F00, 0x0FFF, "tibetan"),
+    (0x1000, 0x109F, "myanmar"),
+    (0x10A0, 0x10FF, "georgian"),
+    (0x1100, 0x11FF, "hangul"),
+    (0x1780, 0x17FF, "khmer"),
+    (0x1E00, 0x1EFF, "latin_ext"),  # Vietnamese diacritics live here
+    (0x3040, 0x309F, "hiragana"),
+    (0x30A0, 0x30FF, "katakana"),
+    (0x3130, 0x318F, "hangul"),
+    (0x3400, 0x4DBF, "han"),
+    (0x4E00, 0x9FFF, "han"),
+    (0xAC00, 0xD7AF, "hangul"),
+    (0xF900, 0xFAFF, "han"),
+]
+
+# Scripts that identify a language uniquely within the supported 11-language
+# set (language_identification_test.py:7-19): ar en hi id ms my tl ta th vi zh.
+SCRIPT_TO_LANG: dict[str, str] = {
+    "arabic": "ar",
+    "devanagari": "hi",
+    "tamil": "ta",
+    "thai": "th",
+    "myanmar": "my",
+    "han": "zh",
+    "hangul": "ko",
+    "hiragana": "ja",
+    "katakana": "ja",
+    "latin_ext": "vi",
+}
+
+
+def char_script(ch: str) -> str | None:
+    """Script of one codepoint, or None for non-letter/unlisted chars."""
+    cp = ord(ch)
+    for lo, hi, name in SCRIPT_RANGES:
+        if lo <= cp <= hi:
+            return name
+    return None
+
+
+def detect_script(text: str) -> dict[str, float]:
+    """Fraction of script-classified chars per script (scripts_langid.py:40-75)."""
+    counts: Counter[str] = Counter()
+    for ch in text:
+        s = char_script(ch)
+        if s is not None:
+            counts[s] += 1
+    total = sum(counts.values())
+    if not total:
+        return {}
+    return {s: c / total for s, c in counts.items()}
+
+
+def script_langid(text: str) -> tuple[str | None, float]:
+    """(lang, confidence) when the dominant script pins the language; else
+    (None, fraction) meaning "defer to the n-gram model" (Latin scripts)."""
+    fracs = detect_script(text)
+    if not fracs:
+        return None, 0.0
+    script, frac = max(fracs.items(), key=lambda kv: (kv[1], kv[0]))
+    lang = SCRIPT_TO_LANG.get(script)
+    if lang is not None:
+        return lang, frac
+    return None, frac
+
+
+class NgramNBModel:
+    """Multinomial Naive Bayes over character n-grams with add-k smoothing.
+
+    Flat-table representable: ``table()`` emits (lang, ngram, logprob) rows and
+    ``from_table`` rebuilds the model, so Spark-side training
+    (groupBy(lang, ngram).count() — SURVEY.md §2.4 A5) and this in-memory
+    trainer are interchangeable and testable against each other.
+    """
+
+    def __init__(
+        self,
+        logprobs: dict[str, dict[str, float]],
+        defaults: dict[str, float],
+        priors: dict[str, float],
+        n: int = 3,
+    ) -> None:
+        self.logprobs = logprobs
+        self.defaults = defaults  # smoothed logprob for unseen ngrams, per lang
+        self.priors = priors
+        self.n = n
+
+    # -- training ---------------------------------------------------------
+    @staticmethod
+    def _doc_ngrams(text: str, n: int) -> list[str]:
+        # lowercase + space padding so word boundaries are features; casefold
+        # (not lower) per reference F6 semantics (datatypes.py:595).
+        return char_ngrams(f" {text.casefold()} ", n)
+
+    @classmethod
+    def train(
+        cls, corpus: Iterable[tuple[str, str]], n: int = 3, k: float = 0.5
+    ) -> "NgramNBModel":
+        counts: dict[str, Counter[str]] = {}
+        doc_counts: Counter[str] = Counter()
+        vocab: set[str] = set()
+        for lang, text in corpus:
+            grams = cls._doc_ngrams(text, n)
+            counts.setdefault(lang, Counter()).update(grams)
+            doc_counts[lang] += 1
+            vocab.update(grams)
+        v = len(vocab) or 1
+        total_docs = sum(doc_counts.values())
+        logprobs: dict[str, dict[str, float]] = {}
+        defaults: dict[str, float] = {}
+        priors: dict[str, float] = {}
+        for lang, ctr in sorted(counts.items()):
+            total = sum(ctr.values())
+            denom = total + k * v
+            logprobs[lang] = {
+                g: math.log((c + k) / denom) for g, c in sorted(ctr.items())
+            }
+            defaults[lang] = math.log(k / denom)
+            priors[lang] = math.log(doc_counts[lang] / total_docs)
+        return cls(logprobs, defaults, priors, n=n)
+
+    # -- scoring ----------------------------------------------------------
+    def scores(self, text: str) -> list[tuple[str, float]]:
+        """All languages with softmax-normalized probabilities, sorted desc
+        then by lang for determinism (fasttext_wrapper.py:43-45 shape)."""
+        grams = self._doc_ngrams(text, self.n)
+        raw: dict[str, float] = {}
+        for lang in self.logprobs:
+            lp = self.priors[lang]
+            table = self.logprobs[lang]
+            default = self.defaults[lang]
+            for g in grams:
+                lp += table.get(g, default)
+            raw[lang] = lp
+        if not raw:
+            return []
+        m = max(raw.values())
+        exps = {lang: math.exp(lp - m) for lang, lp in raw.items()}
+        z = sum(exps.values())
+        return sorted(
+            ((lang, e / z) for lang, e in exps.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+
+    def detect(self, text: str | None) -> tuple[str | None, float]:
+        """Top-1 (lang, prob); script shortcut first, like the reference's
+        ensemble cascade (language_identification_test.py:30-68 spec)."""
+        if not text:
+            return None, 0.0
+        lang, frac = script_langid(text)
+        if lang is not None and frac >= 0.5:
+            return lang, frac
+        s = self.scores(text)
+        if not s:
+            return None, 0.0
+        return s[0]
+
+    # -- flat-table form ----------------------------------------------------
+    def table(self) -> list[tuple[str, str, float]]:
+        return [
+            (lang, g, lp)
+            for lang, grams in sorted(self.logprobs.items())
+            for g, lp in sorted(grams.items())
+        ]
+
+    def meta(self) -> list[tuple[str, float, float]]:
+        return [
+            (lang, self.priors[lang], self.defaults[lang])
+            for lang in sorted(self.logprobs)
+        ]
+
+    @classmethod
+    def from_table(
+        cls,
+        rows: Iterable[tuple[str, str, float]],
+        meta: Iterable[tuple[str, float, float]],
+        n: int = 3,
+    ) -> "NgramNBModel":
+        logprobs: dict[str, dict[str, float]] = {}
+        for lang, g, lp in rows:
+            logprobs.setdefault(lang, {})[g] = lp
+        priors: dict[str, float] = {}
+        defaults: dict[str, float] = {}
+        for lang, prior, default in meta:
+            priors[lang] = prior
+            defaults[lang] = default
+            logprobs.setdefault(lang, {})
+        return cls(logprobs, defaults, priors, n=n)

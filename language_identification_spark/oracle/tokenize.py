@@ -1,0 +1,95 @@
+"""Unicode tokenizer + n-gram helpers.
+
+Re-implements the semantics of /root/reference/tokenizer.py:
+
+- word characters are unicode categories L* (letters), M* (marks), N* (numbers)
+  and Co (private use) — tokenizer.py:148-162 ``is_word_char``/``is_text_char``.
+- tokens are maximal runs of word characters; an apostrophe between two word
+  characters is merged into one token ("don't" stays one token) —
+  tokenizer.py:181-251 apostrophe state machine, simplified to the
+  between-two-word-chars rule its docstring describes.
+- ``sentence_split`` splits on sentence-ending punctuation or newlines —
+  tokenizer.py:398-444, simplified (no unclosed-bracket tracking).
+- ``char_ngrams`` / ``word_ngrams`` — tokenizer.py:469-505.
+
+Per-character classification is memoized per process (the reference uses
+``lru_cache`` at tokenizer.py:148-176); inside a Spark Python worker the memo
+persists across Arrow batches, so amortized cost is one dict lookup per char.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from functools import lru_cache
+
+_APOSTROPHES = "'’ʼ"
+
+
+@lru_cache(maxsize=None)
+def is_word_char(ch: str) -> bool:
+    """Letters, marks, numbers, private-use (tokenizer.py:148-162)."""
+    cat = unicodedata.category(ch)
+    return cat[0] in ("L", "M", "N") or cat == "Co"
+
+
+@lru_cache(maxsize=None)
+def is_punctuation_char(ch: str) -> bool:
+    """Unicode P* and S* categories (tokenizer.py:164-173)."""
+    return unicodedata.category(ch)[0] in ("P", "S")
+
+
+def unicode_tokenize(text: str) -> list[str]:
+    """Maximal runs of word chars, with apostrophe-merge (tokenizer.py:254-395)."""
+    tokens: list[str] = []
+    start = -1
+    n = len(text)
+    for i, ch in enumerate(text):
+        if is_word_char(ch):
+            if start < 0:
+                start = i
+        elif (
+            ch in _APOSTROPHES
+            and start >= 0
+            and i + 1 < n
+            and is_word_char(text[i + 1])
+        ):
+            continue  # apostrophe between word chars: keep the run open
+        else:
+            if start >= 0:
+                tokens.append(text[start:i])
+                start = -1
+    if start >= 0:
+        tokens.append(text[start:])
+    return tokens
+
+
+def sentence_split(text: str) -> list[str]:
+    """Split on ., !, ?, newline; strip empties (tokenizer.py:398-444 simplified)."""
+    sentences: list[str] = []
+    buf: list[str] = []
+    for ch in text:
+        if ch in ".!?\n":
+            sent = "".join(buf).strip()
+            if sent:
+                sentences.append(sent)
+            buf = []
+        else:
+            buf.append(ch)
+    sent = "".join(buf).strip()
+    if sent:
+        sentences.append(sent)
+    return sentences
+
+
+def char_ngrams(text: str, n: int) -> list[str]:
+    """All length-n substrings (tokenizer.py:469-474)."""
+    if n <= 0 or len(text) < n:
+        return []
+    return [text[i : i + n] for i in range(len(text) - n + 1)]
+
+
+def word_ngrams(words: list[str], n: int) -> list[tuple[str, ...]]:
+    """Sliding word n-grams (tokenizer.py:477-505)."""
+    if n <= 0 or len(words) < n:
+        return []
+    return [tuple(words[i : i + n]) for i in range(len(words) - n + 1)]

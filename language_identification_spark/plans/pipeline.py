@@ -1,0 +1,218 @@
+"""The quality-filter pipeline: pages -> results(+metrics), resumable.
+
+Stage graph (all narrow until the metrics aggregation):
+
+    scan pages (column-pruned: url, warc_ts, html)
+      -> repartition(hash(url))            # uniform key defeats host skew
+      -> extract_text_udf                  # Arrow batch, Python
+      -> doc_stats_udf                     # Arrow batch, Python
+      -> lid_udf                           # Arrow batch, Python, broadcast model
+      -> rule exprs + scrub_expr           # JVM, whole-stage codegen
+      -> write results partitioned by bucket
+    metrics = results.groupBy(rule).count()  # the only shuffle besides repartition
+
+Scale design (north_star, SURVEY.md §4.2):
+- **Skew**: Common-Crawl pages cluster by host; a host-partitioned upstream
+  layout would starve most tasks and melt a few. ``repartition(P, hash(url))``
+  re-spreads uniformly BEFORE the compute-heavy UDF stages — AQE fixes shuffle
+  skew but not UDF-compute skew, so this is explicit.
+- **Partition sizing**: P defaults to input-size/128MiB-ish via
+  ``spark.sql.files.maxPartitionBytes`` at scan; callers override ``buckets``
+  for the bucketed resumable write.
+- **Resume**: the bucketed variant writes one bucket (deterministic
+  ``pmod(hash(url), buckets)``) at a time with an atomic _SUCCESS-style
+  manifest entry; re-running skips completed buckets (idempotent overwrite per
+  bucket — the parquet stand-in for Iceberg's overwrite-by-partition /
+  snapshot checkpoints described in SURVEY.md §4.2.4; swap the writer to
+  ``format("iceberg")`` + MERGE on a real cluster).
+
+Output schema (SURVEY.md §7.0):
+    results(url, warc_ts, extracted_text, scrubbed_text, lang_pred, lang_conf,
+            keep, drop_reasons array<string>)
+    metrics(rule string, n bigint)  + langdist(lang_pred, n)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from language_identification_spark.operators.extract import extract_text_udf
+from language_identification_spark.operators.lid import lid_udf
+from language_identification_spark.operators.quality import (
+    doc_stats_udf,
+    with_keep_decision,
+)
+from language_identification_spark.operators.scrub import scrub_expr
+from language_identification_spark.oracle.langid import NgramNBModel
+from language_identification_spark.oracle.quality import QualityConfig
+from language_identification_spark.oracle.scrub import DEFAULT_BADWORDS
+
+RESULT_COLUMNS = [
+    "url",
+    "warc_ts",
+    "extracted_text",
+    "scrubbed_text",
+    "lang_pred",
+    "lang_conf",
+    "keep",
+    "drop_reasons",
+]
+
+
+def quality_filter_plan(
+    pages: DataFrame,
+    model: NgramNBModel,
+    config: QualityConfig | None = None,
+    badwords: frozenset[str] = DEFAULT_BADWORDS,
+    repartition_to: int | None = None,
+    text_col: str | None = None,
+) -> DataFrame:
+    """Declare the full pipeline as one DataFrame plan (lazy).
+
+    ``text_col``: when the input already carries extracted text (no html),
+    pass its name and the extraction UDF is skipped — used for text-only
+    corpora like the documents testdata table.
+    """
+    config = config or QualityConfig()
+    spark = pages.sparkSession
+
+    df = pages
+    if repartition_to:
+        # uniform re-spread before compute-heavy UDFs (host-skew defense)
+        df = df.repartition(repartition_to, F.crc32(F.col("url")))
+    if text_col is None:
+        df = df.withColumn("extracted_text", extract_text_udf(F.col("html")))
+    else:
+        df = df.withColumn("extracted_text", F.col(text_col))
+    df = (
+        df.withColumn("stats", doc_stats_udf(F.col("extracted_text")))
+        .withColumn("lid", lid_udf(spark, model)(F.col("extracted_text")))
+    )
+    df = with_keep_decision(df, config)
+    df = df.withColumn("scrubbed_text", scrub_expr(F.col("extracted_text"), badwords))
+    return df.select(
+        "url",
+        "warc_ts",
+        "extracted_text",
+        "scrubbed_text",
+        F.col("lid.lang").alias("lang_pred"),
+        F.col("lid.conf").alias("lang_conf"),
+        "keep",
+        "drop_reasons",
+    )
+
+
+def metrics_plan(results: DataFrame) -> DataFrame:
+    """Dropped-by-rule histogram (north_star metric A15): one row per rule."""
+    return (
+        results.select(F.explode_outer("drop_reasons").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def langdist_plan(results: DataFrame) -> DataFrame:
+    """Language distribution of kept documents (north_star counter)."""
+    return (
+        results.filter("keep")
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resumable bucketed execution (Iceberg-checkpoint stand-in on local parquet)
+# ---------------------------------------------------------------------------
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_progress.json")
+
+
+def read_manifest(out_dir: str) -> dict:
+    try:
+        with open(_manifest_path(out_dir)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {"buckets_done": [], "run_history": []}
+
+
+def _write_manifest(out_dir: str, manifest: dict) -> None:
+    tmp = _manifest_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(out_dir))  # atomic on POSIX
+
+
+def run_resumable(
+    spark: SparkSession,
+    pages: DataFrame,
+    model: NgramNBModel,
+    out_dir: str,
+    buckets: int = 8,
+    config: QualityConfig | None = None,
+    fail_after_bucket: int | None = None,
+    text_col: str | None = None,
+) -> dict:
+    """Run the pipeline bucket-by-bucket with checkpoint/resume.
+
+    Bucket = ``pmod(crc32(url), buckets)`` — deterministic, so a re-run
+    recomputes exactly the missing buckets. Each bucket write is an idempotent
+    overwrite of its own directory; the manifest is updated atomically after
+    the write commits. ``fail_after_bucket`` injects a crash for the resume
+    test. Returns the final manifest.
+
+    Per-partition lineage: each bucket's manifest entry records rows written,
+    per-rule drop counts, and wall time — the metrics/lineage table of
+    SURVEY.md §7.0 in JSON form (also written as a parquet metrics table).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = read_manifest(out_dir)
+    done = set(manifest["buckets_done"])
+    plan = quality_filter_plan(pages, model, config=config, text_col=text_col)
+    plan = plan.withColumn(
+        "bucket", F.pmod(F.crc32(F.col("url")), F.lit(buckets)).cast("int")
+    )
+
+    for b in range(buckets):
+        if b in done:
+            continue
+        t0 = time.time()
+        bucket_df = plan.filter(F.col("bucket") == b).drop("bucket")
+        path = os.path.join(out_dir, f"bucket={b}")
+        bucket_df.write.mode("overwrite").parquet(path)
+        written = spark.read.parquet(path)
+        n = written.count()
+        drops = {
+            r["rule"]: r["n"]
+            for r in metrics_plan(written).collect()
+            if r["rule"] is not None
+        }
+        manifest["buckets_done"] = sorted(done | {b})
+        manifest["run_history"].append(
+            {
+                "bucket": b,
+                "rows": n,
+                "drop_counts": drops,
+                "seconds": round(time.time() - t0, 3),
+            }
+        )
+        done.add(b)
+        _write_manifest(out_dir, manifest)
+        if fail_after_bucket is not None and b >= fail_after_bucket:
+            raise RuntimeError(f"injected failure after bucket {b}")
+    return manifest
+
+
+def read_results(spark: SparkSession, out_dir: str) -> DataFrame:
+    paths = sorted(
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if d.startswith("bucket=")
+    )
+    return spark.read.option("basePath", out_dir).parquet(*paths)
