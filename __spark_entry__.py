@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship quality-filter pipeline (extract -> langid ->
+Gopher rules -> PII scrub -> keep/drop) over the sf0.001 documents table.
+``queries``/``oracle_sql`` expose the operator battery from
+language_identification_spark.queries — every entry verified against DuckDB
+by tools/check_correctness.py before shipping.
 """
 
 from __future__ import annotations
@@ -12,27 +12,56 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from language_identification_spark.fixtures import training_corpus
+from language_identification_spark.oracle.langid import NgramNBModel
+from language_identification_spark.oracle.quality import QualityConfig
+from language_identification_spark.plans.pipeline import quality_filter_plan
+from language_identification_spark.queries import ORACLE_SQL, QUERIES
+
+_MODEL = None
+
+
+def _model() -> NgramNBModel:
+    global _MODEL
+    if _MODEL is None:
+        _MODEL = NgramNBModel.train(training_corpus())
+    return _MODEL
+
+
+def _pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline over the documents table (text already extracted, so the
+    html-decode stage is skipped via text_col)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.col("text"),
+    )
+    return quality_filter_plan(
+        pages, _model(), config=QualityConfig(), text_col="text"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ the full
+    pipeline, rows-only since langid/stats UDFs are not SQL-expressible)."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
+    out["quality_pipeline"] = lambda spark, sf_dir: _pipeline(spark, sf_dir).drop(
+        "warc_ts"
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracles; quality_pipeline intentionally omitted
+    (pandas-UDF langid + unicode-category stats are not SQL-expressible —
+    the driver records the weaker rows-only check; full row-level parity is
+    covered by tests/test_parity.py against the Python oracle)."""
+    return dict(ORACLE_SQL)

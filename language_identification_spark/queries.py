@@ -1,0 +1,800 @@
+"""The engine's query battery: every SURVEY.md §2 operator as a (Spark, SQL) pair.
+
+Each entry returns a DataFrame from ``(spark, sf_dir)`` and has a matching
+ANSI-SQL oracle (DuckDB dialect) computing the same result on the same parquet
+tables — the driver's correctness gate. Column names/aliases are identical on
+both sides; float results are rounded identically; ties are broken totally so
+ordering-sensitive operators (top-k) are deterministic.
+
+Cross-engine parity primitives (verified): md5(string) hex matches, conv(hex)
+matches, left-to-right double summation in F.aggregate matches DuckDB
+list_dot_product, string_split/split on '' both yield char arrays.
+
+Operator coverage map (reference file:line in each docstring):
+  A1 char_freq, A3 length_histogram, A4+K3 word_doc_freq, A5 ngram_counts,
+  A13/W2 top_words_per_lang, A14 exact_dedup, J9 unique_words_per_lang,
+  J11 lang_dim_join, W4 zipf_rank, dedup: minhash_signatures / jaccard_top_pairs /
+  simhash, similarity: cosine_topk / embedding_near_dup, quality: quality_stats_sql,
+  scrub: scrub_sql, langid: script_langid_sql, fingerprint, token_count,
+  TPC-H-style pricing_summary / order_revenue_topk, events_hourly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dot(a, b):
+    """Left-to-right double dot product — bit-identical to DuckDB
+    list_dot_product on DOUBLE[] (verified empirically)."""
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _words(col):
+    return F.filter(F.split(col, " "), lambda w: w != "")
+
+
+# language dimension used by the broadcast-join query (J11 analog of the
+# GDELT lang-name dim at datasets/tmp.py:39-150)
+LANG_DIM = [
+    ("en", "English"),
+    ("zh", "Chinese"),
+    ("es", "Spanish"),
+    ("de", "German"),
+    ("fr", "French"),
+]
+_LANG_DIM_SQL = "(VALUES " + ", ".join(f"('{c}', '{n}')" for c, n in LANG_DIM) + ") AS dim(lang, lang_name)"
+
+
+# ---------------------------------------------------------------------------
+# aggregations over documents (SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+
+def q_char_freq(spark, sf_dir):
+    """A1: per-language char frequency (char stats.ipynb cell 1).
+    explode chars -> partial+final hash agg; single shuffle on (lang, chr)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(F.split("text", "")).alias("chr"))
+        .filter(F.col("chr") != "")
+        .groupBy("lang", "chr")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_CHAR_FREQ = """
+SELECT lang, chr, count(*) AS n
+FROM (SELECT lang, unnest(string_split(text, '')) AS chr FROM documents)
+WHERE chr <> ''
+GROUP BY lang, chr
+"""
+
+
+def q_length_histogram(spark, sf_dir):
+    """A3: per-(lang, length) histogram (char stats.ipynb cells 6-9)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", F.length("text").alias("len")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT lang, length(text) AS len, count(*) AS n_docs
+FROM documents GROUP BY lang, length(text)
+"""
+
+
+def q_word_doc_freq(spark, sf_dir):
+    """A4 + K3: word document frequency with count>=3 sink filter
+    (common_words.ipynb cells 2,5,9)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count_distinct("doc_id").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 3)
+    )
+
+
+SQL_WORD_DOC_FREQ = """
+SELECT word, count(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word HAVING count(DISTINCT doc_id) >= 3
+"""
+
+
+def q_top_words_per_lang(spark, sf_dir):
+    """A13/W2: top-5 words per language, total tie-break (count desc, word)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "word", "n", "rank")
+    )
+
+
+SQL_TOP_WORDS_PER_LANG = """
+WITH counts AS (
+  SELECT lang, word, count(*) AS n
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY lang, word
+)
+SELECT lang, word, n, rank FROM (
+  SELECT lang, word, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rank
+  FROM counts
+) WHERE rank <= 5
+"""
+
+
+def q_unique_words_per_lang(spark, sf_dir):
+    """J9: words used by exactly one language (merge_wordlists.ipynb cells 3-4)
+    — the aggregation-style anti-join."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count_distinct("lang").alias("n_langs"),
+            F.min("lang").alias("lang"),
+        )
+        .filter(F.col("n_langs") == 1)
+        .select("word", "lang")
+    )
+
+
+SQL_UNIQUE_WORDS_PER_LANG = """
+SELECT word, min(lang) AS lang
+FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word HAVING count(DISTINCT lang) = 1
+"""
+
+
+def q_lang_dim_join(spark, sf_dir):
+    """J11: broadcast dimension join (GDELT lang-name dim, datasets/tmp.py:39-150).
+    Explicit F.broadcast — at 100 TB the fact side never shuffles for this."""
+    docs = _t(spark, sf_dir, "documents")
+    dim = spark.createDataFrame(LANG_DIM, "lang string, lang_name string")
+    return (
+        docs.join(F.broadcast(dim), "lang")
+        .groupBy("lang_name")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+SQL_LANG_DIM_JOIN = f"""
+SELECT lang_name, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents JOIN {_LANG_DIM_SQL} USING (lang)
+GROUP BY lang_name
+"""
+
+
+def q_ngram_counts(spark, sf_dir):
+    """A5: char trigram counts per language — the LM-training aggregation
+    (modified_kneser_ney.py:158-201), top-20 per lang with total tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("lang", "gram", "n", "rank")
+    )
+
+
+SQL_NGRAM_COUNTS = """
+WITH grams AS (
+  SELECT lang, substring(text, i, 3) AS gram
+  FROM documents, unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS t(i)
+), counts AS (
+  SELECT lang, gram, count(*) AS n FROM grams GROUP BY lang, gram
+)
+SELECT lang, gram, n, rank FROM (
+  SELECT lang, gram, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram ASC) AS rank
+  FROM counts
+) WHERE rank <= 20
+"""
+
+
+def q_zipf_rank(spark, sf_dir):
+    """W4: global rank-frequency (Zipf) table over words, top 50."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("rank", "word", "n")
+    )
+
+
+SQL_ZIPF_RANK = """
+WITH counts AS (
+  SELECT word, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+)
+SELECT rank, word, n FROM (
+  SELECT word, n, row_number() OVER (ORDER BY n DESC, word ASC) AS rank FROM counts
+) WHERE rank <= 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# deduplication suite (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup via content hash: keep min doc_id per md5(text) group
+    (A14 drop_duplicates, at scale: hash-groupBy, one shuffle on the hash)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (8 permutations) over 5-char shingles.
+
+    Permutation i = min over shingles of uint32(md5(i || shingle)[0:8]) —
+    md5-based so both engines compute identical signatures. At scale this is
+    the shingle->minhash stage of MinHash-LSH dedup; banding/bucket-join in
+    q_lsh_band_buckets."""
+    docs = _t(spark, sf_dir, "documents")
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 4, 0)),"
+                " i -> substring(text, i, 5))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    hashed = shingles.select(
+        "doc_id",
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(str(i)), F.col("sh")).cast("binary")), 1, 8),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias(f"h{i}")
+            for i in range(8)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(8)]
+    )
+
+
+SQL_MINHASH_SIGNATURES = """
+WITH shingles AS (
+  SELECT DISTINCT doc_id, substring(text, i, 5) AS sh
+  FROM documents, unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS t(i)
+)
+SELECT doc_id,
+  min(CAST(('0x' || substr(md5('0' || sh), 1, 8)) AS UINT32))::BIGINT AS h0,
+  min(CAST(('0x' || substr(md5('1' || sh), 1, 8)) AS UINT32))::BIGINT AS h1,
+  min(CAST(('0x' || substr(md5('2' || sh), 1, 8)) AS UINT32))::BIGINT AS h2,
+  min(CAST(('0x' || substr(md5('3' || sh), 1, 8)) AS UINT32))::BIGINT AS h3,
+  min(CAST(('0x' || substr(md5('4' || sh), 1, 8)) AS UINT32))::BIGINT AS h4,
+  min(CAST(('0x' || substr(md5('5' || sh), 1, 8)) AS UINT32))::BIGINT AS h5,
+  min(CAST(('0x' || substr(md5('6' || sh), 1, 8)) AS UINT32))::BIGINT AS h6,
+  min(CAST(('0x' || substr(md5('7' || sh), 1, 8)) AS UINT32))::BIGINT AS h7
+FROM shingles GROUP BY doc_id
+"""
+
+
+def q_jaccard_top_pairs(spark, sf_dir):
+    """N-gram Jaccard near-dup: top-20 most similar doc pairs by word-3-gram
+    Jaccard (set-similarity join: explode shingles -> self-join -> agg).
+    Total tie-break (jaccard desc, a, b); jaccard is a ratio of ints so the
+    double value is identical across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pairs = (
+        sh.alias("x")
+        .join(sh.alias("y"), "sh")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    scored = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+    )
+    w = Window.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+SQL_JACCARD_TOP_PAIRS = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+  FROM words, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM sh x JOIN sh y USING (sh) WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+), scored AS (
+  SELECT a, b, inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
+  FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+)
+SELECT rank, a, b, round(jaccard, 6) AS jaccard FROM (
+  SELECT a, b, jaccard, row_number() OVER (ORDER BY jaccard DESC, a, b) AS rank
+  FROM scored
+) WHERE rank <= 20
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash (16-bit) doc fingerprints from word hashes: bit b of the hash
+    votes +1/-1 per word; sign of the sum sets the output bit. md5-derived so
+    cross-engine identical."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("word")
+    )
+    h = F.conv(F.substring(F.md5(F.col("word").cast("binary")), 1, 8), 16, 10).cast("long")
+    words = words.select("doc_id", h.alias("h"))
+    votes = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(16)
+        ]
+    )
+    sim = votes.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+            for b in range(16)
+        ).alias("simhash"),
+    )
+    return sim
+
+
+SQL_SIMHASH = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 8)) AS UINT32)::BIGINT AS h
+  FROM words WHERE word <> ''
+), votes AS (
+  SELECT doc_id,
+    {vote_cols}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {bit_sum} AS simhash FROM votes
+""".format(
+    vote_cols=",\n    ".join(
+        f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(16)
+    ),
+    bit_sum=" + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: for each of the first 10 vectors,
+    the 5 nearest others. numpy-matmul over Arrow batches against a broadcast
+    query matrix (operators/similarity.py); ranks on full precision, cosine
+    rounded to 4 dp for cross-engine comparison."""
+    from language_identification_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup: top-20 most similar vector pairs (a<b),
+    numpy blocked matmul (operators/similarity.py:near_dup_pairs_topn); the
+    LSH-bucketed candidate join (lsh_bucket_pairs) is the 100 TB path."""
+    from language_identification_spark.operators.similarity import near_dup_pairs_topn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return near_dup_pairs_topn(emb, top_n=20)
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH scored AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))) AS cos
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+)
+SELECT rank, a, b, round(cos, 4) AS cos FROM (
+  SELECT a, b, cos, row_number() OVER (ORDER BY cos DESC, a, b) AS rank FROM scored
+) WHERE rank <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality-filter / scrub / langid as portable SQL (JVM-native fast paths)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = "('the', 'a', 'of', 'and', 'to')"
+
+
+def q_quality_stats_sql(spark, sf_dir):
+    """Spark-native (JVM, codegen) quality stats + keep decision over
+    documents — the fast-path realization of the Gopher rules for corpora
+    where byte-parity with the Python chain is not required."""
+    docs = _t(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    wc = F.size(words)
+    total_chars = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    mean_wl = F.when(wc > 0, total_chars / wc).otherwise(F.lit(0.0))
+    stop_count = F.size(
+        F.filter(words, lambda w: w.isin("the", "a", "of", "and", "to"))
+    )
+    keep = (wc >= 5) & (mean_wl >= 2.0) & (mean_wl <= 12.0) & (stop_count >= 1)
+    return docs.select(
+        "doc_id",
+        wc.alias("word_count"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        stop_count.alias("stopword_count"),
+        keep.alias("keep"),
+    )
+
+
+SQL_QUALITY_STATS = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS wc,
+         length(replace(text, ' ', '')) AS total_chars,
+         len(list_filter(string_split(text, ' '), w -> w IN {_STOPWORDS_SQL})) AS stop_count
+  FROM documents
+)
+SELECT doc_id, wc AS word_count,
+       round(CASE WHEN wc > 0 THEN total_chars * 1.0 / wc ELSE 0.0 END, 6) AS mean_word_len,
+       stop_count AS stopword_count,
+       (wc >= 5 AND (CASE WHEN wc > 0 THEN total_chars * 1.0 / wc ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+        AND stop_count >= 1) AS keep
+FROM base
+"""
+
+
+def q_scrub_sql(spark, sf_dir):
+    """PII scrub as portable regex chain (oracle/scrub.py patterns): PII is
+    injected deterministically per doc_id, then scrubbed — verifies the chain
+    end-to-end including ordering (URL before EMAIL)."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://site.example/u/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" ip 10.0.0.1 "),
+        F.col("text"),
+    )
+    out = F.regexp_replace(dirty, r"https?://[^\s<>]+", "<URL>")
+    out = F.regexp_replace(out, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>")
+    out = F.regexp_replace(out, r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>")
+    return docs.select("doc_id", out.alias("scrubbed"))
+
+
+SQL_SCRUB = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        'contact user' || doc_id || '@example.com or https://site.example/u/' || doc_id
+          || ' ip 10.0.0.1 ' || text,
+        'https?://[^\s<>]+', '<URL>', 'g'),
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+FROM documents
+"""
+
+
+def q_script_langid_sql(spark, sf_dir):
+    """Script-based langid (L6/J4 semantics) as portable SQL: fraction of Han
+    chars -> zh/latin/other classification, histogram per class."""
+    docs = _t(spark, sf_dir, "documents")
+    han = F.length(F.regexp_replace(F.col("text"), "[^一-鿿]", ""))
+    latin = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    total = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    cls = (
+        F.when(total == 0, "und")
+        .when(han / total > 0.3, "zh")
+        .when(latin / total > 0.5, "latin")
+        .otherwise("other")
+    )
+    return docs.select(cls.alias("script_class")).groupBy("script_class").agg(
+        F.count("*").alias("n")
+    )
+
+
+SQL_SCRIPT_LANGID = r"""
+WITH cls AS (
+  SELECT CASE
+    WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 'und'
+    WHEN length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) * 1.0
+         / length(regexp_replace(text, '\s', '', 'g')) > 0.3 THEN 'zh'
+    WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+         / length(regexp_replace(text, '\s', '', 'g')) > 0.5 THEN 'latin'
+    ELSE 'other' END AS script_class
+  FROM documents
+)
+SELECT script_class, count(*) AS n FROM cls GROUP BY script_class
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of casefolded whitespace-normalized text
+    (the content-defined fingerprint stage of exact dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id", F.md5(norm.cast("binary")).alias("fingerprint")
+    )
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting per source (whitespace tokenizer; the BPE-ish regex
+    variant runs in the pandas-UDF path, operators/quality.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(F.size(_words(F.col("text")))).alias("n_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT source,
+       sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational core on the TPC-H-ish tables (scan/filter/join/agg/sort/limit)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped aggregation over lineitem: the partial+final hash-agg
+    workhorse; predicate pushes into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_order_revenue_topk(spark, sf_dir):
+    """Join + agg + top-k: revenue per order joined to customer/nation,
+    broadcast for the small dims. Top 10 with total tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = li.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+    joined = (
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        joined.select("l_orderkey", "revenue", F.col("n_name").alias("nation"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+SQL_ORDER_REVENUE_TOPK = """
+WITH rev AS (
+  SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM lineitem GROUP BY l_orderkey
+), joined AS (
+  SELECT rev.l_orderkey, rev.revenue, n.n_name AS nation
+  FROM rev JOIN orders o ON rev.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT l_orderkey, revenue, nation, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS rank FROM joined
+) WHERE rank <= 10
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Windowed-aggregation analog on the events table (the batch form of the
+    streaming tumbling-window rollup): per (hour, event_type) counts + value."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "char_freq": q_char_freq,
+    "length_histogram": q_length_histogram,
+    "word_doc_freq": q_word_doc_freq,
+    "top_words_per_lang": q_top_words_per_lang,
+    "unique_words_per_lang": q_unique_words_per_lang,
+    "lang_dim_join": q_lang_dim_join,
+    "ngram_counts": q_ngram_counts,
+    "zipf_rank": q_zipf_rank,
+    "exact_dedup": q_exact_dedup,
+    "minhash_signatures": q_minhash_signatures,
+    "jaccard_top_pairs": q_jaccard_top_pairs,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "quality_stats_sql": q_quality_stats_sql,
+    "scrub_sql": q_scrub_sql,
+    "script_langid_sql": q_script_langid_sql,
+    "fingerprint": q_fingerprint,
+    "token_count": q_token_count,
+    "pricing_summary": q_pricing_summary,
+    "order_revenue_topk": q_order_revenue_topk,
+    "events_hourly": q_events_hourly,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "char_freq": SQL_CHAR_FREQ,
+    "length_histogram": SQL_LENGTH_HISTOGRAM,
+    "word_doc_freq": SQL_WORD_DOC_FREQ,
+    "top_words_per_lang": SQL_TOP_WORDS_PER_LANG,
+    "unique_words_per_lang": SQL_UNIQUE_WORDS_PER_LANG,
+    "lang_dim_join": SQL_LANG_DIM_JOIN,
+    "ngram_counts": SQL_NGRAM_COUNTS,
+    "zipf_rank": SQL_ZIPF_RANK,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "jaccard_top_pairs": SQL_JACCARD_TOP_PAIRS,
+    "simhash": SQL_SIMHASH,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "quality_stats_sql": SQL_QUALITY_STATS,
+    "scrub_sql": SQL_SCRUB,
+    "script_langid_sql": SQL_SCRIPT_LANGID,
+    "fingerprint": SQL_FINGERPRINT,
+    "token_count": SQL_TOKEN_COUNT,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
+    "events_hourly": SQL_EVENTS_HOURLY,
+}
