@@ -1,0 +1,132 @@
+"""Distributed Kneser-Ney LM training + broadcast perplexity scoring.
+
+Training is the Spark realization of SURVEY.md §2.4 A5-A8 (the reference's
+modified_kneser_ney.py:158-201 count jobs, :644-664 continuation counts,
+:684-727 normalization):
+
+    corpus(lang, text)
+      -> padded char n-grams (Arrow UDF)          # casefold: Python semantics
+      -> groupBy(lang, gram).count()              # THE data-sized shuffle
+      -> suffix rollups per lower order           # groupBy over the (small)
+                                                  # distinct-gram table
+      -> collect tiny integer tables -> assemble_model (shared float math)
+
+Only the top-order counting touches corpus-sized data; everything below it
+aggregates the distinct-gram table (|alphabet|^order bounded — KBs for char
+LMs even at 100 TB corpus scale, because the gram space saturates). The float
+assembly is oracle/kneser_ney.py:assemble_model on both paths, so the Spark
+trainer is bit-identical to the in-memory trainer (tested).
+
+Scoring broadcasts {lang: KNModel} (plain dicts, ~100s of KB) and runs an
+Iterator-of-Series pandas UDF; documents whose language has no model score
+null, which no rule fires on (null-safe comparison) — mirroring the oracle's
+ppl=None path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, StringType
+
+from language_identification_spark.oracle.kneser_ney import (
+    KNModel,
+    assemble_model,
+    padded_chars,
+)
+
+
+def _top_grams_udf(order: int):
+    @F.pandas_udf(ArrayType(StringType()))
+    def _grams(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        def grams(text: str | None) -> list[str]:
+            if text is None:
+                return []
+            chars = padded_chars(text, order)
+            return [
+                "".join(chars[i : i + order])
+                for i in range(len(chars) - order + 1)
+            ]
+
+        for series in batches:
+            yield series.map(grams)
+
+    return _grams
+
+
+def train_kn_spark(
+    corpus: DataFrame, order: int = 3, lang_col: str = "lang", text_col: str = "text"
+) -> dict[str, KNModel]:
+    """Per-language modified-KN models from corpus(lang, text) via Spark aggs.
+
+    Returns {lang: KNModel}, bit-identical to
+    oracle.kneser_ney.train_kn_per_lang on the same rows.
+    """
+    top = (
+        corpus.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(_top_grams_udf(order)(F.col(text_col))).alias("gram"),
+        )
+        .groupBy("lang", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    tables: dict[str, dict[int, dict[str, int]]] = {}
+
+    def fold_in(k: int, rows) -> None:
+        for r in rows:
+            tables.setdefault(r["lang"], {}).setdefault(k, {})[r["gram"]] = r["c"]
+
+    fold_in(order, top.collect())
+    # lower orders: continuation counts = one row per distinct suffix-extension
+    # in the next-higher table. The higher table is already distinct grams, so
+    # a row count per suffix IS the distinct-left-extension count.
+    level = top
+    for k in range(order - 1, 0, -1):
+        level = (
+            level.select("lang", F.expr("substring(gram, 2)").alias("gram"))
+            .groupBy("lang", "gram")
+            .agg(F.count("*").alias("c"))
+        )
+        fold_in(k, level.collect())
+    return {
+        lang: assemble_model(counts, order) for lang, counts in sorted(tables.items())
+    }
+
+
+def kn_model_table_df(spark: SparkSession, models: dict[str, KNModel]) -> DataFrame:
+    """Top-order counts as a flat (lang, gram, c) DataFrame — the persistable
+    dimension-table form of the model (SURVEY.md §2.8 L8)."""
+    rows = [
+        (lang, gram, c)
+        for lang, m in sorted(models.items())
+        for gram, c in sorted(m.counts[m.order].items())
+    ]
+    return spark.createDataFrame(rows, schema="lang string, gram string, c long")
+
+
+def ppl_udf(spark_or_sc, models: dict[str, KNModel]):
+    """(text, lang) -> perplexity double; null when lang has no model (the
+    rule engine's null-safe comparisons then skip the ppl gate, matching the
+    oracle's ppl=None behavior)."""
+    sc = getattr(spark_or_sc, "sparkContext", spark_or_sc)
+    bc = sc.broadcast(models)
+
+    @F.pandas_udf(DoubleType())
+    def _ppl(
+        batches: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        ms = bc.value
+        for texts, langs in batches:
+            out = []
+            for text, lang in zip(texts, langs):
+                m = ms.get(lang)
+                if m is None or not text:
+                    out.append(None)
+                else:
+                    out.append(m.perplexity(text))
+            yield pd.Series(out, dtype="float64")
+
+    return _ppl

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from language_identification_spark.operators.extract import extract_text_udf
 from language_identification_spark.operators.lid import lid_udf
+from language_identification_spark.operators.perplexity import ppl_udf
 from language_identification_spark.operators.quality import (
     doc_stats_udf,
     with_keep_decision,
@@ -59,6 +60,7 @@ RESULT_COLUMNS = [
     "scrubbed_text",
     "lang_pred",
     "lang_conf",
+    "ppl",
     "keep",
     "drop_reasons",
 ]
@@ -71,12 +73,18 @@ def quality_filter_plan(
     badwords: frozenset[str] = DEFAULT_BADWORDS,
     repartition_to: int | None = None,
     text_col: str | None = None,
+    kn_models: dict | None = None,
 ) -> DataFrame:
     """Declare the full pipeline as one DataFrame plan (lazy).
 
     ``text_col``: when the input already carries extracted text (no html),
     pass its name and the extraction UDF is skipped — used for text-only
     corpora like the documents testdata table.
+
+    ``kn_models``: optional {lang: KNModel} (operators/perplexity.py). When
+    given, each document is scored under its predicted language's LM and the
+    ``perplexity_high`` rule participates in keep/drop; the ``ppl`` column is
+    always present (null without models) so the result schema is stable.
     """
     config = config or QualityConfig()
     spark = pages.sparkSession
@@ -93,7 +101,13 @@ def quality_filter_plan(
         df.withColumn("stats", doc_stats_udf(F.col("extracted_text")))
         .withColumn("lid", lid_udf(spark, model)(F.col("extracted_text")))
     )
-    df = with_keep_decision(df, config)
+    if kn_models:
+        df = df.withColumn(
+            "ppl", ppl_udf(spark, kn_models)(F.col("extracted_text"), F.col("lid.lang"))
+        )
+    else:
+        df = df.withColumn("ppl", F.lit(None).cast("double"))
+    df = with_keep_decision(df, config, ppl_col="ppl" if kn_models else None)
     df = df.withColumn("scrubbed_text", scrub_expr(F.col("extracted_text"), badwords))
     return df.select(
         "url",
@@ -102,6 +116,7 @@ def quality_filter_plan(
         "scrubbed_text",
         F.col("lid.lang").alias("lang_pred"),
         F.col("lid.conf").alias("lang_conf"),
+        "ppl",
         "keep",
         "drop_reasons",
     )

@@ -151,26 +151,37 @@ SELECT lang, word, n, rank FROM (
 
 
 def q_unique_words_per_lang(spark, sf_dir):
-    """J9: words used by exactly one language (merge_wordlists.ipynb cells 3-4)
-    — the aggregation-style anti-join."""
+    """J9: word bigrams used by exactly one language (merge_wordlists.ipynb
+    cells 3-4) — the aggregation-style anti-join. Bigrams rather than single
+    words because the testdata vocabulary is tiny and fully shared; the
+    exactly-one-group semantics is identical."""
     docs = _t(spark, sf_dir, "documents")
+    bg = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
+            )
+        ).alias("bigram"),
+    ).distinct()
     return (
-        docs.select("lang", F.explode(_words(F.col("text"))).alias("word"))
-        .groupBy("word")
-        .agg(
-            F.count_distinct("lang").alias("n_langs"),
-            F.min("lang").alias("lang"),
-        )
+        bg.groupBy("bigram")
+        .agg(F.count_distinct("lang").alias("n_langs"), F.min("lang").alias("lang"))
         .filter(F.col("n_langs") == 1)
-        .select("word", "lang")
+        .select("bigram", "lang")
     )
 
 
 SQL_UNIQUE_WORDS_PER_LANG = """
-SELECT word, min(lang) AS lang
-FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
-WHERE word <> ''
-GROUP BY word HAVING count(DISTINCT lang) = 1
+WITH words AS (
+  SELECT lang, string_split(text, ' ') AS ws FROM documents
+), bg AS (
+  SELECT DISTINCT lang, ws[i] || ' ' || ws[i+1] AS bigram
+  FROM words, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)
+)
+SELECT bigram, min(lang) AS lang
+FROM bg GROUP BY bigram HAVING count(DISTINCT lang) = 1
 """
 
 
@@ -613,6 +624,63 @@ SELECT script_class, count(*) AS n FROM cls GROUP BY script_class
 """
 
 
+def q_doc_perplexity(spark, sf_dir):
+    """L8 (SQL-expressible form): per-language char-bigram LM trained AND
+    applied as pure relational algebra — the portable cousin of the modified-KN
+    pipeline in operators/perplexity.py (modified_kneser_ney.py:158-201 count
+    job + :546-577 scoring). Add-1-smoothed bigram frequency model; every
+    scored gram exists in the model (trained on the same corpus) so no OOV
+    branch. Model + totals are broadcast joins — at 100 TB the fact side never
+    shuffles; the only wide op is the groupBy(doc_id) average."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(lower(text)) - 1, 0)),"
+                " i -> substring(lower(text), i, 2))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("total"))
+    v = counts.select("gram").distinct().agg(F.count("*").alias("v"))
+    scored = (
+        grams.join(F.broadcast(counts), ["lang", "gram"])
+        .join(F.broadcast(totals), "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log((F.col("c") + 1) / (F.col("total") + F.col("v"))).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.round(F.exp(-F.avg("logp")), 4).alias("ppl"),
+    )
+
+
+SQL_DOC_PERPLEXITY = """
+WITH grams AS (
+  SELECT doc_id, lang, substring(lower(text), i, 2) AS gram
+  FROM documents, unnest(range(1, greatest(length(lower(text)) - 1, 0) + 1)) AS t(i)
+), counts AS (
+  SELECT lang, gram, count(*) AS c FROM grams GROUP BY lang, gram
+), totals AS (
+  SELECT lang, sum(c) AS total FROM counts GROUP BY lang
+), v AS (
+  SELECT count(DISTINCT gram) AS v FROM counts
+), scored AS (
+  SELECT g.doc_id, ln((c.c + 1) * 1.0 / (t.total + v.v)) AS logp
+  FROM grams g JOIN counts c ON g.lang = c.lang AND g.gram = c.gram
+  JOIN totals t ON g.lang = t.lang CROSS JOIN v
+)
+SELECT doc_id, count(*) AS n_grams, round(exp(-avg(logp)), 4) AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 of casefolded whitespace-normalized text
     (the content-defined fingerprint stage of exact dedup)."""
@@ -767,6 +835,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_stats_sql": q_quality_stats_sql,
     "scrub_sql": q_scrub_sql,
     "script_langid_sql": q_script_langid_sql,
+    "doc_perplexity": q_doc_perplexity,
     "fingerprint": q_fingerprint,
     "token_count": q_token_count,
     "pricing_summary": q_pricing_summary,
@@ -792,6 +861,7 @@ ORACLE_SQL: dict[str, str] = {
     "quality_stats_sql": SQL_QUALITY_STATS,
     "scrub_sql": SQL_SCRUB,
     "script_langid_sql": SQL_SCRIPT_LANGID,
+    "doc_perplexity": SQL_DOC_PERPLEXITY,
     "fingerprint": SQL_FINGERPRINT,
     "token_count": SQL_TOKEN_COUNT,
     "pricing_summary": SQL_PRICING_SUMMARY,

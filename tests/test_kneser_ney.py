@@ -1,0 +1,143 @@
+"""Kneser-Ney LM: oracle sanity, Spark-trainer bit-identity, UDF parity,
+and the perplexity rule inside the full pipeline.
+
+Mirrors the reference's fast-vs-slow cross-check pattern
+(dictionary_langid/datatypes.py:337-341): the distributed trainer must equal
+the in-memory oracle trainer exactly, not approximately.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.fixtures import (
+    build_pages,
+    pages_df,
+    training_corpus,
+)
+from language_identification_spark.operators.perplexity import (
+    ppl_udf,
+    train_kn_spark,
+)
+from language_identification_spark.oracle.kneser_ney import (
+    train_kn,
+    train_kn_per_lang,
+)
+from language_identification_spark.oracle.langid import NgramNBModel
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return training_corpus()
+
+
+@pytest.fixture(scope="module")
+def oracle_models(corpus):
+    return train_kn_per_lang(corpus, order=3)
+
+
+def test_probs_sum_to_one(oracle_models):
+    """For any context, sum_w p(w|ctx) over vocab+OOV must be ~1 (the KN
+    normalization invariant, modified_kneser_ney.py:684-702)."""
+    m = oracle_models["en"]
+    vocab = sorted({g for g in m.counts[1]})
+    for ctx in [" t", "th", "e ", "zz"]:  # seen and unseen contexts
+        total = sum(m.prob(ctx, w) for w in vocab)
+        total += m.prob(ctx, "\x00")  # an OOV char
+        assert total == pytest.approx(1.0, abs=1e-9), ctx
+
+
+def test_in_domain_ppl_lower(corpus, oracle_models):
+    """An in-domain English doc must score far lower perplexity under the en
+    model than random char soup — the basis of the quality gate."""
+    m = oracle_models["en"]
+    good = "the quick brown fox jumps over the lazy dog and the good people"
+    garbage = "xq zv qkj wvx zzq jqx vvk xzj qqw kjz"
+    assert m.perplexity(good) < m.perplexity(garbage) / 2
+
+
+def test_perplexity_deterministic(oracle_models):
+    m = oracle_models["en"]
+    t = "good morning people of the world"
+    assert m.perplexity(t) == m.perplexity(t)
+    assert m.perplexity("") == float("inf")
+    assert m.perplexity(None) == float("inf")
+
+
+def test_spark_trainer_bit_identical(spark, corpus, oracle_models):
+    """train_kn_spark == train_kn_per_lang exactly: same integer count tables,
+    same discounts, bitwise-equal perplexities."""
+    df = spark.createDataFrame(corpus, schema="lang string, text string")
+    spark_models = train_kn_spark(df, order=3)
+    assert sorted(spark_models) == sorted(oracle_models)
+    for lang, om in oracle_models.items():
+        sm = spark_models[lang]
+        assert sm.counts == om.counts, lang
+        assert sm.ctx_stats == om.ctx_stats, lang
+        assert sm.discounts == om.discounts, lang
+        assert sm.uni_total == om.uni_total and sm.vocab_size == om.vocab_size
+        for _, text in corpus[:20]:
+            assert sm.perplexity(text) == om.perplexity(text)
+
+
+def test_ppl_udf_parity(spark, oracle_models):
+    """Broadcast scoring UDF == row-wise oracle on the fixture pages."""
+    rows = [
+        (r["url"], r["text"], r["lang"])
+        for r in build_pages(120)
+        if r["lang"] in oracle_models and r["text"]
+    ]
+    df = spark.createDataFrame(rows, schema="url string, text string, lang string")
+    got = {
+        r["url"]: r["ppl"]
+        for r in df.select(
+            "url", ppl_udf(spark, oracle_models)(F.col("text"), F.col("lang")).alias("ppl")
+        ).collect()
+    }
+    for url, text, lang in rows:
+        expected = oracle_models[lang].perplexity(text)
+        assert got[url] == expected, url
+    # unknown language -> null, not a crash or a drop
+    df2 = spark.createDataFrame(
+        [("u", "some text", "xx")], schema="url string, text string, lang string"
+    )
+    assert (
+        df2.select(
+            ppl_udf(spark, oracle_models)(F.col("text"), F.col("lang")).alias("p")
+        ).first()["p"]
+        is None
+    )
+
+
+def test_pipeline_perplexity_rule(spark, corpus, oracle_models):
+    """With a tight max_ppl the perplexity_high rule fires on garbage but not
+    on clean in-domain docs, end-to-end through quality_filter_plan."""
+    from language_identification_spark.oracle.quality import QualityConfig
+    from language_identification_spark.plans.pipeline import quality_filter_plan
+
+    model = NgramNBModel.train(corpus)
+    pages = pages_df(spark, 150)
+    # threshold: geometric mean-ish cut between clean and garbage fixture ppl
+    cfg = QualityConfig(max_ppl=40.0)
+    res = quality_filter_plan(
+        pages, model, config=cfg, kn_models=oracle_models
+    ).collect()
+    flagged = [r for r in res if "perplexity_high" in r["drop_reasons"]]
+    clean_en = [
+        r
+        for r in res
+        if r["lang_pred"] == "en" and r["keep"]
+    ]
+    assert flagged, "tight threshold must flag some documents"
+    assert clean_en, "clean English docs must survive the ppl gate"
+    # every flagged row's ppl really exceeds the threshold (and is non-null)
+    for r in flagged:
+        assert r["ppl"] is not None and r["ppl"] > 40.0
+    # ppl column matches the oracle exactly for scored rows
+    for r in res:
+        if r["ppl"] is not None and r["lang_pred"] in oracle_models:
+            expected = oracle_models[r["lang_pred"]].perplexity(r["extracted_text"])
+            assert r["ppl"] == expected or (
+                math.isinf(expected) and r["ppl"] is None
+            ), r["url"]
