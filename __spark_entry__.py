@@ -39,8 +39,15 @@ def _pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
         F.col("text"),
     )
+    # testdata parquet is a single split; re-spread to all cores before the
+    # UDF stages (the pipeline's own host-skew defense doubles as the scan-
+    # parallelism fix — a real 100 TB table arrives already multi-split)
     return quality_filter_plan(
-        pages, _model(), config=QualityConfig(), text_col="text"
+        pages,
+        _model(),
+        config=QualityConfig(),
+        text_col="text",
+        repartition_to=spark.sparkContext.defaultParallelism,
     )
 
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 import math
 from collections import Counter
 from collections.abc import Iterable
+from functools import lru_cache
 
 from language_identification_spark.oracle.tokenize import char_ngrams
 
@@ -84,8 +85,11 @@ SCRIPT_TO_LANG: dict[str, str] = {
 }
 
 
+@lru_cache(maxsize=None)
 def char_script(ch: str) -> str | None:
-    """Script of one codepoint, or None for non-letter/unlisted chars."""
+    """Script of one codepoint, or None for non-letter/unlisted chars.
+    Memoized per process (the reference lru_caches its char classifiers the
+    same way, tokenizer.py:148-176)."""
     cp = ord(ch)
     for lo, hi, name in SCRIPT_RANGES:
         if lo <= cp <= hi:
@@ -94,12 +98,14 @@ def char_script(ch: str) -> str | None:
 
 
 def detect_script(text: str) -> dict[str, float]:
-    """Fraction of script-classified chars per script (scripts_langid.py:40-75)."""
+    """Fraction of script-classified chars per script (scripts_langid.py:40-75).
+    Counts distinct chars first (C-speed Counter) so the Python-level
+    classification runs once per distinct char, not once per char."""
     counts: Counter[str] = Counter()
-    for ch in text:
+    for ch, n in Counter(text).items():
         s = char_script(ch)
         if s is not None:
-            counts[s] += 1
+            counts[s] += n
     total = sum(counts.values())
     if not total:
         return {}
@@ -175,25 +181,58 @@ class NgramNBModel:
         return cls(logprobs, defaults, priors, n=n)
 
     # -- scoring ----------------------------------------------------------
+    def _dense(self):
+        """Lazy per-process dense form: gram->column index, logprob matrix
+        (L x V), default/prior vectors. The executor-side cache equivalent of
+        the reference's lru_cache'd lookups (tokenizer.py:148-176): built once
+        per Python worker, reused across Arrow batches. numpy matrix rows are
+        the single scoring implementation for BOTH the row-wise oracle and the
+        Spark UDF, so parity is bit-exact by construction."""
+        if getattr(self, "_dense_cache", None) is None:
+            import numpy as np
+
+            langs = sorted(self.logprobs)
+            vocab = sorted({g for t in self.logprobs.values() for g in t})
+            idx = {g: i for i, g in enumerate(vocab)}
+            mat = np.empty((len(langs), len(vocab)), dtype=np.float64)
+            for li, lang in enumerate(langs):
+                d = self.defaults[lang]
+                table = self.logprobs[lang]
+                row = mat[li]
+                row.fill(d)
+                for g, lp in table.items():
+                    row[idx[g]] = lp
+            self._dense_cache = (
+                langs,
+                idx,
+                mat,
+                np.array([self.defaults[lang] for lang in langs]),
+                np.array([self.priors[lang] for lang in langs]),
+            )
+        return self._dense_cache
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state.pop("_dense_cache", None)  # rebuilt lazily per process
+        return state
+
     def scores(self, text: str) -> list[tuple[str, float]]:
         """All languages with softmax-normalized probabilities, sorted desc
         then by lang for determinism (fasttext_wrapper.py:43-45 shape)."""
-        grams = self._doc_ngrams(text, self.n)
-        raw: dict[str, float] = {}
-        for lang in self.logprobs:
-            lp = self.priors[lang]
-            table = self.logprobs[lang]
-            default = self.defaults[lang]
-            for g in grams:
-                lp += table.get(g, default)
-            raw[lang] = lp
-        if not raw:
+        import numpy as np
+
+        langs, idx, mat, defaults, priors = self._dense()
+        if not langs:
             return []
-        m = max(raw.values())
-        exps = {lang: math.exp(lp - m) for lang, lp in raw.items()}
-        z = sum(exps.values())
+        grams = self._doc_ngrams(text, self.n)
+        cols = [idx[g] for g in grams if g in idx]
+        n_unseen = len(grams) - len(cols)
+        raw = priors + mat[:, cols].sum(axis=1) + defaults * n_unseen
+        m = raw.max()
+        exps = np.exp(raw - m)
+        z = exps.sum()
         return sorted(
-            ((lang, e / z) for lang, e in exps.items()),
+            ((lang, float(e / z)) for lang, e in zip(langs, exps)),
             key=lambda kv: (-kv[1], kv[0]),
         )
 

@@ -41,13 +41,9 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from language_identification_spark.operators.enrich import with_enrichment
 from language_identification_spark.operators.extract import extract_text_udf
-from language_identification_spark.operators.lid import lid_udf
-from language_identification_spark.operators.perplexity import ppl_udf
-from language_identification_spark.operators.quality import (
-    doc_stats_udf,
-    with_keep_decision,
-)
+from language_identification_spark.operators.quality import with_keep_decision
 from language_identification_spark.operators.scrub import scrub_expr
 from language_identification_spark.oracle.langid import NgramNBModel
 from language_identification_spark.oracle.quality import QualityConfig
@@ -97,16 +93,8 @@ def quality_filter_plan(
         df = df.withColumn("extracted_text", extract_text_udf(F.col("html")))
     else:
         df = df.withColumn("extracted_text", F.col(text_col))
-    df = (
-        df.withColumn("stats", doc_stats_udf(F.col("extracted_text")))
-        .withColumn("lid", lid_udf(spark, model)(F.col("extracted_text")))
-    )
-    if kn_models:
-        df = df.withColumn(
-            "ppl", ppl_udf(spark, kn_models)(F.col("extracted_text"), F.col("lid.lang"))
-        )
-    else:
-        df = df.withColumn("ppl", F.lit(None).cast("double"))
+    # stats + langid + perplexity fused into ONE Arrow pass (operators/enrich.py)
+    df = with_enrichment(df, spark, model, kn_models)
     df = with_keep_decision(df, config, ppl_col="ppl" if kn_models else None)
     df = df.withColumn("scrubbed_text", scrub_expr(F.col("extracted_text"), badwords))
     return df.select(
