@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+A 100 TB training-data pipeline carries images/audio/video alongside text.
+The Spark-side contract is settled here and fully tested; only the codec call
+itself is stubbed (image/audio libraries are not in this container):
+
+- media rows: ``(doc_id, media_type, media binary, meta map<string,string>)``
+- decode/feature-extract runs as ``mapInPandas`` (Arrow-batched, streaming
+  iterator — a 10 MB blob never joins a giant materialized batch), grouping-
+  free so it stays a narrow map;
+- batch shape, output schema, null/error handling, and partitioning are real
+  and asserted by tests; ``decode_media`` raises NotImplementedError for real
+  codecs and provides a deterministic fake (seeded by content hash) so the
+  distributed plumbing is testable end-to-end without native libs.
+
+At scale: blobs live in the table (Iceberg/parquet binary columns) or as
+object-store pointers in ``meta['uri']``; either way the decode stage is
+embarrassingly parallel and the repartition guidance of the text pipeline
+(uniform key re-spread before heavy stages, SURVEY.md §4.2) applies verbatim.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, media_type string, media binary, meta map<string,string>"
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes int, features array<float>, "
+    "decode_error string"
+)
+
+_SUPPORTED_FAKE = {"image/png", "image/jpeg", "audio/wav", "video/mp4"}
+
+
+def decode_media(media_type: str, blob: bytes) -> list[float]:
+    """Decode one blob into a FEATURE_DIM feature vector.
+
+    STUB: real codecs (PIL/librosa/ffmpeg) are not available in this
+    container. Known media types get a deterministic content-derived fake
+    (stable across executors/retries — required for Spark task re-execution
+    safety); unknown types raise, and the UDF surfaces that per-row in
+    ``decode_error`` instead of failing the task.
+    """
+    if media_type not in _SUPPORTED_FAKE:
+        raise NotImplementedError(f"no codec for media_type={media_type!r}")
+    digest = hashlib.sha256(media_type.encode() + b"\x00" + blob).digest()
+    return [
+        int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32
+        for i in range(FEATURE_DIM)
+    ]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over media rows.
+
+    Narrow map (no shuffle); per-row errors become data, not task failures —
+    at 10^9 blobs a 1-in-a-million corrupt file must not kill the stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["media"].map(
+                    lambda b: 0 if b is None else len(b)
+                ).astype("int32"),
+            }
+            feats, errs = [], []
+            for mt, blob in zip(pdf["media_type"], pdf["media"]):
+                if blob is None:
+                    feats.append(None)
+                    errs.append("null_media")
+                    continue
+                try:
+                    feats.append(decode_media(mt, bytes(blob)))
+                    errs.append(None)
+                except NotImplementedError as exc:
+                    feats.append(None)
+                    errs.append(str(exc))
+            out["features"] = feats
+            out["decode_error"] = errs
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def fake_media_df(spark, n: int = 64, seed: int = 13) -> DataFrame:
+    """Deterministic synthetic media table for tests/benchmarks."""
+    import random
+
+    rng = random.Random(seed)
+    types = sorted(_SUPPORTED_FAKE) + ["application/x-unknown"]
+    rows = []
+    for i in range(n):
+        mt = types[i % len(types)]
+        blob = None if i % 17 == 11 else rng.randbytes(rng.randint(8, 256))
+        rows.append((i, mt, blob, {"src": f"synthetic/{i}"}))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

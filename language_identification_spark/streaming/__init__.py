@@ -1,0 +1,11 @@
+from language_identification_spark.streaming.jobs import (
+    run_stream_once,
+    streaming_events_hourly,
+    streaming_pages_filter,
+)
+
+__all__ = [
+    "run_stream_once",
+    "streaming_events_hourly",
+    "streaming_pages_filter",
+]

@@ -1,0 +1,105 @@
+"""Structured Streaming realizations of the engine's operators.
+
+The reference is batch-only (SURVEY.md §2.9: files -> files, no streaming
+state), and the north rule's resumability is Iceberg-checkpoint based — but
+the pipeline is embarrassingly per-row, so it ports to streams without
+operator changes: ``readStream`` on the same source, the same enrichment /
+rule / scrub plan, ``writeStream`` with a checkpoint dir. These jobs exist to
+prove that property end-to-end (tests drive them with Trigger.availableNow on
+the driver testdata, the bounded-backfill trigger that replays a directory to
+completion and stops — the same code then runs unbounded on a live landing
+directory at cluster scale).
+
+Scale notes:
+- the per-batch work is identical to the batch plan, so all batch-side sizing
+  (partitioning, Arrow batch bounds, broadcast models) carries over;
+- the windowed aggregation keeps state per (window, event_type); the
+  watermark bounds that state — without it, 10^12 docs of late-data state
+  would grow forever;
+- streaming dedup (dropDuplicatesWithinWatermark) is the streaming analog of
+  the exact-dedup operator: state is bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, payload string"
+)
+
+
+def streaming_events_hourly(
+    spark: SparkSession, source_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window rollup of the events table as a stream — the streaming
+    form of queries.q_events_hourly. Watermark bounds window state; late rows
+    beyond it are dropped deterministically."""
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(source_dir)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def streaming_pages_filter(
+    spark: SparkSession,
+    source_dir: str,
+    model,
+    config=None,
+    kn_models: dict | None = None,
+) -> DataFrame:
+    """The full quality-filter plan applied to a stream of page files — the
+    SAME quality_filter_plan call as batch (stateless per-row, so the plan is
+    stream-safe as-is)."""
+    from language_identification_spark.fixtures import PAGES_SCHEMA
+    from language_identification_spark.plans.pipeline import quality_filter_plan
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA).format("parquet").load(source_dir)
+    )
+    return quality_filter_plan(pages, model, config=config, kn_models=kn_models)
+
+
+def run_stream_once(
+    df: DataFrame, checkpoint_dir: str, query_name: str = "stream"
+) -> DataFrame:
+    """Drain all currently-available input (Trigger.availableNow) into an
+    in-memory sink and return the result as a DataFrame. Complete-mode for
+    aggregations, append for stateless plans."""
+    spark = df.sparkSession
+    # aggregations use complete mode (append would hold rows until the
+    # watermark closes each window, which never happens for a bounded replay);
+    # stateless plans append
+    mode = "complete" if _has_agg(df) else "append"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def _has_agg(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan

@@ -1,0 +1,109 @@
+"""Physical-plan quality gates: the plan shape IS part of correctness at scale.
+
+These tests pin the properties that keep the engine viable at 100 TB:
+predicate pushdown into the parquet scan, column pruning, broadcast joins for
+dimensions, no stray shuffles in narrow pipelines, and a single shuffle for
+hash aggregations. A regression here is invisible at sf0.01 and fatal at
+1000 executors, so it is asserted in CI rather than eyeballed via .explain.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.fixtures import pages_df, training_corpus
+from language_identification_spark.oracle.langid import NgramNBModel
+from language_identification_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def n_exchanges(plan: str) -> int:
+    # count shuffle exchanges only (broadcast exchanges are the cheap kind)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """pricing_summary's shipdate predicate must appear in PushedFilters of
+    the parquet scan, not as a post-scan Filter only."""
+    plan = plan_of(QUERIES["pricing_summary"](spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection over lineitem must read 2 columns, not 16."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = plan_of(li.select("l_orderkey", "l_quantity"))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_dimension_joins_are_broadcast(spark):
+    """lang_dim_join and order_revenue_topk must broadcast their dimension
+    sides — a shuffle join on the fact table is the 100 TB failure mode."""
+    for name in ("lang_dim_join", "order_revenue_topk"):
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        # customer/nation/lang dims must NOT arrive via shuffle join
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_pipeline_is_narrow(spark):
+    """The quality-filter pipeline must contain NO shuffle at all (without
+    the explicit repartition): scan -> UDF -> exprs -> project."""
+    from language_identification_spark.plans.pipeline import quality_filter_plan
+
+    model = NgramNBModel.train(training_corpus())
+    plan = plan_of(quality_filter_plan(pages_df(spark, 50), model))
+    assert n_exchanges(plan) == 0, plan
+
+
+def test_pipeline_single_fused_python_stage(spark):
+    """Enrichment must run as ONE ArrowEvalPython node (fused stats+lid+ppl),
+    not one per UDF — each extra node is a full JVM<->Python round trip."""
+    from language_identification_spark.plans.pipeline import quality_filter_plan
+
+    model = NgramNBModel.train(training_corpus())
+    plan = plan_of(
+        quality_filter_plan(pages_df(spark, 50), model, text_col="text")
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_hash_agg_single_shuffle(spark):
+    """char_freq: partial+final hash aggregate with exactly one shuffle on the
+    group keys (plus the small-scan re-spread, which AQE may keep)."""
+    plan = plan_of(QUERIES["char_freq"](spark, SF))
+    assert "HashAggregate" in plan
+    # partial agg must appear before the exchange (map-side combine)
+    assert plan.index("HashAggregate") < plan.rindex("HashAggregate")
+    assert n_exchanges(plan) <= 2  # groupBy shuffle + input re-spread
+
+
+def test_topk_uses_window_not_global_sort(spark):
+    """top_words_per_lang must rank within partitions (Window), never
+    orderBy the whole fact table."""
+    plan = plan_of(QUERIES["top_words_per_lang"](spark, SF))
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_minhash_explode_is_spread(spark):
+    """minhash's explode (Generate) must sit above the round-robin re-spread
+    exchange, so the md5-heavy map stage runs at cluster width instead of on
+    the single input split (the output partition count is AQE-coalesced and
+    says nothing about where the work ran)."""
+    plan = plan_of(QUERIES["minhash_signatures"](spark, SF))
+    assert "Generate" in plan
+    assert "RoundRobinPartitioning" in plan
+    gen = plan.index("Generate")
+    spread = plan.index("RoundRobinPartitioning")
+    assert gen < spread  # explain prints top-down: Generate consumes the spread

@@ -1,0 +1,163 @@
+"""Streaming jobs, sources/sinks, and multimodal plumbing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.fixtures import pages_df, training_corpus
+from language_identification_spark.oracle.langid import NgramNBModel
+from language_identification_spark.sources import (
+    read_chargram_csv,
+    read_wordlist,
+    write_partitioned_by_lang,
+    write_sorted_wordlists,
+)
+from language_identification_spark.streaming import (
+    run_stream_once,
+    streaming_events_hourly,
+    streaming_pages_filter,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_events_hourly_matches_batch(spark, tmp_path):
+    """The streamed tumbling-window rollup over a bounded replay must equal
+    the batch groupBy on the same files (stream/batch parity)."""
+    src = str(tmp_path / "events_src")  # file stream sources take a DIRECTORY
+    spark.read.parquet(f"{SF}/events.parquet").write.parquet(src)
+    stream = streaming_events_hourly(spark, src)
+    got = run_stream_once(stream, str(tmp_path / "ckpt"), "ev_hourly")
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    g = {(r["hour"], r["event_type"]): (r["n"], r["total_value"]) for r in got.collect()}
+    b = {(r["hour"], r["event_type"]): (r["n"], r["total_value"]) for r in batch.collect()}
+    assert g == b and len(g) > 0
+
+
+def test_streaming_pipeline_matches_batch(spark, tmp_path):
+    """quality_filter_plan applied via readStream == the same plan in batch
+    (stateless per-row => stream-safe without operator changes)."""
+    from language_identification_spark.oracle.quality import QualityConfig
+    from language_identification_spark.plans.pipeline import quality_filter_plan
+
+    model = NgramNBModel.train(training_corpus())
+    pages = pages_df(spark, 120)
+    src = str(tmp_path / "pages_src")
+    pages.write.mode("overwrite").parquet(src)
+
+    stream = streaming_pages_filter(spark, src, model, config=QualityConfig())
+    got = run_stream_once(stream, str(tmp_path / "ckpt2"), "pages_filter")
+    batch = quality_filter_plan(
+        spark.read.parquet(src), model, config=QualityConfig()
+    )
+    g = {r["url"]: (r["keep"], tuple(r["drop_reasons"])) for r in got.collect()}
+    b = {r["url"]: (r["keep"], tuple(r["drop_reasons"])) for r in batch.collect()}
+    assert g == b and len(g) == 120
+
+
+# ---------------------------------------------------------------------------
+# sources / sinks
+# ---------------------------------------------------------------------------
+
+
+def test_chargram_csv_reader(spark, tmp_path):
+    p = tmp_path / "grams.tsv"
+    p.write_text("t1\tEnglish\t1\tab\t10\nt2\tMalay\t1\tcd\t20\n")
+    df = read_chargram_csv(spark, str(p))
+    rows = {r["lang_name"]: (r["gram"], r["count"]) for r in df.collect()}
+    assert rows == {"English": ("ab", 10), "Malay": ("cd", 20)}
+
+
+def test_wordlist_reader(spark, tmp_path):
+    p = tmp_path / "words.txt"
+    p.write_text("apple banana\ncherry\n\n  date  \n")
+    words = sorted(r["word"] for r in read_wordlist(spark, str(p)).collect())
+    assert words == ["apple", "banana", "cherry", "date"]
+
+
+def test_partitioned_sink_and_pruned_read(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [("en", "hello"), ("en", "world"), ("ms", "rumah")],
+        schema="lang string, word string",
+    )
+    out = str(tmp_path / "bylang")
+    write_partitioned_by_lang(docs, out)
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("lang=")
+    ) == ["lang=en", "lang=ms"]
+    back = spark.read.parquet(out).filter(F.col("lang") == "ms")
+    # partition pruning: only the ms directory is scanned
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == 1
+    assert "lang=ms" in plan or "PartitionFilters" in plan
+
+
+def test_sorted_wordlist_sink(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("en", "b"), ("en", "a"), ("en", "a"), ("ms", "z")],
+        schema="lang string, word string",
+    )
+    out = str(tmp_path / "sorted")
+    write_sorted_wordlists(df, out)
+    en = spark.read.parquet(f"{out}/lang=en").collect()
+    assert [r["word"] for r in en] == ["a", "b"]  # deduped + sorted
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_feature_extraction(spark):
+    from language_identification_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        fake_media_df,
+    )
+
+    media = fake_media_df(spark, 64)
+    feats = extract_features(media).collect()
+    assert len(feats) == 64
+    by_id = {r["doc_id"]: r for r in feats}
+    ok = [r for r in feats if r["decode_error"] is None]
+    assert ok, "some rows must decode"
+    for r in ok:
+        assert len(r["features"]) == FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r["features"])
+    # unknown media type surfaces as per-row error, not a task failure
+    unknown = [r for r in feats if r["media_type"] == "application/x-unknown"]
+    assert unknown and all(
+        r["decode_error"] and "no codec" in r["decode_error"] for r in unknown
+    )
+    # null blob handled
+    assert any(r["decode_error"] == "null_media" for r in feats)
+    # deterministic across runs (task-retry safety)
+    again = {r["doc_id"]: r for r in extract_features(media).collect()}
+    for i, r in by_id.items():
+        assert again[i]["features"] == r["features"]
+
+
+def test_multimodal_is_narrow_map(spark):
+    """The decode stage must not shuffle (narrow mapInPandas)."""
+    from language_identification_spark.operators.multimodal import (
+        extract_features,
+        fake_media_df,
+    )
+
+    plan = (
+        extract_features(fake_media_df(spark, 16))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
