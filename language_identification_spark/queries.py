@@ -26,6 +26,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from language_identification_spark.functions import (
+    char_ngrams_expr,
+    word_ngrams_expr,
+)
+
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
@@ -171,13 +176,7 @@ def q_unique_words_per_lang(spark, sf_dir):
     exactly-one-group semantics is identical."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     bg = docs.select(
-        "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
-                " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
-            )
-        ).alias("bigram"),
+        "lang", F.explode(word_ngrams_expr("text", 2)).alias("bigram")
     ).distinct()
     return (
         bg.groupBy("bigram")
@@ -223,13 +222,7 @@ def q_ngram_counts(spark, sf_dir):
     (modified_kneser_ney.py:158-201), top-20 per lang with total tie-break."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     grams = docs.select(
-        "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(length(text) - 2, 0)),"
-                " i -> substring(text, i, 3))"
-            )
-        ).alias("gram"),
+        "lang", F.explode(char_ngrams_expr("text", 3)).alias("gram")
     )
     counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("n"))
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("gram"))
@@ -329,13 +322,7 @@ def q_minhash_signatures(spark, sf_dir):
     bucket-join is q_lsh_band_buckets."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     shingles = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(length(text) - 4, 0)),"
-                " i -> substring(text, i, 5))"
-            )
-        ).alias("sh"),
+        "doc_id", F.explode(char_ngrams_expr("text", 5)).alias("sh")
     ).distinct()
     h = F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 8), 16, 10).cast(
         "long"
@@ -379,13 +366,7 @@ def q_jaccard_top_pairs(spark, sf_dir):
     double value is identical across engines."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
-                " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
-            )
-        ).alias("sh"),
+        "doc_id", F.explode(word_ngrams_expr("text", 3)).alias("sh")
     ).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     pairs = (
@@ -664,12 +645,7 @@ def q_doc_perplexity(spark, sf_dir):
     grams = docs.select(
         "doc_id",
         "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(length(lower(text)) - 1, 0)),"
-                " i -> substring(lower(text), i, 2))"
-            )
-        ).alias("gram"),
+        F.explode(char_ngrams_expr(F.lower(F.col("text")), 2)).alias("gram"),
     )
     counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("c"))
     totals = counts.groupBy("lang").agg(F.sum("c").alias("total"))
@@ -740,6 +716,156 @@ SELECT source,
        sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY source
+"""
+
+
+def q_lsh_band_buckets(spark, sf_dir):
+    """MinHash-LSH banding — the 100 TB near-dup path: 8-permutation
+    signatures split into 4 bands of 2; docs sharing a band bucket are
+    candidate pairs (checked exactly afterwards, q_jaccard_top_pairs). Output:
+    buckets holding >1 doc. The whole thing is two hash shuffles — no
+    quadratic self-join ever touches the full corpus."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                        ).alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    return (
+        bands.groupBy("band", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_LSH_BAND_BUCKETS = """
+WITH shingles AS (
+  SELECT DISTINCT doc_id, substring(text, i, 5) AS sh
+  FROM documents, unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS t(i)
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS UINT32)::BIGINT AS h
+  FROM shingles
+), sig AS (
+  SELECT doc_id,
+    {cols}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  {bands_union}
+)
+SELECT band, bucket, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM bands GROUP BY band, bucket HAVING count(*) > 1
+""".format(
+    cols=",\n    ".join(
+        f"min(({a} * h + {b}) % 4294967296) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ),
+    bands_union="\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, h{2 * b} || ':' || h{2 * b + 1} AS bucket FROM sig"
+        for b in range(4)
+    ),
+)
+
+
+STOPWORDS_DIM = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def q_stopword_anti_join(spark, sf_dir):
+    """J10: remove common words via broadcast LEFT ANTI join
+    (common_words.ipynb cells 10-12, README.md:145-146 spec) — then top-20
+    surviving words. The anti side is a broadcast: the fact table never
+    shuffles for the join."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    stop = spark.createDataFrame([(w,) for w in STOPWORDS_DIM], "word string")
+    words = docs.select(F.explode(_words(F.col("text"))).alias("word"))
+    kept = words.join(F.broadcast(stop), "word", "left_anti")
+    counts = kept.groupBy("word").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "word", "n")
+    )
+
+
+SQL_STOPWORD_ANTI_JOIN = """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), kept AS (
+  SELECT word FROM words
+  WHERE word <> '' AND word NOT IN ({stoplist})
+), counts AS (
+  SELECT word, count(*) AS n FROM kept GROUP BY word
+)
+SELECT rank, word, n FROM (
+  SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank FROM counts
+) WHERE rank <= 20
+""".format(stoplist=", ".join(f"'{w}'" for w in STOPWORDS_DIM))
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization via gap detection: a new session starts when a user's
+    inter-event gap exceeds 30 minutes (lag + conditional cumulative sum —
+    the classic two-window composition). Output: per-user session count and
+    the largest session's event count. The shuffle key is user_id; at 100 TB
+    scale hot users are the skew risk — AQE skew handling plus the salting
+    pattern of SURVEY.md §4.2 apply."""
+    ev = _spread(_t(spark, sf_dir, "events"))
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the testdata; cast via TIMESTAMP (session UTC)
+    # to epoch seconds — only the difference matters
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(by_user)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_sess"),
+    )
+    sess = marked.withColumn(
+        "sess_id", F.sum("new_sess").over(by_user)
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+), per_sess AS (
+  SELECT user_id, sess_id, count(*) AS n_events FROM sess GROUP BY user_id, sess_id
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+FROM per_sess GROUP BY user_id
 """
 
 
@@ -858,6 +984,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash_signatures,
     "jaccard_top_pairs": q_jaccard_top_pairs,
     "simhash": q_simhash,
+    "lsh_band_buckets": q_lsh_band_buckets,
+    "stopword_anti_join": q_stopword_anti_join,
+    "events_sessionize": q_events_sessionize,
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "quality_stats_sql": q_quality_stats_sql,
@@ -884,6 +1013,9 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "jaccard_top_pairs": SQL_JACCARD_TOP_PAIRS,
     "simhash": SQL_SIMHASH,
+    "lsh_band_buckets": SQL_LSH_BAND_BUCKETS,
+    "stopword_anti_join": SQL_STOPWORD_ANTI_JOIN,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "quality_stats_sql": SQL_QUALITY_STATS,
