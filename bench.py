@@ -22,19 +22,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# headline set: the flagship pipeline + one representative per operator family
+# headline set: the flagship pipeline + one representative per operator
+# family, each on its SCALE path (e.g. lsh_band_buckets is the linear-cost
+# near-dup candidate generator; the exact-quadratic jaccard_top_pairs baseline
+# stays in the battery for correctness but not in the headline — an
+# all-pairs self-join is precisely what the LSH path exists to avoid)
 HEADLINE = [
     "quality_pipeline",
     "char_freq",
     "ngram_counts",
+    "doc_perplexity",
+    "exact_dedup",
     "minhash_signatures",
-    "jaccard_top_pairs",
+    "lsh_band_buckets",
     "simhash",
     "cosine_topk",
+    "ivf_topk",
     "embedding_near_dup",
     "pricing_summary",
     "order_revenue_topk",
     "events_hourly",
+    "events_sessionize",
 ]
 
 

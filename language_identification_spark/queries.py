@@ -376,9 +376,21 @@ def q_jaccard_top_pairs(spark, sf_dir):
         .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .agg(F.count("*").alias("inter"))
     )
+    # sizes is |docs| rows (tiny next to the pair table) — broadcast both
+    # lookups so the pair table never shuffles again after its groupBy
     scored = (
-        pairs.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+        pairs.join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza")
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb")
+            ),
+            "b",
+        )
         .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
     )
     w = Window.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
@@ -494,6 +506,92 @@ SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored
 ) WHERE rank <= 5
+"""
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbor — the 100 TB embedding-search path:
+    K centroid seeds (vec_id < 8, deterministic), every vector assigned to
+    its argmax-cosine cell (broadcast join against the tiny centroid set, NO
+    shuffle of the fact side), then top-3 search only WITHIN the query's cell
+    — probe cost drops from O(N) to O(N/K) per query. Brute-force baseline:
+    q_cosine_topk. Ties broken totally (cos desc, centroid/neighbor id)."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    cent = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    cos_cent = _dot(F.col("embedding"), F.col("cvec")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("cid")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", cos_cent.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+    )
+    queries = assigned.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        "cell",
+    )
+    cos_q = _dot(F.col("embedding"), F.col("qvec")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        assigned.join(queries, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos_q.alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
+SQL_IVF_TOPK = """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < 8
+), assigned AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                         * sqrt(list_dot_product(c.cvec, c.cvec))) DESC, c.cid ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+), queries AS (
+  SELECT vec_id AS query_id, embedding AS qvec, cell FROM assigned
+  WHERE vec_id >= 10 AND vec_id < 20
+), scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(a.embedding::DOUBLE[], q.qvec::DOUBLE[])
+           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))) AS cos
+  FROM assigned a JOIN queries q USING (cell)
+  WHERE a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3
 """
 
 
@@ -988,6 +1086,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stopword_anti_join": q_stopword_anti_join,
     "events_sessionize": q_events_sessionize,
     "cosine_topk": q_cosine_topk,
+    "ivf_topk": q_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "quality_stats_sql": q_quality_stats_sql,
     "scrub_sql": q_scrub_sql,
@@ -1017,6 +1116,7 @@ ORACLE_SQL: dict[str, str] = {
     "stopword_anti_join": SQL_STOPWORD_ANTI_JOIN,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "cosine_topk": SQL_COSINE_TOPK,
+    "ivf_topk": SQL_IVF_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "quality_stats_sql": SQL_QUALITY_STATS,
     "scrub_sql": SQL_SCRUB,

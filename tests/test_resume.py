@@ -1,0 +1,92 @@
+"""Checkpoint/resume: the north rule's resumability requirement, end-to-end.
+
+SURVEY.md §5.5: run the pipeline, kill it after bucket k, resume, and assert
+the final table equals the single-run table exactly (the parquet-manifest
+stand-in for Iceberg snapshot-checkpoint resume, SURVEY.md §4.2.4).
+"""
+
+import json
+
+import pytest
+
+from language_identification_spark.fixtures import pages_df, training_corpus
+from language_identification_spark.oracle.langid import NgramNBModel
+from language_identification_spark.plans.pipeline import (
+    quality_filter_plan,
+    read_manifest,
+    read_results,
+    run_resumable,
+)
+
+N_PAGES = 160
+BUCKETS = 6
+
+
+@pytest.fixture(scope="module")
+def model():
+    return NgramNBModel.train(training_corpus())
+
+
+def _rows_by_url(df):
+    return {
+        r["url"]: (r["keep"], tuple(r["drop_reasons"]), r["scrubbed_text"])
+        for r in df.collect()
+    }
+
+
+def test_crash_resume_equals_single_run(spark, tmp_path, model):
+    pages = pages_df(spark, N_PAGES)
+
+    # single uninterrupted run -> ground truth
+    truth = _rows_by_url(quality_filter_plan(pages, model))
+    assert len(truth) == N_PAGES
+
+    out = str(tmp_path / "out")
+    # run 1: crash injected after bucket 2
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(
+            spark, pages, model, out, buckets=BUCKETS, fail_after_bucket=2
+        )
+    m1 = read_manifest(out)
+    assert m1["buckets_done"] == [0, 1, 2]
+    done_after_crash = len(m1["run_history"])
+
+    # run 2: resume — must process ONLY the missing buckets
+    m2 = run_resumable(spark, pages, model, out, buckets=BUCKETS)
+    assert m2["buckets_done"] == list(range(BUCKETS))
+    resumed = [h["bucket"] for h in m2["run_history"][done_after_crash:]]
+    assert resumed == [3, 4, 5], "resume must not redo completed buckets"
+
+    # all rows present exactly once, values identical to the single run
+    got = _rows_by_url(read_results(spark, out))
+    assert got == truth
+
+    # run 3: fully-complete manifest is a no-op
+    m3 = run_resumable(spark, pages, model, out, buckets=BUCKETS)
+    assert len(m3["run_history"]) == len(m2["run_history"])
+
+
+def test_manifest_lineage_counters(spark, tmp_path, model):
+    """Per-bucket lineage (north rule: per-partition lineage + counters):
+    rows and drop-rule histograms per bucket must sum to the global totals."""
+    pages = pages_df(spark, N_PAGES)
+    out = str(tmp_path / "out2")
+    manifest = run_resumable(spark, pages, model, out, buckets=4)
+    hist = manifest["run_history"]
+    assert sum(h["rows"] for h in hist) == N_PAGES
+    # drop counts in the manifest match a direct metrics query
+    from language_identification_spark.plans.pipeline import metrics_plan
+
+    direct = {
+        r["rule"]: r["n"]
+        for r in metrics_plan(read_results(spark, out)).collect()
+        if r["rule"] is not None
+    }
+    summed: dict = {}
+    for h in hist:
+        for rule, n in h["drop_counts"].items():
+            summed[rule] = summed.get(rule, 0) + n
+    assert summed == direct
+    # manifest file is valid JSON on disk (atomic write)
+    with open(f"{out}/_progress.json") as f:
+        assert json.load(f)["buckets_done"] == [0, 1, 2, 3]
