@@ -88,12 +88,20 @@ def bench_main() -> dict:
     # records methodology.
     _run_once(spark, SF_DIR, ["pricing_summary", "quality_pipeline"])
 
-    t0 = time.time()
     times = _run_once(spark, SF_DIR, HEADLINE, reps=2)
     total = round(sum(times.values()), 3)
-    _ = t0
     n_docs = _docs_count(spark, SF_DIR)
     pipeline_sec = times.get("quality_pipeline", float("nan"))
+
+    # sustained pipeline throughput on a job big enough that per-run fixed
+    # costs (~0.5 s) are noise: the documents table replicated 40x with
+    # distinct urls (same job the scaling harness runs)
+    sustained_job = _scaling_job(spark, SF_DIR, replicate=40)
+    _force(sustained_job)
+    t0 = time.time()
+    _force(sustained_job)
+    sustained = round(40 * n_docs / (time.time() - t0), 1)
+
     result = {
         "metric": "headline query wall time (quality pipeline + operator battery)",
         "value": total,
@@ -101,6 +109,7 @@ def bench_main() -> dict:
         "queries": times,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "docs_per_sec": round(n_docs / pipeline_sec, 1) if pipeline_sec else None,
+        "sustained_pipeline_docs_per_sec": sustained,
         "cpus": CPUS,
     }
     spark.stop()

@@ -1,0 +1,69 @@
+"""Golden script-classification fixtures ported from the reference demo
+(scripts_langid.py:87-108, SURVEY.md §5.2) — the 16 fixed strings and their
+expected script families, mapped onto this engine's classifier semantics:
+
+- scripts unique to one language in the supported set pin the language
+  (SCRIPT_TO_LANG, oracle/langid.py);
+- Latin text defers to the n-gram model (returns None);
+- Han without kana maps to zh (the reference emits a chinese/japanese
+  ambiguity set; our supported-language set resolves Han alone to zh and
+  uses kana presence for ja);
+- scripts outside the supported set (Baybayin, Tibetan-only symbols) defer.
+"""
+
+import pytest
+
+from language_identification_spark.oracle.langid import (
+    detect_script,
+    script_langid,
+)
+
+# (text, expected_lang_or_None, reference comment)
+GOLDEN = [
+    ("日 月 木", "zh", "chinese"),
+    ("平仮名", "zh", "japanese kanji -> Han; resolves zh without kana"),
+    ("カタカナ", "ja", "japanese katakana"),
+    ("ひらがな", "ja", "japanese hiragana"),
+    ("平仮名, ひらがな", "ja", "mixed kanji/hiragana -> kana wins on fraction"),
+    ("ㄱ ㄴ ㄷ ㄹ ㅁ", "ko", "korean jamo"),
+    ("맏아들", "ko", "korean hangul"),
+    ("hello world", None, "latin defers to the n-gram model"),
+    ("123", None, "numbers: no script evidence"),
+    ("ရှစ်လေးလုံးအရေးအခင်", "my", "burmese"),
+    ("แหลงข้าหลวง", "th", "thai"),
+    ("العربية", "ar", "arabic"),
+    ("तत्सम", "hi", "hindi devanagari"),
+    ("௳ ௴ ௵ ௶ ௷ ௸ ௹ ௺", "ta", "tamil symbols"),
+    ("முடி", "ta", "tamil"),
+    ("اُردُو‎", "ar", "urdu in arabic script -> arabic-script family"),
+    ("वह मेरी जान बहाल करता", "hi", "urdu in devanagari -> devanagari family"),
+    ("Khudáwand merá chaupán hai", None, "urdu in roman -> latin defers"),
+]
+
+
+@pytest.mark.parametrize("text,expected,why", GOLDEN)
+def test_golden_script_classification(text, expected, why):
+    lang, conf = script_langid(text)
+    assert lang == expected, (text, why, lang)
+    if expected is not None:
+        assert conf >= 0.5, (text, conf)
+
+
+def test_mixed_kanji_hiragana_detail():
+    """'平仮名, ひらがな': both Han and Hiragana present; fractions sum to 1
+    over classified chars and hiragana dominates (4 kana vs 3 kanji)."""
+    fr = detect_script("平仮名, ひらがな")
+    assert set(fr) == {"han", "hiragana"}
+    assert abs(sum(fr.values()) - 1.0) < 1e-12
+    assert fr["hiragana"] > fr["han"]
+
+
+def test_unsupported_scripts_defer():
+    """Baybayin (U+1700) and lone Tibetan symbols are outside the supported
+    set: no language is pinned (defer), and detect_script reports what it can."""
+    baybayin = "ᜀᜅ᜔ ᜃᜆᜓᜏᜒᜇᜈ᜔"
+    lang, _ = script_langid(baybayin)
+    assert lang is None
+    tib = "༖"
+    assert script_langid(tib)[0] is None
+    assert detect_script(tib).get("tibetan") == 1.0
