@@ -161,6 +161,7 @@ def run_resumable(
     config: QualityConfig | None = None,
     fail_after_bucket: int | None = None,
     text_col: str | None = None,
+    kn_models: dict | None = None,
 ) -> dict:
     """Run the pipeline bucket-by-bucket with checkpoint/resume.
 
@@ -177,7 +178,9 @@ def run_resumable(
     os.makedirs(out_dir, exist_ok=True)
     manifest = read_manifest(out_dir)
     done = set(manifest["buckets_done"])
-    plan = quality_filter_plan(pages, model, config=config, text_col=text_col)
+    plan = quality_filter_plan(
+        pages, model, config=config, text_col=text_col, kn_models=kn_models
+    )
     plan = plan.withColumn(
         "bucket", F.pmod(F.crc32(F.col("url")), F.lit(buckets)).cast("int")
     )

@@ -96,6 +96,33 @@ def test_topk_uses_window_not_global_sort(spark):
     assert "RunningWindowFunction" in plan or "Window" in plan
 
 
+def test_salted_repartition_defeats_host_skew(spark):
+    """The fixture's url hosts are skewed (~40% on one host, mirroring
+    Common-Crawl host clustering). After the pipeline's crc32(url) re-spread,
+    partition sizes must be near-uniform — the explicit salting the north
+    rule requires (AQE fixes shuffle skew but not UDF-compute skew)."""
+    pages = pages_df(spark, 400)
+    # host-partitioned layout: everything from one host in one partition
+    skewed = pages.repartition(8, F.regexp_extract("url", r"https://([^.]+)", 1))
+    skew_counts = [
+        r["n"]
+        for r in skewed.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert max(skew_counts) > 2 * (400 / 8), "fixture must actually be skewed"
+
+    respread = skewed.repartition(8, F.crc32(F.col("url")))
+    counts = [
+        r["n"]
+        for r in respread.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert len(counts) == 8
+    assert max(counts) <= 1.5 * (400 / 8), counts
+
+
 def test_minhash_explode_is_spread(spark):
     """minhash's explode (Generate) must sit above the round-robin re-spread
     exchange, so the md5-heavy map stage runs at cluster width instead of on

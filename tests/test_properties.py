@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for the row-wise oracle semantics.
+
+The reference's own testing style is invariant asserts and fast-vs-slow
+cross-checks (emd_1d, dictionary_langid/datatypes.py:337-341); these encode
+the same invariants generatively. All driver-side (pure Python oracle) — the
+Spark side equals the oracle by the parity suite, so properties proven here
+transfer.
+"""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from language_identification_spark.oracle.kneser_ney import train_kn
+from language_identification_spark.oracle.quality import doc_stats
+from language_identification_spark.oracle.scrub import SCRUB_PATTERNS, scrub_text
+from language_identification_spark.oracle.tokenize import (
+    char_ngrams,
+    is_word_char,
+    unicode_tokenize,
+)
+
+text_strategy = st.text(max_size=300)
+# printable-ish multilingual text including spaces/punct/CJK/arabic
+mixed_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",)  # no lone surrogates
+    ),
+    max_size=200,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(mixed_text)
+def test_tokenize_invariants(text):
+    tokens = unicode_tokenize(text)
+    joined = "".join(tokens)
+    # every token is non-empty and every char of a token exists in the input
+    assert all(tokens), tokens
+    for ch in joined:
+        assert ch in text
+    # every word char of the input survives into some token
+    n_word_chars = sum(1 for ch in text if is_word_char(ch))
+    assert sum(1 for ch in joined if is_word_char(ch)) == n_word_chars
+    # determinism
+    assert unicode_tokenize(text) == tokens
+
+
+@settings(max_examples=200, deadline=None)
+@given(mixed_text, st.integers(min_value=1, max_value=6))
+def test_char_ngrams_invariants(text, n):
+    grams = char_ngrams(text, n)
+    expected = max(len(text) - n + 1, 0)
+    assert len(grams) == expected
+    assert all(len(g) == n and g in text for g in grams)
+
+
+@settings(max_examples=150, deadline=None)
+@given(mixed_text)
+def test_scrub_removes_all_pii(text):
+    """After scrubbing, no scrub pattern matches anywhere in the output
+    (idempotence: scrubbing twice changes nothing)."""
+    out = scrub_text(text)
+    for _name, pattern, repl in SCRUB_PATTERNS:
+        # placeholder tokens like <URL> must not themselves re-match
+        leftovers = [
+            m for m in re.findall(pattern, out) if m not in {repl}
+        ]
+        assert not leftovers, (_name, leftovers)
+    assert scrub_text(out) == out
+
+
+@settings(max_examples=150, deadline=None)
+@given(mixed_text)
+def test_doc_stats_bounds(text):
+    s = doc_stats(text)
+    assert s["word_count"] >= 0
+    for frac in ("digit_frac", "dup_line_frac", "repeated_char_frac",
+                 "bullet_line_frac", "ellipsis_line_frac"):
+        assert 0.0 <= s[frac] <= 1.0, (frac, s[frac])
+    assert s["mean_word_len"] >= 0.0
+    # determinism (rules must be retry-safe)
+    assert doc_stats(text) == s
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdef ", min_size=1, max_size=40),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from(["abc", "fed ca", "zzz"]),
+)
+def test_kn_model_properties(corpus, probe):
+    """KN invariants on arbitrary small corpora: probabilities normalize over
+    the event space; perplexity is finite and positive for any probe text."""
+    m = train_kn(corpus, order=2)
+    vocab = sorted(m.counts[1])
+    for ctx in ["a", "z", ""]:
+        ctx = ctx[: m.order - 1]
+        total = sum(m.prob(ctx, w) for w in vocab) + m.prob(ctx, "\x01")
+        assert abs(total - 1.0) < 1e-9, ctx
+    p = m.perplexity(probe)
+    assert p > 0.0 and p != float("inf")
