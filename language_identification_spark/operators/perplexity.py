@@ -98,13 +98,41 @@ def train_kn_spark(
 
 def kn_model_table_df(spark: SparkSession, models: dict[str, KNModel]) -> DataFrame:
     """Top-order counts as a flat (lang, gram, c) DataFrame — the persistable
-    dimension-table form of the model (SURVEY.md §2.8 L8)."""
+    dimension-table form of the model (SURVEY.md §2.8 L8). The top-order
+    table fully determines the model: lower orders and all float parameters
+    re-derive deterministically in assemble_model."""
     rows = [
         (lang, gram, c)
         for lang, m in sorted(models.items())
         for gram, c in sorted(m.counts[m.order].items())
     ]
     return spark.createDataFrame(rows, schema="lang string, gram string, c long")
+
+
+def save_kn_models(
+    spark: SparkSession, models: dict[str, KNModel], path: str
+) -> None:
+    """Persist as a parquet dimension table next to the corpus (on a real
+    cluster: an Iceberg table) — versionable, inspectable, joinable."""
+    kn_model_table_df(spark, models).write.mode("overwrite").parquet(path)
+
+
+def load_kn_models(spark: SparkSession, path: str, order: int = 3) -> dict[str, KNModel]:
+    """Rebuild bit-identical models from the persisted top-order table:
+    integer counts -> deterministic float assembly (tested round-trip)."""
+    tables: dict[str, dict[int, dict[str, int]]] = {}
+    for r in spark.read.parquet(path).collect():
+        tables.setdefault(r["lang"], {}).setdefault(order, {})[r["gram"]] = r["c"]
+    out: dict[str, KNModel] = {}
+    for lang, counts in sorted(tables.items()):
+        top = counts[order]
+        for k in range(order - 1, 0, -1):
+            cont: dict[str, int] = {}
+            for gram in counts[k + 1]:
+                cont[gram[1:]] = cont.get(gram[1:], 0) + 1
+            counts[k] = cont
+        out[lang] = assemble_model(counts, order)
+    return out
 
 
 def ppl_udf(spark_or_sc, models: dict[str, KNModel]):

@@ -816,6 +816,34 @@ SELECT source,
 FROM documents GROUP BY source
 """
 
+# GPT-2-style pretokenizer, simplified to the lookahead-free common dialect of
+# Java regex (Spark) and RE2 (DuckDB): contractions, letter runs, digit runs,
+# punctuation runs — each optionally space-prefixed. Verified token-identical
+# across both engines on the testdata.
+BPE_ISH_PATTERN = r"'[a-zA-Z]+| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish token counting (training-data budget estimation): per-source
+    token totals under a GPT-2-style pretokenizer regex — JVM-native
+    regexp_extract_all, no Python in the loop."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    )
+    return docs.groupBy("source").agg(
+        F.sum(n_tok).alias("n_tokens"),
+        F.round(F.avg(n_tok), 4).alias("avg_tokens_per_doc"),
+    )
+
+
+SQL_BPE_TOKEN_COUNT = """
+SELECT source,
+       sum(len(regexp_extract_all(text, '{pat}'))) AS n_tokens,
+       round(avg(len(regexp_extract_all(text, '{pat}'))), 4) AS avg_tokens_per_doc
+FROM documents GROUP BY source
+""".format(pat=BPE_ISH_PATTERN.replace("'", "''"))
+
 
 def q_lsh_band_buckets(spark, sf_dir):
     """MinHash-LSH banding — the 100 TB near-dup path: 8-permutation
@@ -972,6 +1000,32 @@ FROM per_sess GROUP BY user_id
 # ---------------------------------------------------------------------------
 
 
+def q_rollup_counts(spark, sf_dir):
+    """Grouping sets: ROLLUP(lang, source) doc/char totals — the reporting
+    shape of the metrics tables (SURVEY.md §2.4 note: rollup(lang,
+    drop_reason) for dashboards). Null grouping levels aliased for the
+    cross-engine hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "n_chars",
+        )
+    )
+
+
+SQL_ROLLUP_COUNTS = """
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       count(*) AS n_docs, sum(n_chars) AS n_chars
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped aggregation over lineitem: the partial+final hash-agg
     workhorse; predicate pushes into the parquet scan."""
@@ -1094,6 +1148,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_perplexity": q_doc_perplexity,
     "fingerprint": q_fingerprint,
     "token_count": q_token_count,
+    "bpe_token_count": q_bpe_token_count,
+    "rollup_counts": q_rollup_counts,
     "pricing_summary": q_pricing_summary,
     "order_revenue_topk": q_order_revenue_topk,
     "events_hourly": q_events_hourly,
@@ -1124,6 +1180,8 @@ ORACLE_SQL: dict[str, str] = {
     "doc_perplexity": SQL_DOC_PERPLEXITY,
     "fingerprint": SQL_FINGERPRINT,
     "token_count": SQL_TOKEN_COUNT,
+    "bpe_token_count": SQL_BPE_TOKEN_COUNT,
+    "rollup_counts": SQL_ROLLUP_COUNTS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
     "events_hourly": SQL_EVENTS_HOURLY,

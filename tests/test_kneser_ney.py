@@ -110,6 +110,25 @@ def test_ppl_udf_parity(spark, oracle_models):
     )
 
 
+def test_kn_persist_roundtrip(spark, tmp_path, oracle_models):
+    """save -> load rebuilds BIT-IDENTICAL models from the top-order count
+    table alone (integer counts + deterministic float assembly)."""
+    from language_identification_spark.operators.perplexity import (
+        load_kn_models,
+        save_kn_models,
+    )
+
+    path = str(tmp_path / "kn_model")
+    save_kn_models(spark, oracle_models, path)
+    loaded = load_kn_models(spark, path, order=3)
+    assert sorted(loaded) == sorted(oracle_models)
+    for lang, om in oracle_models.items():
+        lm = loaded[lang]
+        assert lm.counts == om.counts and lm.discounts == om.discounts
+        probe = "the quick brown fox of the world"
+        assert lm.perplexity(probe) == om.perplexity(probe)
+
+
 def test_pipeline_perplexity_rule(spark, corpus, oracle_models):
     """With a tight max_ppl the perplexity_high rule fires on garbage but not
     on clean in-domain docs, end-to-end through quality_filter_plan."""
