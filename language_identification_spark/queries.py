@@ -745,7 +745,10 @@ def q_doc_perplexity(spark, sf_dir):
         "lang",
         F.explode(char_ngrams_expr(F.lower(F.col("text")), 2)).alias("gram"),
     )
-    counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("c"))
+    # cache the tiny count table: totals and v both derive from it, and
+    # without the cache each branch would re-run the corpus-sized explode
+    # (4 full explodes per query instead of 2)
+    counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("c")).cache()
     totals = counts.groupBy("lang").agg(F.sum("c").alias("total"))
     v = counts.select("gram").distinct().agg(F.count("*").alias("v"))
     scored = (
@@ -1000,6 +1003,37 @@ FROM per_sess GROUP BY user_id
 # ---------------------------------------------------------------------------
 
 
+def q_deterministic_split(spark, sf_dir):
+    """Reproducible train/val/test corpus split by content-independent hash
+    of the key (md5(doc_id) mod 100 -> 80/10/10): stable across runs,
+    machines, and engines — the split every training pipeline needs to be
+    able to re-derive. Output: per (split, lang) doc and char counts."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10
+    ).cast("long") % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return docs.select(split.alias("split"), "lang", "n_chars").groupBy(
+        "split", "lang"
+    ).agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+
+
+SQL_DETERMINISTIC_SPLIT = """
+WITH assigned AS (
+  SELECT CASE
+           WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UINT32) % 100 < 80 THEN 'train'
+           WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UINT32) % 100 < 90 THEN 'val'
+           ELSE 'test' END AS split,
+         lang, n_chars
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS n_chars
+FROM assigned GROUP BY split, lang
+"""
+
+
 def q_rollup_counts(spark, sf_dir):
     """Grouping sets: ROLLUP(lang, source) doc/char totals — the reporting
     shape of the metrics tables (SURVEY.md §2.4 note: rollup(lang,
@@ -1149,6 +1183,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "token_count": q_token_count,
     "bpe_token_count": q_bpe_token_count,
+    "deterministic_split": q_deterministic_split,
     "rollup_counts": q_rollup_counts,
     "pricing_summary": q_pricing_summary,
     "order_revenue_topk": q_order_revenue_topk,
@@ -1181,6 +1216,7 @@ ORACLE_SQL: dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "token_count": SQL_TOKEN_COUNT,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
+    "deterministic_split": SQL_DETERMINISTIC_SPLIT,
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
