@@ -50,15 +50,13 @@ def enrich_udf(spark_or_sc, model, kn_models: dict | None = None):
     def _enrich(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         m, kns = bc.value
         for series in batches:
+            texts = series.tolist()
+            # langid vectorized: one numpy matrix pass per Arrow batch
+            lid = m.detect_batch(texts)
             stats_rows = []
-            langs = []
-            confs = []
             ppls = []
-            for text in series:
+            for text, (lang, _conf) in zip(texts, lid):
                 stats_rows.append(doc_stats(text))
-                lang, conf = m.detect(text)
-                langs.append(lang)
-                confs.append(conf)
                 kn = kns.get(lang) if (kns and lang is not None) else None
                 if kn is None or not text:
                     ppls.append(None)
@@ -68,8 +66,8 @@ def enrich_udf(spark_or_sc, model, kn_models: dict | None = None):
             yield pd.DataFrame(
                 {
                     "stats": stats_rows,
-                    "lang": langs,
-                    "conf": pd.Series(confs, dtype="float64"),
+                    "lang": [r[0] for r in lid],
+                    "conf": pd.Series([r[1] for r in lid], dtype="float64"),
                     "ppl": pd.Series(ppls, dtype="float64"),
                 }
             )

@@ -112,7 +112,7 @@ def lid_udf(spark_or_sc, model: NgramNBModel):
     def _lid(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         m = bc.value
         for series in batches:
-            results = [m.detect(t) for t in series]
+            results = m.detect_batch(series.tolist())
             yield pd.DataFrame(
                 {
                     "lang": [r[0] for r in results],

@@ -216,20 +216,53 @@ class NgramNBModel:
         state.pop("_dense_cache", None)  # rebuilt lazily per process
         return state
 
+    def _raw_scores_batch(self, texts: list[str]):
+        """(langs, raw (L x n) log-score matrix) for a batch of documents in
+        ONE numpy segment-sum — the single scoring implementation used by the
+        row-wise oracle AND the Spark UDF, so parity is bit-exact.
+
+        np.add.reduceat accumulates each segment sequentially; using the same
+        routine for batch size 1 keeps per-row and batched results identical
+        to the last bit."""
+        import numpy as np
+
+        langs, idx, mat, defaults, priors = self._dense()
+        n = len(texts)
+        cols_all: list[int] = []
+        offsets = [0]
+        unseen: list[int] = []
+        for text in texts:
+            grams = self._doc_ngrams(text, self.n)
+            cols = [idx[g] for g in grams if g in idx]
+            cols_all.extend(cols)
+            offsets.append(len(cols_all))
+            unseen.append(len(grams) - len(cols))
+        raw = np.repeat(priors[:, None], n, axis=1)
+        total = len(cols_all)
+        if total:
+            sub = mat[:, np.asarray(cols_all, dtype=np.int64)]
+            # reduceat over NON-EMPTY segments only: empty docs contribute no
+            # cols, so consecutive non-empty starts exactly partition the
+            # array (clamping trailing empty starts instead would corrupt the
+            # preceding document's segment — found the hard way)
+            nonempty = [k for k in range(n) if offsets[k + 1] > offsets[k]]
+            starts = np.asarray([offsets[k] for k in nonempty], dtype=np.int64)
+            seg = np.add.reduceat(sub, starts, axis=1)
+            for j, k in enumerate(nonempty):
+                raw[:, k] += seg[:, j]
+        raw += defaults[:, None] * np.asarray(unseen, dtype=np.float64)[None, :]
+        return langs, raw
+
     def scores(self, text: str) -> list[tuple[str, float]]:
         """All languages with softmax-normalized probabilities, sorted desc
         then by lang for determinism (fasttext_wrapper.py:43-45 shape)."""
         import numpy as np
 
-        langs, idx, mat, defaults, priors = self._dense()
+        langs, raw = self._raw_scores_batch([text])
         if not langs:
             return []
-        grams = self._doc_ngrams(text, self.n)
-        cols = [idx[g] for g in grams if g in idx]
-        n_unseen = len(grams) - len(cols)
-        raw = priors + mat[:, cols].sum(axis=1) + defaults * n_unseen
-        m = raw.max()
-        exps = np.exp(raw - m)
+        col = np.ascontiguousarray(raw[:, 0])
+        exps = np.exp(col - col.max())
         z = exps.sum()
         return sorted(
             ((lang, float(e / z)) for lang, e in zip(langs, exps)),
@@ -239,15 +272,46 @@ class NgramNBModel:
     def detect(self, text: str | None) -> tuple[str | None, float]:
         """Top-1 (lang, prob); script shortcut first, like the reference's
         ensemble cascade (language_identification_test.py:30-68 spec)."""
-        if not text:
-            return None, 0.0
-        lang, frac = script_langid(text)
-        if lang is not None and frac >= 0.5:
-            return lang, frac
-        s = self.scores(text)
-        if not s:
-            return None, 0.0
-        return s[0]
+        return self.detect_batch([text])[0]
+
+    def detect_batch(
+        self, texts: list[str | None]
+    ) -> list[tuple[str | None, float]]:
+        """Vectorized detect over a batch: script shortcuts row-wise (cheap,
+        memoized), then ONE matrix pass for every remaining document."""
+        import numpy as np
+
+        out: list[tuple[str | None, float] | None] = [None] * len(texts)
+        nb_rows: list[int] = []
+        nb_texts: list[str] = []
+        for i, text in enumerate(texts):
+            if not text:
+                out[i] = (None, 0.0)
+                continue
+            lang, frac = script_langid(text)
+            if lang is not None and frac >= 0.5:
+                out[i] = (lang, frac)
+            else:
+                nb_rows.append(i)
+                nb_texts.append(text)
+        if nb_texts:
+            langs, raw = self._raw_scores_batch(nb_texts)
+            if not langs:
+                for i in nb_rows:
+                    out[i] = (None, 0.0)
+            else:
+                # softmax per column with the SAME 1-D reduction as the
+                # single-doc path — results must be bit-identical regardless
+                # of Arrow batch boundaries (task retries re-batch rows)
+                for k, i in enumerate(nb_rows):
+                    col = np.ascontiguousarray(raw[:, k])
+                    exps = np.exp(col - col.max())
+                    z = exps.sum()
+                    # top-1 with (prob desc, lang asc) tie-break: langs are
+                    # sorted ascending, argmax returns the first max
+                    top = int(exps.argmax())
+                    out[i] = (langs[top], float(exps[top] / z))
+        return out  # type: ignore[return-value]
 
     # -- flat-table form ----------------------------------------------------
     def table(self) -> list[tuple[str, str, float]]:

@@ -181,6 +181,27 @@ class TestLangid:
         m2 = NgramNBModel.from_table(m.table(), m.meta())
         assert m.scores("abc xyz") == m2.scores("abc xyz")
 
+    def test_detect_batch_boundary_independence(self):
+        """detect_batch must equal per-row detect for EVERY batch composition
+        — Spark task retries re-batch rows, so batch-dependent output is
+        nondeterminism. Regression: a document with zero in-vocabulary grams
+        at the END of a batch corrupted the preceding document's segment sum
+        (np.add.reduceat trailing-empty-segment handling)."""
+        corpus = [("xx", "aaa bbb aab")] * 5 + [("yy", "ccc ddd ccd")] * 5
+        m = NgramNBModel.train(corpus)
+        nb_doc = "aaa bbb"         # in-vocabulary
+        oov_doc = "#$% *@! #$%"    # zero in-vocabulary grams
+        compositions = [
+            [nb_doc, oov_doc],            # oov last (the regression)
+            [oov_doc, nb_doc],
+            [nb_doc, oov_doc, nb_doc],
+            [oov_doc, oov_doc],
+            [nb_doc],
+            ["", nb_doc, None, oov_doc],  # empties/nulls interleaved
+        ]
+        for batch in compositions:
+            assert m.detect_batch(batch) == [m.detect(t) for t in batch], batch
+
     def test_scores_sorted_desc(self):
         corpus = [("xx", "abc"), ("yy", "xyz")]
         s = NgramNBModel.train(corpus).scores("abc")
