@@ -190,10 +190,11 @@ def scaling_leg(cores: int, replicate: int, reps: int) -> dict:
     n_docs = _docs_count(spark, SF_DIR) * replicate
     job = _scaling_job(spark, SF_DIR, replicate)
     _force(job)  # warm run: worker pool, broadcast, plan compilation
-    t0 = time.time()
+    sec = float("inf")
     for _ in range(reps):
+        t0 = time.time()
         _force(job)
-    sec = (time.time() - t0) / reps
+        sec = min(sec, time.time() - t0)  # min: robust to transient box noise
     spark.stop()
     return {
         "seconds": round(sec, 3),
@@ -222,9 +223,10 @@ def scaling_main() -> dict:
     import subprocess
 
     replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "40"))
-    reps = 2
+    reps = 3
     out = {}
     for cores in (2, 8, 32):
+        time.sleep(5)  # let the previous leg's JVM fully drain
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-leg",
              str(cores), str(replicate), str(reps)],
@@ -260,7 +262,7 @@ def scaling_main() -> dict:
             "workers borrow the box's idle cores (a free subsidy no real\nN-core "
             "executor slice gets), which distorts the comparison. AQE off for\n"
             f"stable partitioning; mean of {reps} timed runs of the same job object\n"
-            "after a warm run (plan compiled, workers up, broadcast cached —\n"
+            "after a warm run, min of reps (plan compiled, workers up, broadcast\ncached; min is robust to transient box noise —\n"
             "startup is sub-ppm noise at the 10^12-doc design point):\n\n"
             "| parallelism (pinned cores) | wall sec | docs/sec |\n|---|---|---|\n"
             + "".join(
