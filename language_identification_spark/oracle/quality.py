@@ -16,6 +16,7 @@ JVM column expressions, so re-tuning thresholds never re-runs the UDF stage.
 from __future__ import annotations
 
 import re
+from collections import Counter
 from dataclasses import dataclass, field
 
 from language_identification_spark.oracle.tokenize import (
@@ -112,8 +113,14 @@ def doc_stats(text: str | None) -> dict[str, float]:
     wc = len(words)
     total_word_chars = sum(len(w) for w in words)
     mean_wl = (total_word_chars / wc) if wc else 0.0
-    n_symbols = sum(1 for ch in text if is_punctuation_char(ch))
-    n_digits = sum(1 for w in words for ch in w if ch.isdigit())
+    # classify DISTINCT chars (C-speed Counter), weight by multiplicity —
+    # identical counts to per-char loops, ~10x fewer classifier calls
+    char_counts = Counter(text)
+    n_symbols = sum(
+        n for ch, n in char_counts.items() if is_punctuation_char(ch)
+    )
+    word_char_counts = Counter("".join(words))
+    n_digits = sum(n for ch, n in word_char_counts.items() if ch.isdigit())
     digit_frac = (n_digits / total_word_chars) if total_word_chars else 0.0
 
     lines = sentence_split(text)

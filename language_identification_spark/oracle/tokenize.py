@@ -19,6 +19,7 @@ persists across Arrow batches, so amortized cost is one dict lookup per char.
 
 from __future__ import annotations
 
+import re
 import unicodedata
 from functools import lru_cache
 
@@ -63,22 +64,15 @@ def unicode_tokenize(text: str) -> list[str]:
     return tokens
 
 
+_SENTENCE_DELIMS = re.compile(r"[.!?\n]")
+
+
 def sentence_split(text: str) -> list[str]:
-    """Split on ., !, ?, newline; strip empties (tokenizer.py:398-444 simplified)."""
-    sentences: list[str] = []
-    buf: list[str] = []
-    for ch in text:
-        if ch in ".!?\n":
-            sent = "".join(buf).strip()
-            if sent:
-                sentences.append(sent)
-            buf = []
-        else:
-            buf.append(ch)
-    sent = "".join(buf).strip()
-    if sent:
-        sentences.append(sent)
-    return sentences
+    """Split on ., !, ?, newline; strip empties (tokenizer.py:398-444
+    simplified). C-speed re.split — identical output to the per-char scan it
+    replaced (each delimiter char ends a segment; segments are stripped and
+    empties dropped)."""
+    return [s for s in (seg.strip() for seg in _SENTENCE_DELIMS.split(text)) if s]
 
 
 def char_ngrams(text: str, n: int) -> list[str]:

@@ -1003,6 +1003,92 @@ FROM per_sess GROUP BY user_id
 # ---------------------------------------------------------------------------
 
 
+def q_charset_setops(spark, sf_dir):
+    """SO1/SO2 relational form: the CharSet algebra (datatypes.py:257-343)
+    as set operations on (lang, chr) rows — chars shared by en+de
+    (INTERSECT), en-only (EXCEPT), and the union size, one row per measure."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "lang", F.explode(F.split("text", "")).alias("chr")
+    ).filter(F.col("chr") != "")
+    en = chars.filter(F.col("lang") == "en").select("chr").distinct()
+    de = chars.filter(F.col("lang") == "de").select("chr").distinct()
+    inter = en.intersect(de).agg(F.count("*").alias("n")).select(
+        F.lit("en_intersect_de").alias("measure"), "n"
+    )
+    only_en = en.exceptAll(de).agg(F.count("*").alias("n")).select(
+        F.lit("en_except_de").alias("measure"), "n"
+    )
+    union = en.union(de).distinct().agg(F.count("*").alias("n")).select(
+        F.lit("en_union_de").alias("measure"), "n"
+    )
+    return inter.unionByName(only_en).unionByName(union)
+
+
+SQL_CHARSET_SETOPS = """
+WITH chars AS (
+  SELECT lang, unnest(string_split(text, '')) AS chr FROM documents
+), en AS (SELECT DISTINCT chr FROM chars WHERE lang = 'en' AND chr <> ''),
+   de AS (SELECT DISTINCT chr FROM chars WHERE lang = 'de' AND chr <> '')
+SELECT 'en_intersect_de' AS measure, count(*) AS n FROM (SELECT chr FROM en INTERSECT SELECT chr FROM de)
+UNION ALL
+SELECT 'en_except_de', count(*) FROM (SELECT chr FROM en EXCEPT SELECT chr FROM de)
+UNION ALL
+SELECT 'en_union_de', count(*) FROM (SELECT chr FROM en UNION SELECT chr FROM de)
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped: selective date predicates on three tables, join,
+    revenue agg, top-10 — the classic scan->filter->join->agg->topk chain;
+    both date filters push into the parquet scans (asserted for Q1's filter
+    in tests/test_plans.py; same mechanism)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank",
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+WITH joined AS (
+  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < DATE '1995-03-15'
+    AND l.l_shipdate > DATE '1995-03-15'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+)
+SELECT rank, l_orderkey, revenue, o_orderdate::VARCHAR AS o_orderdate, o_orderpriority
+FROM (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS rank FROM joined
+) WHERE rank <= 10
+"""
+
+
 def q_deterministic_split(spark, sf_dir):
     """Reproducible train/val/test corpus split by content-independent hash
     of the key (md5(doc_id) mod 100 -> 80/10/10): stable across runs,
@@ -1183,6 +1269,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "token_count": q_token_count,
     "bpe_token_count": q_bpe_token_count,
+    "charset_setops": q_charset_setops,
+    "shipping_priority": q_shipping_priority,
     "deterministic_split": q_deterministic_split,
     "rollup_counts": q_rollup_counts,
     "pricing_summary": q_pricing_summary,
@@ -1216,6 +1304,8 @@ ORACLE_SQL: dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "token_count": SQL_TOKEN_COUNT,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
+    "charset_setops": SQL_CHARSET_SETOPS,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "pricing_summary": SQL_PRICING_SUMMARY,
