@@ -16,6 +16,7 @@ from language_identification_spark.oracle.kneser_ney import train_kn
 from language_identification_spark.oracle.quality import doc_stats
 from language_identification_spark.oracle.scrub import SCRUB_PATTERNS, scrub_text
 from language_identification_spark.oracle.tokenize import (
+    _unicode_tokenize_regex,
     char_ngrams,
     is_word_char,
     unicode_tokenize,
@@ -45,6 +46,21 @@ def test_tokenize_invariants(text):
     assert sum(1 for ch in joined if is_word_char(ch)) == n_word_chars
     # determinism
     assert unicode_tokenize(text) == tokens
+    # regex alternate == per-char scan (the reference's fast-vs-slow pattern)
+    assert tokens == _unicode_tokenize_regex(text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet=st.sampled_from(list("ab1'’ʼ .!ß日ク한ग") + ["́", ""]),
+        max_size=60,
+    )
+)
+def test_tokenize_fast_equals_scan_adversarial(text):
+    """Apostrophe/mark/private-use-dense inputs — the cases where the regex
+    and the scan could plausibly disagree."""
+    assert unicode_tokenize(text) == _unicode_tokenize_regex(text)
 
 
 @settings(max_examples=200, deadline=None)
