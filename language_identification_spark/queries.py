@@ -11,12 +11,17 @@ matches, left-to-right double summation in F.aggregate matches DuckDB
 list_dot_product, string_split/split on '' both yield char arrays.
 
 Operator coverage map (reference file:line in each docstring):
-  A1 char_freq, A3 length_histogram, A4+K3 word_doc_freq, A5 ngram_counts,
-  A13/W2 top_words_per_lang, A14 exact_dedup, J9 unique_words_per_lang,
-  J11 lang_dim_join, W4 zipf_rank, dedup: minhash_signatures / jaccard_top_pairs /
-  simhash, similarity: cosine_topk / embedding_near_dup, quality: quality_stats_sql,
-  scrub: scrub_sql, langid: script_langid_sql, fingerprint, token_count,
-  TPC-H-style pricing_summary / order_revenue_topk, events_hourly.
+  A1 char_freq, A2 char_doc_freq, A3 length_histogram, A4+K3 word_doc_freq,
+  A5 ngram_counts, A9 doc_perplexity, A13/W2 top_words_per_lang,
+  A14 exact_dedup/fingerprint, J9 unique_words_per_lang, J10
+  stopword_anti_join, J11 lang_dim_join, W4 zipf_rank, SO1/SO2
+  charset_setops; dedup: minhash_signatures / lsh_band_buckets /
+  jaccard_top_pairs / simhash; similarity: cosine_topk / ivf_topk /
+  embedding_near_dup; quality: quality_stats_sql; scrub: scrub_sql; langid:
+  script_langid_sql; tokens: token_count / bpe_token_count; splits:
+  deterministic_split; reporting: rollup_counts; windows/sessions:
+  events_hourly / events_sessionize; TPC-H-style: pricing_summary /
+  order_revenue_topk / shipping_priority.
 """
 
 from __future__ import annotations
@@ -100,6 +105,35 @@ def q_char_freq(spark, sf_dir):
 SQL_CHAR_FREQ = """
 SELECT lang, chr, count(*) AS n
 FROM (SELECT lang, unnest(string_split(text, '')) AS chr FROM documents)
+WHERE chr <> ''
+GROUP BY lang, chr
+"""
+
+
+def q_char_doc_freq(spark, sf_dir):
+    """A2: per-language char DOCUMENT frequency — in how many documents does
+    each char appear (char stats.ipynb cell 11: Counter.update(set(row))).
+    array_distinct before the explode keeps the shuffle at |distinct chars|
+    per doc instead of |chars|."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            "lang",
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", ""))).alias("chr"),
+        )
+        .filter(F.col("chr") != "")
+        .groupBy("lang", "chr")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+
+
+SQL_CHAR_DOC_FREQ = """
+SELECT lang, chr, count(*) AS doc_freq
+FROM (
+  SELECT DISTINCT lang, doc_id, unnest(string_split(text, '')) AS chr
+  FROM documents
+)
 WHERE chr <> ''
 GROUP BY lang, chr
 """
@@ -1245,6 +1279,7 @@ FROM events GROUP BY 1, 2
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_freq": q_char_freq,
+    "char_doc_freq": q_char_doc_freq,
     "length_histogram": q_length_histogram,
     "word_doc_freq": q_word_doc_freq,
     "top_words_per_lang": q_top_words_per_lang,
@@ -1280,6 +1315,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "char_freq": SQL_CHAR_FREQ,
+    "char_doc_freq": SQL_CHAR_DOC_FREQ,
     "length_histogram": SQL_LENGTH_HISTOGRAM,
     "word_doc_freq": SQL_WORD_DOC_FREQ,
     "top_words_per_lang": SQL_TOP_WORDS_PER_LANG,
