@@ -223,18 +223,25 @@ def scaling_main() -> dict:
     import subprocess
 
     replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "40"))
-    reps = 3
+    reps = 2
+    passes = 2
     out = {}
-    for cores in (2, 8, 32):
-        time.sleep(5)  # let the previous leg's JVM fully drain
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-leg",
-             str(cores), str(replicate), str(reps)],
-            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        if proc.returncode != 0:
-            raise RuntimeError(f"scaling leg {cores} failed:\n{proc.stderr[-2000:]}")
-        out[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
+    # two interleaved passes over the legs, min per leg across passes: a
+    # transient busy period on the box (driver harness, co-tenants) then hits
+    # at most one pass of a leg instead of poisoning its only measurement
+    for _pass in range(passes):
+        for cores in (2, 8, 32):
+            time.sleep(5)  # let the previous leg's JVM fully drain
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-leg",
+                 str(cores), str(replicate), str(reps)],
+                capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(f"scaling leg {cores} failed:\n{proc.stderr[-2000:]}")
+            leg = json.loads(proc.stdout.strip().splitlines()[-1])
+            if cores not in out or leg["seconds"] < out[cores]["seconds"]:
+                out[cores] = leg
     n_docs = out[8]["n_docs"]
     eff_primary = (out[2]["seconds"] / out[8]["seconds"]) / 4
     eff_secondary = (out[8]["seconds"] / out[32]["seconds"]) / 4
@@ -262,7 +269,7 @@ def scaling_main() -> dict:
             "workers borrow the box's idle cores (a free subsidy no real\nN-core "
             "executor slice gets), which distorts the comparison. AQE off for\n"
             f"stable partitioning; mean of {reps} timed runs of the same job object\n"
-            "after a warm run, min of reps (plan compiled, workers up, broadcast\ncached; min is robust to transient box noise —\n"
+            "after a warm run, min over reps x 2 interleaved passes (plan\ncompiled, workers up, broadcast cached; minima are robust to transient\nbox noise —\n"
             "startup is sub-ppm noise at the 10^12-doc design point):\n\n"
             "| parallelism (pinned cores) | wall sec | docs/sec |\n|---|---|---|\n"
             + "".join(
