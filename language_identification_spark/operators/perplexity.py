@@ -135,6 +135,75 @@ def load_kn_models(spark: SparkSession, path: str, order: int = 3) -> dict[str, 
     return out
 
 
+def train_word_kn_spark(
+    corpus: DataFrame, order: int = 3, lang_col: str = "lang", text_col: str = "text"
+) -> dict:
+    """Per-language WORD-level KN models (the reference's scoring unit,
+    modified_kneser_ney.py:744-758) trained distributively:
+
+    1. vocabulary per language: explode(split) -> distinct  (Spark agg;
+       vocab is model-sized, safe to collect)
+    2. deterministic word->codepoint maps (oracle/kneser_ney.py:_sym_for)
+    3. encode the corpus to symbol strings in an Arrow UDF (broadcast maps)
+    4. reuse train_kn_spark verbatim on the encoded corpus
+
+    Bit-identical to oracle WordKNModel.train on the same rows (tested)."""
+    from pyspark.sql.types import StringType
+
+    from language_identification_spark.oracle.kneser_ney import (
+        WordKNModel,
+        _sym_for,
+    )
+
+    spark = corpus.sparkSession
+    vocab_rows = (
+        corpus.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(
+                F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+            ).alias("word"),
+        )
+        .groupBy("lang", "word")
+        .count()
+        .collect()
+    )
+    by_lang_vocab: dict[str, set[str]] = {}
+    for r in vocab_rows:
+        by_lang_vocab.setdefault(r["lang"], set()).add(r["word"].casefold())
+    maps = {
+        lang: {w: _sym_for(i) for i, w in enumerate(sorted(vocab))}
+        for lang, vocab in sorted(by_lang_vocab.items())
+    }
+    bc = spark.sparkContext.broadcast(maps)
+
+    @F.pandas_udf(StringType())
+    def _encode(
+        batches: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        ms = bc.value
+        for langs, texts in batches:
+            out = []
+            for lang, text in zip(langs, texts):
+                m = ms.get(lang, {})
+                out.append(
+                    "".join(
+                        m.get(w.casefold(), "\x00")
+                        for w in (text or "").split()
+                    )
+                )
+            yield pd.Series(out)
+
+    encoded = corpus.select(
+        F.col(lang_col).alias("lang"),
+        _encode(F.col(lang_col), F.col(text_col)).alias("text"),
+    )
+    char_models = train_kn_spark(encoded, order=order)
+    return {
+        lang: WordKNModel(char_models[lang], maps[lang])
+        for lang in sorted(char_models)
+    }
+
+
 def ppl_udf(spark_or_sc, models: dict[str, KNModel]):
     """(text, lang) -> perplexity double; null when lang has no model (the
     rule engine's null-safe comparisons then skip the ppl gate, matching the

@@ -213,3 +213,59 @@ def train_kn_per_lang(
     for lang, text in corpus:
         by_lang.setdefault(lang, []).append(text)
     return {lang: train_kn(texts, order) for lang, texts in sorted(by_lang.items())}
+
+
+# ---------------------------------------------------------------------------
+# word-level KN (the reference's unit: modified_kneser_ney.py trains and
+# scores over token sequences — score_sent at :744-758)
+# ---------------------------------------------------------------------------
+
+OOV_SYM = "\x00"  # symbol for words unseen at training time
+
+
+def _sym_for(i: int) -> str:
+    """Deterministic word->codepoint assignment over the private-use areas
+    (BMP PUA 6400 slots, then planes 15/16: ~131k more) — enough for any
+    realistic per-language LM vocabulary."""
+    if i < 0x1900:
+        return chr(0xE000 + i)
+    return chr(0xF0000 + (i - 0x1900))
+
+
+class WordKNModel:
+    """Word-unit modified Kneser-Ney over token sequences.
+
+    Each vocabulary word maps to ONE private-use codepoint, turning a token
+    sequence into a symbol string — the char-KN machinery (counts,
+    continuation counts, discounts, backoff, normalization invariant) then
+    applies VERBATIM with one symbol == one word, so word-level perplexity is
+    2^(-mean log2 p(word|context)). Unseen words map to OOV_SYM, an unseen
+    unigram, which the char model prices via its uniform-backoff OOV bucket.
+    """
+
+    def __init__(self, char_model: KNModel, word2sym: dict[str, str]) -> None:
+        self.char_model = char_model
+        self.word2sym = word2sym
+
+    @classmethod
+    def train(
+        cls, corpus: Iterable[list[str]], order: int = 3
+    ) -> "WordKNModel":
+        sents = [list(s) for s in corpus]
+        vocab = sorted({w.casefold() for s in sents for w in s})
+        word2sym = {w: _sym_for(i) for i, w in enumerate(vocab)}
+        texts = ["".join(word2sym[w.casefold()] for w in s) for s in sents]
+        return cls(train_kn(texts, order), word2sym)
+
+    def encode(self, tokens: Iterable[str]) -> str:
+        return "".join(
+            self.word2sym.get(w.casefold(), OOV_SYM) for w in tokens
+        )
+
+    def perplexity(self, tokens: list[str] | None) -> float:
+        if not tokens:
+            return float("inf")
+        return self.char_model.perplexity(self.encode(tokens))
+
+    def logprob2(self, tokens: list[str]) -> tuple[float, int]:
+        return self.char_model.logprob2(self.encode(tokens))

@@ -110,6 +110,51 @@ def test_ppl_udf_parity(spark, oracle_models):
     )
 
 
+def test_word_kn_semantics():
+    """Word-level KN (the reference's scoring unit): in-domain token
+    sequences score far lower perplexity than shuffled-vocab garbage; OOV
+    tokens are priced by the OOV bucket, not a crash."""
+    from language_identification_spark.oracle.kneser_ney import WordKNModel
+
+    sents = [
+        "the cat sat on the mat".split(),
+        "the dog sat on the rug".split(),
+        "a cat and a dog sat".split(),
+    ] * 4
+    m = WordKNModel.train(sents, order=2)
+    good = "the cat sat on the rug".split()
+    garbage = "rug a mat the on dog".split()
+    assert m.perplexity(good) < m.perplexity(garbage)
+    with_oov = "the zyzzyva sat".split()
+    p = m.perplexity(with_oov)
+    assert p > 0 and p != float("inf")
+    assert m.perplexity([]) == float("inf")
+    # casefold: 'The' == 'the' (reference F6 semantics)
+    assert m.perplexity(["The", "cat"]) == m.perplexity(["the", "cat"])
+
+
+def test_word_kn_spark_bit_identical(spark, corpus):
+    """Distributed word-KN trainer == oracle trainer on the same corpus."""
+    from language_identification_spark.operators.perplexity import (
+        train_word_kn_spark,
+    )
+    from language_identification_spark.oracle.kneser_ney import WordKNModel
+
+    df = spark.createDataFrame(corpus, schema="lang string, text string")
+    spark_models = train_word_kn_spark(df, order=2)
+    by_lang: dict = {}
+    for lang, text in corpus:
+        by_lang.setdefault(lang, []).append(text.split())
+    for lang, sents in sorted(by_lang.items()):
+        om = WordKNModel.train(sents, order=2)
+        sm = spark_models[lang]
+        assert sm.word2sym == om.word2sym, lang
+        assert sm.char_model.counts == om.char_model.counts, lang
+        assert sm.char_model.discounts == om.char_model.discounts, lang
+        probe = sents[0] + ["zyzzyva"]
+        assert sm.perplexity(probe) == om.perplexity(probe), lang
+
+
 def test_kn_persist_roundtrip(spark, tmp_path, oracle_models):
     """save -> load rebuilds BIT-IDENTICAL models from the top-order count
     table alone (integer counts + deterministic float assembly)."""
