@@ -232,6 +232,67 @@ FROM bg GROUP BY bigram HAVING count(DISTINCT lang) = 1
 """
 
 
+def q_dictionary_lookup(spark, sf_dir):
+    """J5: Dictionary.lookup_terms semantics (datatypes.py:632-656) — rank
+    dictionary entries by the number of DISTINCT query words they share.
+    Dictionary = the first 100 documents (entry term = its word set); queries
+    = documents 200-204. explode(words) -> equi join on casefolded word ->
+    groupBy(query, entry).count_distinct -> top-3 per query. At scale the
+    dictionary side is the broadcast dimension."""
+    docs = _t(spark, sf_dir, "documents")
+    entry_words = (
+        docs.filter(F.col("doc_id") < 100)
+        .select(
+            F.col("doc_id").alias("entry_id"),
+            F.explode(_words(F.lower(F.col("text")))).alias("word"),
+        )
+        .distinct()
+    )
+    query_words = (
+        docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 205))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(_words(F.lower(F.col("text")))).alias("word"),
+        )
+        .distinct()
+    )
+    scored = (
+        query_words.join(F.broadcast(entry_words), "word")
+        .groupBy("query_id", "entry_id")
+        .agg(F.count_distinct("word").alias("shared_words"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("shared_words"), F.asc("entry_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "entry_id", "shared_words", "rank")
+    )
+
+
+SQL_DICTIONARY_LOOKUP = """
+WITH entry_words AS (
+  SELECT DISTINCT doc_id AS entry_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents WHERE doc_id < 100
+), query_words AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents WHERE doc_id >= 200 AND doc_id < 205
+), scored AS (
+  SELECT q.query_id, e.entry_id, count(DISTINCT q.word) AS shared_words
+  FROM query_words q JOIN entry_words e USING (word)
+  WHERE word <> ''
+  GROUP BY q.query_id, e.entry_id
+)
+SELECT query_id, entry_id, shared_words, rank FROM (
+  SELECT query_id, entry_id, shared_words,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY shared_words DESC, entry_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 def q_lang_dim_join(spark, sf_dir):
     """J11: broadcast dimension join (GDELT lang-name dim, datasets/tmp.py:39-150).
     Explicit F.broadcast — at 100 TB the fact side never shuffles for this."""
@@ -1284,6 +1345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_doc_freq": q_word_doc_freq,
     "top_words_per_lang": q_top_words_per_lang,
     "unique_words_per_lang": q_unique_words_per_lang,
+    "dictionary_lookup": q_dictionary_lookup,
     "lang_dim_join": q_lang_dim_join,
     "ngram_counts": q_ngram_counts,
     "zipf_rank": q_zipf_rank,
@@ -1320,6 +1382,7 @@ ORACLE_SQL: dict[str, str] = {
     "word_doc_freq": SQL_WORD_DOC_FREQ,
     "top_words_per_lang": SQL_TOP_WORDS_PER_LANG,
     "unique_words_per_lang": SQL_UNIQUE_WORDS_PER_LANG,
+    "dictionary_lookup": SQL_DICTIONARY_LOOKUP,
     "lang_dim_join": SQL_LANG_DIM_JOIN,
     "ngram_counts": SQL_NGRAM_COUNTS,
     "zipf_rank": SQL_ZIPF_RANK,
