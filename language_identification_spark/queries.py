@@ -570,6 +570,61 @@ SELECT doc_id, {bit_sum} AS simhash FROM votes
 )
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairing at scale: candidate pairs via the pigeonhole
+    band join (16-bit hash split into two 8-bit halves — any pair within
+    Hamming distance 1 shares at least one exact half), then exact Hamming
+    check bit_count(xor) <= 3 on candidates only. Like MinHash-LSH, the
+    quadratic all-pairs scan never happens; the join keys are the halves."""
+    sim = q_simhash(spark, sf_dir)
+    halves = sim.select(
+        "doc_id",
+        "simhash",
+        F.col("simhash").bitwiseAND(F.lit(255)).alias("lo"),
+        F.shiftright(F.col("simhash"), 8).alias("hi"),
+    )
+    def _pairs(on):
+        a, b = halves.alias("a"), halves.alias("b")
+        return (
+            a.join(b, F.col(f"a.{on}") == F.col(f"b.{on}"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("x"),
+                F.col("b.doc_id").alias("y"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).alias("hamming"),
+            )
+        )
+    cands = _pairs("lo").unionByName(_pairs("hi")).distinct()
+    return (
+        cands.filter(F.col("hamming") <= 3)
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+SQL_SIMHASH_NEAR_DUP = """
+WITH sim AS ({simhash}),
+halves AS (
+  SELECT doc_id, simhash, simhash & 255 AS lo, simhash >> 8 AS hi
+  FROM sim
+), cands AS (
+  SELECT DISTINCT x, y, hamming FROM (
+    SELECT a.doc_id AS x, b.doc_id AS y,
+           bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+    FROM halves a JOIN halves b ON a.lo = b.lo AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id, b.doc_id,
+           bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT))
+    FROM halves a JOIN halves b ON a.hi = b.hi AND a.doc_id < b.doc_id
+  )
+)
+SELECT hamming, count(*) AS n_pairs
+FROM cands WHERE hamming <= 3 GROUP BY hamming
+""".format(simhash=SQL_SIMHASH.strip())
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1353,6 +1408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash_signatures,
     "jaccard_top_pairs": q_jaccard_top_pairs,
     "simhash": q_simhash,
+    "simhash_near_dup": q_simhash_near_dup,
     "lsh_band_buckets": q_lsh_band_buckets,
     "stopword_anti_join": q_stopword_anti_join,
     "events_sessionize": q_events_sessionize,
@@ -1390,6 +1446,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "jaccard_top_pairs": SQL_JACCARD_TOP_PAIRS,
     "simhash": SQL_SIMHASH,
+    "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
     "lsh_band_buckets": SQL_LSH_BAND_BUCKETS,
     "stopword_anti_join": SQL_STOPWORD_ANTI_JOIN,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

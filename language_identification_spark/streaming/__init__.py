@@ -1,11 +1,13 @@
 from language_identification_spark.streaming.jobs import (
     run_stream_once,
+    streaming_dedup_events,
     streaming_events_hourly,
     streaming_pages_filter,
 )
 
 __all__ = [
     "run_stream_once",
+    "streaming_dedup_events",
     "streaming_events_hourly",
     "streaming_pages_filter",
 ]

@@ -15,6 +15,7 @@ from language_identification_spark.sources import (
 )
 from language_identification_spark.streaming import (
     run_stream_once,
+    streaming_dedup_events,
     streaming_events_hourly,
     streaming_pages_filter,
 )
@@ -63,6 +64,20 @@ def test_streaming_pipeline_matches_batch(spark, tmp_path):
     g = {r["url"]: (r["keep"], tuple(r["drop_reasons"])) for r in got.collect()}
     b = {r["url"]: (r["keep"], tuple(r["drop_reasons"])) for r in batch.collect()}
     assert g == b and len(g) == 120
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicated event deliveries collapse to
+    one row each; output matches batch dropDuplicates on event_id."""
+    src = str(tmp_path / "dup_src")
+    ev = spark.read.parquet(f"{SF}/events.parquet").limit(500)
+    ev.write.parquet(src)  # first delivery
+    ev.write.mode("append").parquet(src)  # duplicate delivery of every event
+    stream = streaming_dedup_events(spark, src)
+    got = run_stream_once(stream, str(tmp_path / "ckpt3"), "ev_dedup")
+    n_unique = ev.select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
 
 
 # ---------------------------------------------------------------------------
