@@ -3,6 +3,7 @@ from language_identification_spark.streaming.jobs import (
     streaming_dedup_events,
     streaming_events_hourly,
     streaming_pages_filter,
+    streaming_user_totals,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "streaming_dedup_events",
     "streaming_events_hourly",
     "streaming_pages_filter",
+    "streaming_user_totals",
 ]

@@ -96,6 +96,49 @@ def streaming_dedup_events(
     )
 
 
+def streaming_user_totals(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running per-user
+    event count + value total, state carried across micro-batches.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregations cannot express (per-key models, custom eviction, cross-batch
+    sequences). State here is two numbers per user — at 10^12 events the
+    state store holds |users| rows, checkpointed with the stream, and each
+    micro-batch touches only the users present in that batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        # bounds each micro-batch; with availableNow this splits a bounded
+        # replay into MULTIPLE batches, exercising cross-batch state
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    events = reader.load(source_dir)
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_once(
     df: DataFrame, checkpoint_dir: str, query_name: str = "stream"
 ) -> DataFrame:

@@ -66,6 +66,52 @@ def test_streaming_pipeline_matches_batch(spark, tmp_path):
     assert g == b and len(g) == 120
 
 
+def test_streaming_custom_stateful_operator(spark, tmp_path):
+    """applyInPandasWithState running totals: after draining a TWO-batch
+    replay (two source files, maxFilesPerTrigger=1 via availableNow
+    batching), the LAST emitted row per user equals the batch aggregate —
+    state genuinely carries across micro-batches."""
+    import pyspark.sql.functions as SF
+    from language_identification_spark.streaming import streaming_user_totals
+
+    src = str(tmp_path / "ev_state_src")
+    ev = spark.read.parquet(f"{SF_DIR_EVENTS}")
+    half = ev.limit(400)
+    rest = ev.subtract(half)
+    half.write.parquet(src)
+    rest.write.mode("append").parquet(src)
+
+    stream = streaming_user_totals(spark, src, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_df = spark.table("user_totals")
+    # last update per user = the row with the max n_events for that user
+    latest = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in got_df.orderBy("user_id", "n_events").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in ev.groupBy("user_id")
+        .agg(SF.count("*").alias("n"), SF.sum("value").alias("t"))
+        .collect()
+    }
+    assert set(latest) == set(batch)
+    for uid, (n, t) in batch.items():
+        assert latest[uid][0] == n, uid
+        assert abs(latest[uid][1] - t) < 1e-6, uid
+
+
+SF_DIR_EVENTS = f"{SF}/events.parquet"
+
+
 def test_streaming_stateful_dedup(spark, tmp_path):
     """dropDuplicatesWithinWatermark: duplicated event deliveries collapse to
     one row each; output matches batch dropDuplicates on event_id."""
