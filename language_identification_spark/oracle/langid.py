@@ -34,7 +34,10 @@ from collections import Counter
 from collections.abc import Iterable
 from functools import lru_cache
 
-from language_identification_spark.oracle.tokenize import char_ngrams
+from language_identification_spark.oracle.tokenize import (
+    char_ngrams,
+    unicode_tokenize,
+)
 
 # Public Unicode block ranges (inclusive) -> script name. Coarse but exact for
 # the supported language set; extend by adding rows (it is data, not code).
@@ -110,6 +113,47 @@ def detect_script(text: str) -> dict[str, float]:
     if not total:
         return {}
     return {s: c / total for s, c in counts.items()}
+
+
+# smoothing penalty for languages whose charset does not cover a word —
+# the "unseen language" factor of the reference's fold (scripts_langid.py:56-71)
+SCRIPT_FOLD_PENALTY = 1e-3
+
+
+def script_langid_scores(text: str) -> list[tuple[str, float]]:
+    """Full fold-and-softmax script classifier (A11+A12 semantics,
+    scripts_langid.py:40-84): per WORD, the fraction of its chars covered by
+    each candidate language's scripts (lookup_fraction, J4); per DOC, a
+    sequential log2 accumulation with a smoothing penalty for languages that
+    cover none of the word (A11); finally 2^score softmax (A12). Returns all
+    candidate languages sorted (prob desc, lang asc)."""
+    words = unicode_tokenize(text)
+    if not words:
+        return []
+    langs = sorted(set(SCRIPT_TO_LANG.values()))
+    scores = {lang: 0.0 for lang in langs}
+    any_signal = False
+    for w in words:
+        counts: Counter[str | None] = Counter(char_script(ch) for ch in w)
+        counts.pop(None, None)
+        total = len(w)
+        fracs: dict[str, float] = {}
+        for script, c in counts.items():
+            lang = SCRIPT_TO_LANG.get(script)
+            if lang is not None:
+                fracs[lang] = fracs.get(lang, 0.0) + c / total
+                any_signal = True
+        for lang in langs:
+            scores[lang] += math.log2(fracs.get(lang, 0.0) or SCRIPT_FOLD_PENALTY)
+    if not any_signal:
+        return []
+    m = max(scores.values())
+    exps = {lang: 2.0 ** (s - m) for lang, s in scores.items()}
+    z = sum(exps.values())
+    return sorted(
+        ((lang, e / z) for lang, e in exps.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
 
 
 def script_langid(text: str) -> tuple[str | None, float]:

@@ -58,6 +58,25 @@ def test_mixed_kanji_hiragana_detail():
     assert fr["hiragana"] > fr["han"]
 
 
+def test_fold_softmax_scorer():
+    """A11+A12 (scripts_langid.py:40-84): the per-word log-fold + 2^softmax
+    scorer — probabilities normalize, the dominant script's language wins,
+    and mixed-script text yields a genuine distribution."""
+    from language_identification_spark.oracle.langid import script_langid_scores
+
+    s = script_langid_scores("العربية اليوم البيت")
+    assert s[0][0] == "ar" and s[0][1] > 0.9
+    assert abs(sum(p for _, p in s) - 1.0) < 1e-12
+    # mixed kanji + katakana: both zh (via han) and ja (via kana) get mass
+    mixed = script_langid_scores("平仮名 カタカナ")
+    probs = dict(mixed)
+    assert probs["ja"] > 0.0 and probs["zh"] > 0.0
+    assert mixed[0][1] < 1.0
+    # pure latin: no supported-script signal at all -> empty (defer)
+    assert script_langid_scores("hello world") == []
+    assert script_langid_scores("") == []
+
+
 def test_unsupported_scripts_defer():
     """Baybayin (U+1700) and lone Tibetan symbols are outside the supported
     set: no language is pinned (defer), and detect_script reports what it can."""
