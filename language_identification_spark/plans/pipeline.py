@@ -212,6 +212,18 @@ def run_resumable(
         _write_manifest(out_dir, manifest)
         if fail_after_bucket is not None and b >= fail_after_bucket:
             raise RuntimeError(f"injected failure after bucket {b}")
+    # lineage as a queryable table (north rule: per-partition lineage +
+    # counters as METRICS TABLES, not just a JSON manifest)
+    lineage_rows = [
+        (h["bucket"], h["rows"], rule, n, h["seconds"])
+        for h in manifest["run_history"]
+        for rule, n in (h["drop_counts"].items() or {None: 0}.items())
+    ]
+    if lineage_rows:
+        spark.createDataFrame(
+            lineage_rows,
+            schema="bucket int, rows bigint, rule string, n bigint, seconds double",
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "_lineage"))
     return manifest
 
 

@@ -8,6 +8,7 @@ stand-in for Iceberg snapshot-checkpoint resume, SURVEY.md §4.2.4).
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from language_identification_spark.fixtures import pages_df, training_corpus
 from language_identification_spark.oracle.langid import NgramNBModel
@@ -90,3 +91,12 @@ def test_manifest_lineage_counters(spark, tmp_path, model):
     # manifest file is valid JSON on disk (atomic write)
     with open(f"{out}/_progress.json") as f:
         assert json.load(f)["buckets_done"] == [0, 1, 2, 3]
+    # lineage is ALSO a queryable parquet table (north rule: metrics tables)
+    lineage = spark.read.parquet(f"{out}/_lineage")
+    assert set(lineage.columns) == {"bucket", "rows", "rule", "n", "seconds"}
+    per_rule = {
+        r["rule"]: r["total"]
+        for r in lineage.groupBy("rule").agg(F.sum("n").alias("total")).collect()
+        if r["rule"] is not None
+    }
+    assert per_rule == direct
