@@ -10,7 +10,12 @@ def test_oracle_keys_subset_of_queries():
     assert not missing, f"oracle_sql keys without queries(): {missing}"
     # every query except the (documented) non-SQL-expressible ones has an oracle
     no_oracle = set(qs) - set(sqls)
-    assert no_oracle == {"quality_pipeline"}, no_oracle
+    assert no_oracle == {
+        "quality_pipeline",
+        "fuzzy_lookup",
+        "multimodal_features",
+        "word_kn_ppl",
+    }, no_oracle
 
 
 def test_entry_runs_and_schema_stable(spark):
