@@ -149,18 +149,27 @@ def _counts_of_counts(table: dict[str, int]) -> tuple[int, int, int, int]:
     return n[0], n[1], n[2], n[3]
 
 
+# lower bound for every discount: a context whose only grams hit a
+# zero-discount count class would otherwise have ZERO backoff mass, making
+# every unseen continuation probability 0 (found by hypothesis: corpus
+# ['a','a','a','b b '] gives D2=0 exactly, and p('c'|'b') = 0 -> log domain
+# error). KenLM floors its discounts for the same reason.
+MIN_DISCOUNT = 0.05
+
+
 def _estimate_discounts(table: dict[str, int]) -> tuple[float, float, float]:
     """Chen-Goodman closed-form discounts from n1..n4
     (modified_kneser_ney.py:203-272). Degenerate tables fall back to the
-    classic 0.5/1.0/1.5 absolute discounts, clamped to [0, 1+i]."""
+    classic 0.5/1.0/1.5 absolute discounts; all discounts clamped to
+    [MIN_DISCOUNT, 1+i] so backoff mass is strictly positive."""
     n1, n2, n3, n4 = _counts_of_counts(table)
+    clamp = lambda v, hi: min(max(v, MIN_DISCOUNT), hi)  # noqa: E731
     if n1 == 0 or n2 == 0:
         return 0.5, 1.0, 1.5
     y = n1 / (n1 + 2.0 * n2)
     d1 = 1.0 - 2.0 * y * (n2 / n1)
     d2 = 2.0 - 3.0 * y * (n3 / n2) if n3 else 1.0
     d3 = 3.0 - 4.0 * y * (n4 / n3) if n3 and n4 else 1.5
-    clamp = lambda v, hi: min(max(v, 0.0), hi)  # noqa: E731
     return clamp(d1, 1.0), clamp(d2, 2.0), clamp(d3, 3.0)
 
 
