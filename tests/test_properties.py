@@ -100,21 +100,24 @@ def test_doc_stats_bounds(text):
     assert doc_stats(text) == s
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=150, deadline=None)
 @given(
     st.lists(
         st.text(alphabet="abcdef ", min_size=1, max_size=40),
         min_size=2,
         max_size=8,
     ),
-    st.sampled_from(["abc", "fed ca", "zzz"]),
+    st.text(alphabet="abcdefgz ", min_size=1, max_size=20),
+    st.integers(min_value=2, max_value=4),
 )
-def test_kn_model_properties(corpus, probe):
-    """KN invariants on arbitrary small corpora: probabilities normalize over
-    the event space; perplexity is finite and positive for any probe text."""
-    m = train_kn(corpus, order=2)
+def test_kn_model_properties(corpus, probe, order):
+    """KN invariants on arbitrary small corpora and orders: probabilities
+    normalize over the event space at every context; perplexity is finite
+    and positive for ANY probe (incl. OOV chars) — this test found the
+    zero-discount/zero-backoff-mass bug (MIN_DISCOUNT)."""
+    m = train_kn(corpus, order=order)
     vocab = sorted(m.counts[1])
-    for ctx in ["a", "z", ""]:
+    for ctx in ["a", "z", "", "ab", "zz"]:
         ctx = ctx[: m.order - 1]
         total = sum(m.prob(ctx, w) for w in vocab) + m.prob(ctx, "\x01")
         assert abs(total - 1.0) < 1e-9, ctx
