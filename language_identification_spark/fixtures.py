@@ -108,6 +108,11 @@ def build_pages(n: int = 200, seed: int = 42) -> list[dict]:
             html_bytes = (html_str + " café").encode("cp1252")
         else:
             html_bytes = html_str.encode("utf-8")
+        # robustness case: every 23rd page has NULL html (fetch failure) —
+        # must flow through extraction as null -> empty_text, never crash
+        if i % 23 == 7:
+            html_bytes = None
+            text, lang = "", "und"
         # host skew: host-0 is hot (~40% of urls) — salting test bed
         host = "host-0" if i % 5 < 2 else f"host-{1 + i % 7}"
         rows.append(
