@@ -47,8 +47,13 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    from language_identification_spark.queries import ORACLE_SQL, QUERIES
+    # exactly what the driver runs: the entry module's registries (includes
+    # the rows-only entries the battery module alone does not)
+    import __spark_entry__ as entry
     from language_identification_spark.session import get_spark
+
+    QUERIES = entry.queries()
+    ORACLE_SQL = entry.oracle_sql()
 
     con = duckdb.connect()
     for t in TABLES:
