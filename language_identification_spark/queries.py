@@ -293,6 +293,34 @@ SELECT query_id, entry_id, shared_words, rank FROM (
 """
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Statistics family: exact per-language length percentiles (p50/p90/p99)
+    + mean/stddev — corpus profiling every training pipeline runs before
+    setting length cutoffs. Spark's exact percentile and DuckDB's
+    quantile_cont share linear-interpolation semantics (verified identical).
+    At 100 TB switch to approx_percentile (t-digest) — same plan shape, no
+    global sort either way."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        F.round(F.stddev_samp("n_chars"), 4).alias("sd_chars"),
+    )
+
+
+SQL_LENGTH_QUANTILES = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99,
+       round(avg(n_chars), 4) AS mean_chars,
+       round(stddev_samp(n_chars), 4) AS sd_chars
+FROM documents GROUP BY lang
+"""
+
+
 def q_lang_dim_join(spark, sf_dir):
     """J11: broadcast dimension join (GDELT lang-name dim, datasets/tmp.py:39-150).
     Explicit F.broadcast — at 100 TB the fact side never shuffles for this."""
@@ -1401,6 +1429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_words_per_lang": q_top_words_per_lang,
     "unique_words_per_lang": q_unique_words_per_lang,
     "dictionary_lookup": q_dictionary_lookup,
+    "length_quantiles": q_length_quantiles,
     "lang_dim_join": q_lang_dim_join,
     "ngram_counts": q_ngram_counts,
     "zipf_rank": q_zipf_rank,
@@ -1439,6 +1468,7 @@ ORACLE_SQL: dict[str, str] = {
     "top_words_per_lang": SQL_TOP_WORDS_PER_LANG,
     "unique_words_per_lang": SQL_UNIQUE_WORDS_PER_LANG,
     "dictionary_lookup": SQL_DICTIONARY_LOOKUP,
+    "length_quantiles": SQL_LENGTH_QUANTILES,
     "lang_dim_join": SQL_LANG_DIM_JOIN,
     "ngram_counts": SQL_NGRAM_COUNTS,
     "zipf_rank": SQL_ZIPF_RANK,
