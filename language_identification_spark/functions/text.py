@@ -62,11 +62,17 @@ def word_ngrams_expr(col: Column | str, n: int, sep: str = " ") -> Column:
     return F.when(size >= n, body).otherwise(F.array().cast("array<string>"))
 
 
-def clamp_repeats_expr(col: Column | str, max_run: int = 4) -> Column:
-    """P12: clamp runs of a repeated char to max_run ("hellloooo" handling
-    per README.md:149-153 / arXiv 1608.03030)."""
+def clamp_repeats_expr(col: Column | str, max_reps: int = 5) -> Column:
+    """P12: clamp repeating sequences to at most ``max_reps`` repetitions,
+    repeating unit 1-4 chars — the full arXiv 1608.03030 rule the reference
+    cites (README.md:149-153): "hellloooo" AND "hahahaha"/"arghhhh" style.
+    Lazy quantifier prefers the shortest repeating unit; backreference works
+    in both Java regex (this expr) and Python re (same pattern usable in the
+    oracle chain)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(c, f"(.)\\1{{{max_run},}}", "$1" * max_run)
+    return F.regexp_replace(
+        c, f"(.{{1,4}}?)\\1{{{max_reps},}}", "$1" * max_reps
+    )
 
 
 def label_strip_expr(col: Column | str) -> Column:

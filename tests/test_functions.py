@@ -35,10 +35,16 @@ def test_word_ngrams(spark):
 
 
 def test_clamp_repeats(spark):
+    # single-char runs clamp to 5 (arXiv 1608.03030: at most five repetitions)
     assert (
-        _one(spark, clamp_repeats_expr("s"), "helllloooooo!!!!!!!")
-        == "helllloooo!!!!"
+        _one(spark, clamp_repeats_expr("s"), "helloooooooo!!!!!!!!")
+        == "hellooooo!!!!!"
     )
+    # multi-char repeating units (1-4 chars) clamp too
+    assert _one(spark, clamp_repeats_expr("s"), "ha" * 10) == "ha" * 5
+    assert _one(spark, clamp_repeats_expr("s"), "argh" * 8) == "argh" * 5
+    # five or fewer repetitions untouched
+    assert _one(spark, clamp_repeats_expr("s"), "hahahahaha") == "hahahahaha"
     assert _one(spark, clamp_repeats_expr("s"), "normal text") == "normal text"
 
 
