@@ -57,17 +57,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return _pipeline(spark, "/root/testdata/sf0.001")
 
 
+FUZZY_VOCAB = [
+    "schwarzenegger", "schwartz", "sandwich", "water", "waterfall",
+    "morning", "mourning", "running", "hello", "yellow",
+]
+FUZZY_QUERIES = ["schwarzeneger", "watter", "morninng", "helo"]
+
+
 def _q_fuzzy_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7/J8 grouped-map fuzzy matcher on a fixed misspelling set (rows-only:
-    Damerau-Levenshtein re-scoring is not SQL-expressible in DuckDB)."""
+    """J7/J8 grouped-map fuzzy matcher on a fixed misspelling set: bigram
+    candidate join + Damerau-Levenshtein top-k (operators/fuzzy.py)."""
     from language_identification_spark.operators.fuzzy import fuzzy_topk_dfs
 
-    vocab = [
-        "schwarzenegger", "schwartz", "sandwich", "water", "waterfall",
-        "morning", "mourning", "running", "hello", "yellow",
-    ]
-    queries_ = ["schwarzeneger", "watter", "morninng", "helo"]
-    return fuzzy_topk_dfs(spark, vocab, queries_, k=3)
+    return fuzzy_topk_dfs(spark, FUZZY_VOCAB, FUZZY_QUERIES, k=3)
+
+
+# DuckDB oracle for fuzzy_lookup: same candidate rule (shared lowercase char
+# bigram), DuckDB's built-in damerau_levenshtein, same total tie-break.
+# DuckDB's DL is the unrestricted variant vs our OSA (restricted) — they agree
+# on every candidate pair in this fixture (verified; divergence needs an edit
+# INSIDE a transposed pair, e.g. 'ca'->'abc').
+SQL_FUZZY_LOOKUP = """
+WITH vocab(word) AS (VALUES {vocab}),
+qs(query) AS (VALUES {queries}),
+vg AS (
+  SELECT DISTINCT word, substring(lower(word), i, 2) AS g
+  FROM vocab, unnest(range(1, greatest(length(word) - 1, 0) + 1)) AS t(i)
+),
+qg AS (
+  SELECT DISTINCT query, substring(lower(query), i, 2) AS g
+  FROM qs, unnest(range(1, greatest(length(query) - 1, 0) + 1)) AS t(i)
+),
+cands AS (SELECT DISTINCT query, word FROM qg JOIN vg USING (g)),
+scored AS (
+  SELECT query, word,
+         damerau_levenshtein(lower(query), lower(word))::INT AS dist
+  FROM cands
+)
+SELECT query, word, dist, rank FROM (
+  SELECT query, word, dist,
+         row_number() OVER (PARTITION BY query ORDER BY dist ASC, word ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= 3
+""".format(
+    vocab=", ".join(f"('{w}')" for w in FUZZY_VOCAB),
+    queries=", ".join(f"('{q}')" for q in FUZZY_QUERIES),
+)
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,18 +154,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pipeline's pandas-UDF chain, fuzzy DL re-scoring, multimodal decode,
     word-KN backoff), each covered instead by pytest parity/unit suites."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
-    out["quality_pipeline"] = lambda spark, sf_dir: _pipeline(spark, sf_dir).drop(
-        "warc_ts"
+    # the gate canonicalizes results via pandas sort_values, which cannot sort
+    # list cells — array columns are stringified for the GATE ENTRY ONLY (the
+    # real pipeline output keeps drop_reasons array<string>, plans/pipeline.py)
+    out["quality_pipeline"] = lambda spark, sf_dir: (
+        _pipeline(spark, sf_dir)
+        .drop("warc_ts")
+        .withColumn("drop_reasons", F.array_join("drop_reasons", "|"))
     )
     out["fuzzy_lookup"] = _q_fuzzy_lookup
-    out["multimodal_features"] = _q_multimodal_features
+    out["multimodal_features"] = lambda spark, sf_dir: _q_multimodal_features(
+        spark, sf_dir
+    ).withColumn(
+        "features",
+        F.array_join(
+            F.transform(
+                F.col("features"),
+                lambda x: F.round(x.cast("double"), 6).cast("string"),
+            ),
+            ",",
+        ),
+    )
     out["word_kn_ppl"] = _q_word_kn_ppl
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracles; quality_pipeline intentionally omitted
-    (pandas-UDF langid + unicode-category stats are not SQL-expressible —
-    the driver records the weaker rows-only check; full row-level parity is
-    covered by tests/test_parity.py against the Python oracle)."""
-    return dict(ORACLE_SQL)
+    """DuckDB-runnable oracles; quality_pipeline/multimodal_features/
+    word_kn_ppl intentionally omitted (pandas-UDF langid + unicode-category
+    stats, content-hash features and modified-KN backoff are not
+    SQL-expressible — the driver records the weaker rows-only check; full
+    row-level parity is covered by pytest against the Python oracles)."""
+    out = dict(ORACLE_SQL)
+    out["fuzzy_lookup"] = SQL_FUZZY_LOOKUP
+    return out

@@ -139,6 +139,143 @@ def near_dup_pairs_topn(
     )
 
 
+def _exact_dot(a, b):
+    """Left-to-right double summation — bit-identical to DuckDB
+    list_dot_product on DOUBLE[] (same formulation as queries._dot)."""
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_planes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes, shared verbatim by the Spark plan and
+    the DuckDB oracle (inlined as float literals — repr round-trips exactly)."""
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def lsh_near_dup_topn(
+    emb: DataFrame,
+    top_n: int = 20,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-N near-dup pairs via LSH candidates + exact rerank — the 100 TB
+    shape: signature bits -> band signatures -> bucketed self-join (never
+    all-pairs, never a driver collect), exact cosine computed ONLY for
+    candidate pairs by joining the embeddings back on each side (two
+    id-keyed shuffle joins of the candidate table — candidate volume, not
+    corpus-squared volume).
+
+    All float math is the sequential-sum JVM expression (not numpy) so sign
+    bits AND cosines are bit-identical to a DuckDB list_dot_product oracle
+    built from the same inlined planes — the gate compares this exact plan
+    against SQL that replays the identical candidate generation.
+    Output: (rank, a, b, cos[4dp]), ties broken totally.
+    """
+    planes = lsh_planes(dim, n_planes, seed)
+    bits_per_band = n_planes // bands
+    v = F.col(vec_col)
+    bits = [
+        F.when(_exact_dot(v, F.array(*[F.lit(x) for x in plane])) > 0, 1).otherwise(0)
+        for plane in planes
+    ]
+    band_structs = []
+    for k in range(bands):
+        sig = None
+        for j in range(bits_per_band):
+            term = bits[k * bits_per_band + j] * F.lit(1 << j)
+            sig = term if sig is None else sig + term
+        band_structs.append(
+            F.struct(F.lit(k).alias("band"), sig.alias("sig"))
+        )
+    sigs = emb.select(
+        F.col(id_col).alias("vid"),
+        F.explode(F.array(*band_structs)).alias("bs"),
+    ).select("vid", "bs.band", "bs.sig")
+    cands = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), ["band", "sig"])
+        .filter(F.col("x.vid") < F.col("y.vid"))
+        .select(F.col("x.vid").alias("a"), F.col("y.vid").alias("b"))
+        .distinct()
+    )
+    ea = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    eb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    cos = _exact_dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_exact_dot(F.col("va"), F.col("va")))
+        * F.sqrt(_exact_dot(F.col("vb"), F.col("vb")))
+    )
+    scored = cands.join(ea, "a").join(eb, "b").select("a", "b", cos.alias("cos"))
+    w = Window.orderBy(F.desc("cos"), F.asc("a"), F.asc("b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("rank", "a", "b", F.round("cos", 4).alias("cos"))
+    )
+
+
+def lsh_near_dup_topn_sql(
+    top_n: int = 20,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle replaying lsh_near_dup_topn's exact candidate generation
+    and rerank from the same inlined planes."""
+    planes = lsh_planes(dim, n_planes, seed)
+    bits_per_band = n_planes // bands
+    bit_cols = ",\n    ".join(
+        "CASE WHEN list_dot_product(v, [{vals}]::DOUBLE[]) > 0 THEN 1 ELSE 0 END AS bit{i}".format(
+            vals=", ".join(repr(x) for x in plane), i=i
+        )
+        for i, plane in enumerate(planes)
+    )
+    sig_cols = ",\n    ".join(
+        " + ".join(
+            f"bit{k * bits_per_band + j} * {1 << j}" for j in range(bits_per_band)
+        )
+        + f" AS sig{k}"
+        for k in range(bands)
+    )
+    bands_union = "\n  UNION ALL\n  ".join(
+        f"SELECT vid, {k} AS band, sig{k} AS sig FROM sigs" for k in range(bands)
+    )
+    return f"""
+WITH p AS (
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+), bits AS (
+  SELECT vid, v,
+    {bit_cols}
+  FROM p
+), sigs AS (
+  SELECT vid,
+    {sig_cols}
+  FROM bits
+), bands AS (
+  {bands_union}
+), cands AS (
+  SELECT DISTINCT x.vid AS a, y.vid AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.vid < y.vid
+), scored AS (
+  SELECT a, b,
+         list_dot_product(ea.v, eb.v)
+           / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+  FROM cands JOIN p ea ON ea.vid = a JOIN p eb ON eb.vid = b
+)
+SELECT rank, a, b, round(cos, 4) AS cos FROM (
+  SELECT a, b, cos, row_number() OVER (ORDER BY cos DESC, a, b) AS rank FROM scored
+) WHERE rank <= {top_n}
+"""
+
+
 def lsh_bucket_pairs(
     emb: DataFrame,
     n_planes: int = 16,

@@ -334,7 +334,7 @@ def q_lang_dim_join(spark, sf_dir):
 
 
 SQL_LANG_DIM_JOIN = f"""
-SELECT lang_name, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang_name, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM documents JOIN {_LANG_DIM_SQL} USING (lang)
 GROUP BY lang_name
 """
@@ -547,29 +547,41 @@ SELECT rank, a, b, round(jaccard, 6) AS jaccard FROM (
 """
 
 
+SIMHASH_BITS = 60  # 15 hex digits of md5: unsigned fits signed-64 in BOTH
+# engines (a full 64-bit hash would overflow BIGINT as unsigned); 60 bits is
+# the widest cross-engine-safe fingerprint
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15-bit bands, 2^15 buckets
+
+
 def q_simhash(spark, sf_dir):
-    """SimHash (16-bit) doc fingerprints from word hashes: bit b of the hash
+    """SimHash (60-bit) doc fingerprints from word hashes: bit b of the hash
     votes +1/-1 per word; sign of the sum sets the output bit. md5-derived so
-    cross-engine identical."""
+    cross-engine identical. 60 bits (up from the round-1 16) so the banded
+    near-dup join has 2^15 buckets per band instead of 2^8 — at 10^9 docs the
+    per-bucket population drops 128x and the within-bucket pairing stays
+    tractable (SCALE.md)."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     words = docs.select(
         "doc_id", F.explode(_words(F.col("text"))).alias("word")
     )
-    h = F.conv(F.substring(F.md5(F.col("word").cast("binary")), 1, 8), 16, 10).cast("long")
+    h = F.conv(
+        F.substring(F.md5(F.col("word").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
     words = words.select("doc_id", h.alias("h"))
     votes = words.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(16)
+            for b in range(SIMHASH_BITS)
         ]
     )
     sim = votes.select(
         "doc_id",
         sum(
             (F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-            for b in range(16)
+            for b in range(SIMHASH_BITS)
         ).alias("simhash"),
     )
     return sim
@@ -579,7 +591,7 @@ SQL_SIMHASH = """
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
 ), hashed AS (
-  SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 8)) AS UINT32)::BIGINT AS h
+  SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 15)) AS UBIGINT)::BIGINT AS h
   FROM words WHERE word <> ''
 ), votes AS (
   SELECT doc_id,
@@ -590,31 +602,39 @@ SELECT doc_id, {bit_sum} AS simhash FROM votes
 """.format(
     vote_cols=",\n    ".join(
         f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
-        for b in range(16)
+        for b in range(SIMHASH_BITS)
     ),
     bit_sum=" + ".join(
-        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+        f"(CASE WHEN b{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
     ),
 )
 
 
 def q_simhash_near_dup(spark, sf_dir):
     """SimHash near-dup pairing at scale: candidate pairs via the pigeonhole
-    band join (16-bit hash split into two 8-bit halves — any pair within
-    Hamming distance 1 shares at least one exact half), then exact Hamming
-    check bit_count(xor) <= 3 on candidates only. Like MinHash-LSH, the
-    quadratic all-pairs scan never happens; the join keys are the halves."""
+    band join — the 60-bit hash split into 4 bands of 15 bits, so any pair
+    within Hamming distance 3 differs in at most 3 bands and MUST share at
+    least one exact band (full recall for the reported hamming <= 3 range,
+    unlike the round-1 two-half split which only guaranteed hamming <= 1).
+    Exact Hamming check bit_count(xor) runs on candidates only; like
+    MinHash-LSH, the quadratic all-pairs scan never happens."""
     sim = q_simhash(spark, sf_dir)
-    halves = sim.select(
+    banded = sim.select(
         "doc_id",
         "simhash",
-        F.col("simhash").bitwiseAND(F.lit(255)).alias("lo"),
-        F.shiftright(F.col("simhash"), 8).alias("hi"),
+        *[
+            F.shiftright(F.col("simhash"), k * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+            .alias(f"band{k}")
+            for k in range(SIMHASH_BANDS)
+        ],
     )
-    def _pairs(on):
-        a, b = halves.alias("a"), halves.alias("b")
+
+    def _pairs(k):
+        a, b = banded.alias("a"), banded.alias("b")
         return (
-            a.join(b, F.col(f"a.{on}") == F.col(f"b.{on}"))
+            a.join(b, F.col(f"a.band{k}") == F.col(f"b.band{k}"))
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(
                 F.col("a.doc_id").alias("x"),
@@ -624,9 +644,13 @@ def q_simhash_near_dup(spark, sf_dir):
                 ).alias("hamming"),
             )
         )
-    cands = _pairs("lo").unionByName(_pairs("hi")).distinct()
+
+    cands = _pairs(0)
+    for k in range(1, SIMHASH_BANDS):
+        cands = cands.unionByName(_pairs(k))
     return (
-        cands.filter(F.col("hamming") <= 3)
+        cands.distinct()
+        .filter(F.col("hamming") <= 3)
         .groupBy("hamming")
         .agg(F.count("*").alias("n_pairs"))
     )
@@ -634,23 +658,30 @@ def q_simhash_near_dup(spark, sf_dir):
 
 SQL_SIMHASH_NEAR_DUP = """
 WITH sim AS ({simhash}),
-halves AS (
-  SELECT doc_id, simhash, simhash & 255 AS lo, simhash >> 8 AS hi
+banded AS (
+  SELECT doc_id, simhash,
+    {band_cols}
   FROM sim
 ), cands AS (
   SELECT DISTINCT x, y, hamming FROM (
-    SELECT a.doc_id AS x, b.doc_id AS y,
-           bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
-    FROM halves a JOIN halves b ON a.lo = b.lo AND a.doc_id < b.doc_id
-    UNION ALL
-    SELECT a.doc_id, b.doc_id,
-           bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT))
-    FROM halves a JOIN halves b ON a.hi = b.hi AND a.doc_id < b.doc_id
+    {pair_union}
   )
 )
 SELECT hamming, count(*) AS n_pairs
 FROM cands WHERE hamming <= 3 GROUP BY hamming
-""".format(simhash=SQL_SIMHASH.strip())
+""".format(
+    simhash=SQL_SIMHASH.strip(),
+    band_cols=",\n    ".join(
+        f"(simhash >> {k * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1} AS band{k}"
+        for k in range(SIMHASH_BANDS)
+    ),
+    pair_union="\n    UNION ALL\n    ".join(
+        f"SELECT a.doc_id AS x, b.doc_id AS y,\n"
+        f"           bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming\n"
+        f"    FROM banded a JOIN banded b ON a.band{k} = b.band{k} AND a.doc_id < b.doc_id"
+        for k in range(SIMHASH_BANDS)
+    ),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -702,22 +733,35 @@ def q_ivf_topk(spark, sf_dir):
         F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
         * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_c"), F.asc("cid")
-    )
+    # argmax cell via max_by with map-side partial aggregation: the N x K
+    # product is combined down to N rows BEFORE the exchange (vs the old
+    # window-argmax, which shuffled all N x K rows just to take row 1).
+    # Tie-break (cos desc, cid asc) encoded as max of struct(cos, -cid).
     assigned = (
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "embedding", "cid", cos_cent.alias("cos_c"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cid"), F.col("embedding")),
+                F.struct(F.col("cos_c"), (-F.col("cid")).alias("nc")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.embedding").alias("embedding"),
+            F.col("best.cid").alias("cell"),
+        )
     )
-    queries = assigned.filter(
-        (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qvec"),
-        "cell",
+    # the probe side is tiny by construction (10 query vectors) — broadcast
+    # it so the corpus-sized `assigned` never shuffles onto the K-cardinality
+    # (maximally skewed) cell key
+    queries = F.broadcast(
+        assigned.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            "cell",
+        )
     )
     cos_q = _dot(F.col("embedding"), F.col("qvec")) / (
         F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
@@ -774,27 +818,30 @@ SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos FROM (
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup: top-20 most similar vector pairs (a<b),
-    numpy blocked matmul (operators/similarity.py:near_dup_pairs_topn); the
-    LSH-bucketed candidate join (lsh_bucket_pairs) is the 100 TB path."""
-    from language_identification_spark.operators.similarity import near_dup_pairs_topn
+    """Embedding-cosine near-dup: top-20 most similar vector pairs (a<b) via
+    random-hyperplane LSH candidates + exact rerank of candidates only
+    (operators/similarity.py:lsh_near_dup_topn) — no full-corpus collect, no
+    quadratic scan. The exact numpy-matmul variant (near_dup_pairs_topn)
+    remains as the test-scale cross-check (tests/test_similarity_lsh.py).
+    The DuckDB oracle replays the IDENTICAL candidate generation (same
+    inlined hyperplanes, same sequential-sum dot product, bit-identical sign
+    bits) so the gate verifies the real scale plan, not a collect-based
+    stand-in."""
+    from language_identification_spark.operators.similarity import lsh_near_dup_topn
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return near_dup_pairs_topn(emb, top_n=20)
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    return lsh_near_dup_topn(emb, top_n=20)
 
 
-SQL_EMBEDDING_NEAR_DUP = """
-WITH scored AS (
-  SELECT x.vec_id AS a, y.vec_id AS b,
-         list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
-           / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
-              * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))) AS cos
-  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-)
-SELECT rank, a, b, round(cos, 4) AS cos FROM (
-  SELECT a, b, cos, row_number() OVER (ORDER BY cos DESC, a, b) AS rank FROM scored
-) WHERE rank <= 20
-"""
+def _sql_embedding_near_dup() -> str:
+    from language_identification_spark.operators.similarity import (
+        lsh_near_dup_topn_sql,
+    )
+
+    return lsh_near_dup_topn_sql(top_n=20)
+
+
+SQL_EMBEDDING_NEAR_DUP = _sql_embedding_near_dup()
 
 
 # ---------------------------------------------------------------------------
@@ -992,7 +1039,7 @@ def q_token_count(spark, sf_dir):
 
 SQL_TOKEN_COUNT = """
 SELECT source,
-       sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_tokens,
+       sum(len(list_filter(string_split(text, ' '), w -> w <> '')))::BIGINT AS n_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY source
 """
@@ -1020,7 +1067,7 @@ def q_bpe_token_count(spark, sf_dir):
 
 SQL_BPE_TOKEN_COUNT = """
 SELECT source,
-       sum(len(regexp_extract_all(text, '{pat}'))) AS n_tokens,
+       sum(len(regexp_extract_all(text, '{pat}')))::BIGINT AS n_tokens,
        round(avg(len(regexp_extract_all(text, '{pat}'))), 4) AS avg_tokens_per_doc
 FROM documents GROUP BY source
 """.format(pat=BPE_ISH_PATTERN.replace("'", "''"))
@@ -1293,7 +1340,7 @@ WITH assigned AS (
          lang, n_chars
   FROM documents
 )
-SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS n_chars
+SELECT split, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
 FROM assigned GROUP BY split, lang
 """
 
@@ -1319,7 +1366,7 @@ def q_rollup_counts(spark, sf_dir):
 SQL_ROLLUP_COUNTS = """
 SELECT coalesce(lang, '<all>') AS lang,
        coalesce(source, '<all>') AS source,
-       count(*) AS n_docs, sum(n_chars) AS n_chars
+       count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
 FROM documents GROUP BY ROLLUP (lang, source)
 """
 

@@ -12,7 +12,6 @@ def test_oracle_keys_subset_of_queries():
     no_oracle = set(qs) - set(sqls)
     assert no_oracle == {
         "quality_pipeline",
-        "fuzzy_lookup",
         "multimodal_features",
         "word_kn_ppl",
     }, no_oracle

@@ -5,14 +5,23 @@ same parquet tables, compares row count, sorted column names, and an
 order-insensitive value hash. Usage:
 
     python tools/check_correctness.py [sf_dir] [query ...]
+
+Canonicalization mirrors the driver exactly: both results go THROUGH pandas
+(Spark .toPandas(), DuckDB .df()) so engine-side dtype quirks surface here
+too — DuckDB sum(BIGINT) -> HUGEINT -> float64 renders '1.23e8' vs Spark's
+int64 '123...' (the round-1 hash-mismatch class), and list-valued cells make
+pandas sort_values raise TypeError (the round-1 array-column ERROR class).
+Do NOT "fix" either here; fix the query/oracle instead.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 import sys
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -23,24 +32,30 @@ TABLES = [
 
 
 def canon(value) -> str:
+    """Render one pandas cell; str() keeps the int-vs-float distinction
+    (float64 123.0 -> '123.0', int64 123 -> '123') like the driver does."""
     if value is None:
         return "<NULL>"
-    if isinstance(value, bool):
-        return str(int(value))
-    if isinstance(value, float):
-        if value != value:
-            return "nan"
-        return f"{value:.9g}"
+    if isinstance(value, float) and math.isnan(value):
+        return "<NULL>"
+    if isinstance(value, (bool,)) or str(type(value)).endswith("bool_'>"):
+        return str(bool(value))
     return str(value)
 
 
-def result_hash(columns: list[str], rows: list[tuple]) -> tuple[str, int, list[str]]:
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
+def frame_hash(pdf: pd.DataFrame) -> tuple[str, int, list[str]]:
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    # sort_values over every column — raises TypeError on list cells, which
+    # is exactly what the driver's canonicalizer does (keep that behavior)
+    if len(pdf):
+        pdf = pdf.sort_values(by=cols).reset_index(drop=True)
     lines = sorted(
-        "\x1f".join(canon(r[i]) for i in order) for r in rows
+        "\x1f".join(canon(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
     )
     h = hashlib.md5("\n".join(lines).encode()).hexdigest()
-    return h, len(rows), sorted(columns)
+    return h, len(pdf), cols
 
 
 def main() -> int:
@@ -69,24 +84,20 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
-            sh, sn, sc = result_hash(s_cols, s_rows)
+            s_pdf = fn(spark, sf_dir).toPandas()
+            sh, sn, sc = frame_hash(s_pdf)
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {e}")
+            print(f"FAIL {name}: spark/canon error: {e}")
             failures.append(name)
             continue
         if name not in ORACLE_SQL:
             print(f"okNA {name}: rows={sn} (no oracle, rows-only)")
             continue
         try:
-            res = con.execute(ORACLE_SQL[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
-            dh, dn, dc = result_hash(d_cols, d_rows)
+            d_pdf = con.execute(ORACLE_SQL[name]).df()
+            dh, dn, dc = frame_hash(d_pdf)
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {e}")
+            print(f"FAIL {name}: duckdb/canon error: {e}")
             failures.append(name)
             continue
         if sc != dc:
@@ -97,18 +108,17 @@ def main() -> int:
             failures.append(name)
         elif sh != dh:
             print(f"FAIL {name}: value hash mismatch ({sn} rows)")
-            # show a diff sample
             s_set = {
-                "\x1f".join(canon(r[i]) for i in sorted(range(len(s_cols)), key=lambda i: s_cols[i]))
-                for r in s_rows
+                "\x1f".join(canon(v) for v in row)
+                for row in s_pdf[sorted(s_pdf.columns)].itertuples(index=False, name=None)
             }
             d_set = {
-                "\x1f".join(canon(r[i]) for i in sorted(range(len(d_cols)), key=lambda i: d_cols[i]))
-                for r in d_rows
+                "\x1f".join(canon(v) for v in row)
+                for row in d_pdf[sorted(d_pdf.columns)].itertuples(index=False, name=None)
             }
-            for x in list(s_set - d_set)[:3]:
+            for x in sorted(s_set - d_set)[:3]:
                 print(f"  spark-only: {x[:160]}")
-            for x in list(d_set - s_set)[:3]:
+            for x in sorted(d_set - s_set)[:3]:
                 print(f"  duck-only:  {x[:160]}")
             failures.append(name)
         else:
