@@ -268,8 +268,8 @@ def scaling_main() -> dict:
             "sched_setaffinity — without pinning, the small leg's JVM/GC/\nPython "
             "workers borrow the box's idle cores (a free subsidy no real\nN-core "
             "executor slice gets), which distorts the comparison. AQE off for\n"
-            f"stable partitioning; mean of {reps} timed runs of the same job object\n"
-            "after a warm run, min over reps x 2 interleaved passes (plan\ncompiled, workers up, broadcast cached; minima are robust to transient\nbox noise —\n"
+            f"stable partitioning; min over {reps} timed runs of the same job object\n"
+            "after a warm run, x 2 interleaved passes taking the lower leg (plan\ncompiled, workers up, broadcast cached; minima are robust to transient\nbox noise —\n"
             "startup is sub-ppm noise at the 10^12-doc design point):\n\n"
             "| parallelism (pinned cores) | wall sec | docs/sec |\n|---|---|---|\n"
             + "".join(

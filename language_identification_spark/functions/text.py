@@ -52,12 +52,20 @@ def char_ngrams_expr(col: Column | str, n: int) -> Column:
 
 def word_ngrams_expr(col: Column | str, n: int, sep: str = " ") -> Column:
     """F5: sliding word n-grams joined by sep (tokenizer.py:477-505).
-    Same short-input guard as char_ngrams_expr."""
+    Same short-input guard as char_ngrams_expr. ``sep`` is escaped both as a
+    Java regex (split pattern) and as a SQL string literal, so separators
+    containing regex metacharacters or quotes cannot mis-split or break the
+    generated expression."""
+    import re as _re
+
     c = F.col(col) if isinstance(col, str) else col
-    size = F.size(F.split(c, sep))
+    # SQL string literal escape (' -> '', \ -> \\) then regex-quote for split
+    sql_sep = sep.replace("\\", "\\\\").replace("'", "''")
+    sql_sep_re = _re.escape(sep).replace("\\", "\\\\").replace("'", "''")
+    size = F.size(F.split(c, _re.escape(sep)))
     body = F.expr(
-        f"transform(sequence(1, size(split({_sql(c)}, '{sep}')) - {n - 1}),"
-        f" i -> concat_ws('{sep}', slice(split({_sql(c)}, '{sep}'), i, {n})))"
+        f"transform(sequence(1, size(split({_sql(c)}, '{sql_sep_re}')) - {n - 1}),"
+        f" i -> concat_ws('{sql_sep}', slice(split({_sql(c)}, '{sql_sep_re}'), i, {n})))"
     )
     return F.when(size >= n, body).otherwise(F.array().cast("array<string>"))
 
@@ -118,27 +126,16 @@ def casefold_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
 
 
 def truncate_utf8_udf(limit_bytes: int):
-    """P5: cap text at limit_bytes of UTF-8, backing off to the last
-    whitespace within the window when one exists (semantics of
-    utils.py:91-132 truncate_text; the bisection there is an optimization —
-    the contract is the result, reproduced directly here)."""
+    """P5: cap text at limit_bytes of UTF-8 — delegates to the oracle's
+    exact reference contract (utils.py:91-132: char-length bisection,
+    whitespace backoff within the LAST 1% of the window only, final strip),
+    so the UDF and the row-wise oracle cannot drift."""
+    from language_identification_spark.oracle.extract import truncate_text
 
     @F.pandas_udf(StringType())
     def _trunc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        def cut(t: str | None) -> str | None:
-            if t is None:
-                return None
-            raw = t.encode("utf-8")
-            if len(raw) <= limit_bytes:
-                return t
-            clipped = raw[:limit_bytes].decode("utf-8", errors="ignore")
-            sp = clipped.rsplit(None, 1)
-            if len(sp) == 2:  # back off to a whitespace boundary
-                return sp[0]
-            return clipped
-
         for series in batches:
-            yield series.map(cut)
+            yield series.map(lambda t: truncate_text(t, limit_bytes))
 
     return _trunc
 

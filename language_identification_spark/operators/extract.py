@@ -35,9 +35,12 @@ def extract_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
 def with_extracted_text(df, html_col: str = "html", out_col: str = "extracted_text"):
     """Project the extraction chain onto ``df``.
 
-    A cheap native byte-length guard runs BEFORE the UDF so pathological pages
-    are truncated work, and column pruning still reaches the scan (only
-    ``html_col`` enters the Python worker).
+    The 10 MiB byte cap (BYTE_LENGTH_LIMIT) is enforced INSIDE the UDF,
+    immediately after decode and before the regex stages (oracle/extract.py:
+    extract_text) — a native pre-UDF binary truncation would cut at a byte
+    boundary and break the byte-identical-extraction invariant on pages near
+    the limit. Column pruning still reaches the scan: only ``html_col``
+    enters the Python worker.
     """
     return df.withColumn(out_col, extract_text_udf(F.col(html_col)))
 

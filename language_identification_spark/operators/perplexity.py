@@ -136,40 +136,64 @@ def load_kn_models(spark: SparkSession, path: str, order: int = 3) -> dict[str, 
 
 
 def train_word_kn_spark(
-    corpus: DataFrame, order: int = 3, lang_col: str = "lang", text_col: str = "text"
+    corpus: DataFrame,
+    order: int = 3,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    min_count: int = 1,
+    max_vocab: int | None = None,
 ) -> dict:
     """Per-language WORD-level KN models (the reference's scoring unit,
     modified_kneser_ney.py:744-758) trained distributively:
 
-    1. vocabulary per language: explode(split) -> distinct  (Spark agg;
-       vocab is model-sized, safe to collect)
+    1. per-language casefolded word counts (explode -> Arrow casefold ->
+       groupBy) with the SHARED prune rule (min_count floor + top-max_vocab
+       by (count desc, word asc), oracle/kneser_ney.py:prune_vocab) applied
+       IN SPARK — the driver collect is bounded to max_vocab rows per
+       language no matter how large the corpus vocabulary is (web-scale
+       10^7+ distinct tokens prune distributively; everything else is OOV,
+       priced by the model's UNK bucket)
     2. deterministic word->codepoint maps (oracle/kneser_ney.py:_sym_for)
     3. encode the corpus to symbol strings in an Arrow UDF (broadcast maps)
     4. reuse train_kn_spark verbatim on the encoded corpus
 
-    Bit-identical to oracle WordKNModel.train on the same rows (tested)."""
+    Bit-identical to oracle WordKNModel.train with the same min_count /
+    max_vocab on the same rows (tested)."""
+    from pyspark.sql import Window
     from pyspark.sql.types import StringType
 
+    from language_identification_spark.functions.text import casefold_udf
     from language_identification_spark.oracle.kneser_ney import (
+        MAX_WORD_VOCAB,
         WordKNModel,
         _sym_for,
     )
 
+    if max_vocab is None:
+        max_vocab = MAX_WORD_VOCAB
     spark = corpus.sparkSession
-    vocab_rows = (
+    counts = (
         corpus.select(
             F.col(lang_col).alias("lang"),
             F.explode(
                 F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-            ).alias("word"),
+            ).alias("raw_word"),
         )
+        .select("lang", casefold_udf(F.col("raw_word")).alias("word"))
         .groupBy("lang", "word")
-        .count()
-        .collect()
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    rk = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("word"))
+    vocab_rows = (
+        counts.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= max_vocab)
+        .select("lang", "word")
+        .collect()  # bounded: <= max_vocab rows per language
     )
     by_lang_vocab: dict[str, set[str]] = {}
     for r in vocab_rows:
-        by_lang_vocab.setdefault(r["lang"], set()).add(r["word"].casefold())
+        by_lang_vocab.setdefault(r["lang"], set()).add(r["word"])
     maps = {
         lang: {w: _sym_for(i) for i, w in enumerate(sorted(vocab))}
         for lang, vocab in sorted(by_lang_vocab.items())

@@ -40,13 +40,57 @@ _RE_STANDALONE_DIGITS = re.compile(r"\b\d+\b")
 _RE_WHITESPACE = re.compile(r"\s+")
 
 
+def detwingle(data: bytes) -> bytes:
+    """Fix Windows-1252 bytes embedded in mostly-UTF-8 data (the public
+    split-on-high-bytes algorithm behind bs4 UnicodeDammit.detwingle, which
+    the reference applies to every bytes input — utils.py:26-27): walk the
+    bytes; a valid UTF-8 multibyte sequence is copied through; any other
+    high byte is re-encoded from its cp1252 meaning (bytes cp1252 leaves
+    undefined are copied raw). Output is (near-)valid UTF-8."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        if b < 0x80:
+            out.append(b)
+            i += 1
+            continue
+        if 0xC2 <= b <= 0xDF:
+            seq_len = 2
+        elif 0xE0 <= b <= 0xEF:
+            seq_len = 3
+        elif 0xF0 <= b <= 0xF4:
+            seq_len = 4
+        else:
+            seq_len = 0
+        if seq_len and i + seq_len <= n:
+            chunk = data[i : i + seq_len]
+            try:
+                chunk.decode("utf-8")
+                out += chunk
+                i += seq_len
+                continue
+            except UnicodeDecodeError:
+                pass
+        try:
+            out += bytes([b]).decode("cp1252").encode("utf-8")
+        except UnicodeDecodeError:  # 0x81/0x8D/0x8F/0x90/0x9D: undefined
+            out.append(b)
+        i += 1
+    return bytes(out)
+
+
 def decode_html(raw: bytes | bytearray | str | None) -> str | None:
-    """bytes -> unicode, deterministic encoding cascade (utils.py:15-37 semantics)."""
+    """bytes -> unicode (utils.py:15-37 semantics): detwingle mixed
+    utf-8/cp1252 first (the reference's UnicodeDammit.detwingle step), then a
+    deterministic utf-8 -> cp1252 -> latin-1 cascade (latin-1 never fails) in
+    place of UnicodeDammit's chardet guess + ftfy (libraries absent here;
+    the cascade is their dominant real-world behavior for web text)."""
     if raw is None:
         return None
     if isinstance(raw, str):
         return raw
-    data = bytes(raw)
+    data = detwingle(bytes(raw))
     try:
         return data.decode("utf-8")
     except UnicodeDecodeError:
@@ -87,24 +131,70 @@ def clean_text(text: str | None) -> str | None:
     return text if text else None
 
 
-def truncate_text(text: str | None, limit: int = BYTE_LENGTH_LIMIT) -> str | None:
-    """Cap at ``limit`` UTF-8 bytes, backing off to whitespace (utils.py:91-132).
+_RE_ONE_WS = re.compile(r"\s")
 
-    Uses a direct decode of the byte prefix (errors='ignore' drops a split
-    multibyte char) rather than the reference's bisection — same result,
-    simpler; then backs off to the last whitespace if one exists in the
-    truncated region, like the reference's word-boundary backoff.
-    """
+
+def truncate_text(text: str | None, limit: int = BYTE_LENGTH_LIMIT) -> str | None:
+    """Cap at ``limit`` UTF-8 bytes — the exact contract of
+    utils.py:91-132 truncate_text(max_bytes_length=limit): bisect the CHAR
+    length until the encoded prefix fits, then back off to a whitespace
+    within the LAST 1% of the window (or cut hard when none is there), and
+    strip() the result. None stays None (relational null; the reference
+    returns '' for falsy input)."""
     if text is None:
         return None
-    encoded = text.encode("utf-8")
-    if len(encoded) <= limit:
-        return text
-    prefix = encoded[:limit].decode("utf-8", errors="ignore")
-    cut = max(prefix.rfind(" "), prefix.rfind("\n"), prefix.rfind("\t"))
-    if cut > 0:
-        prefix = prefix[:cut]
-    return prefix
+    if not text:
+        return ""
+    tsl = min(limit, len(text))
+    min_length = 0
+    while len(text[:tsl].encode("utf-8")) > limit:
+        delta = (tsl - min_length) // 2
+        if delta == 0:
+            tsl -= 1
+            break
+        if len(text[: min_length + delta].encode("utf-8")) > limit:
+            tsl = min_length + delta
+        else:
+            min_length = min_length + delta
+    if tsl < len(text):
+        for i in range(tsl // 100):
+            if _RE_ONE_WS.fullmatch(text[tsl - i]) is not None:
+                text = text[: tsl - i]
+                break
+        else:
+            text = text[:tsl]
+    return text.strip()
+
+
+# the reference's comment pattern verbatim semantics (remove_html_tags.py:155):
+# GREEDY and newline-blind by design — 'a<!--x-->b<!--y-->c' yields ONE
+# comment 'x-->b<!--y', and comments never span lines. Kept separate from the
+# stricter _RE_COMMENT the strip chain uses (non-greedy + DOTALL, which the
+# comment-in-script parity fixtures pin down).
+_RE_COMMENT_REF = re.compile(r"<!--(?P<comment>.*)-->", re.IGNORECASE)
+
+
+def get_comments(text: str | None) -> list[str]:
+    """P4: extract HTML comment bodies (remove_html_tags.py:167-168)."""
+    if text is None:
+        return []
+    return [m.group("comment") for m in _RE_COMMENT_REF.finditer(text)]
+
+
+def check_languages(specified, supported) -> list[str] | set[str]:
+    """P6: validate/intersect requested language codes with the supported set
+    (preprocessing.py:30-46): falsy input -> sorted(supported); otherwise the
+    set intersection, silently dropping unsupported codes; non-string codes
+    raise TypeError."""
+    if not specified:
+        return sorted(supported)
+    out: set[str] = set()
+    for lc in set(specified):
+        if not isinstance(lc, str):
+            raise TypeError(lc)
+        if lc in supported:
+            out.add(lc)
+    return out
 
 
 def extract_text(raw_html: bytes | bytearray | str | None) -> str | None:

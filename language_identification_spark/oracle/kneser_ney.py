@@ -231,6 +231,27 @@ def train_kn_per_lang(
 
 OOV_SYM = "\x00"  # symbol for words unseen at training time
 
+# hard ceiling on per-language word vocabulary: the PUA symbol space holds
+# ~137k codepoints (6400 BMP + 131k planes 15/16); 120k leaves headroom.
+# Everything beyond the cap is OOV — like KenLM's UNK, a modeling decision,
+# not a truncation bug: rank-120k+ words are in the long tail where the OOV
+# bucket's uniform price is the right estimate anyway.
+MAX_WORD_VOCAB = 120_000
+
+
+def prune_vocab(
+    counts: dict[str, int], min_count: int, max_vocab: int
+) -> list[str]:
+    """Shared vocabulary rule for BOTH trainers (oracle + Spark): drop words
+    below min_count; if still over max_vocab keep the top max_vocab by
+    (count desc, word asc); return survivors sorted (the deterministic
+    word->symbol assignment order)."""
+    kept = [(w, c) for w, c in counts.items() if c >= min_count]
+    if len(kept) > max_vocab:
+        kept.sort(key=lambda wc: (-wc[1], wc[0]))
+        kept = kept[:max_vocab]
+    return sorted(w for w, _ in kept)
+
 
 def _sym_for(i: int) -> str:
     """Deterministic word->codepoint assignment over the private-use areas
@@ -258,12 +279,25 @@ class WordKNModel:
 
     @classmethod
     def train(
-        cls, corpus: Iterable[list[str]], order: int = 3
+        cls,
+        corpus: Iterable[list[str]],
+        order: int = 3,
+        min_count: int = 1,
+        max_vocab: int = MAX_WORD_VOCAB,
     ) -> "WordKNModel":
+        """Vocabulary is BOUNDED: casefolded words below ``min_count`` or
+        beyond the top ``max_vocab`` (by count desc, word asc) become OOV —
+        the standard UNK treatment, and what keeps the symbol space (and the
+        Spark trainer's driver collect) finite at web scale. Defaults leave
+        small corpora unpruned."""
         sents = [list(s) for s in corpus]
-        vocab = sorted({w.casefold() for s in sents for w in s})
+        cnt: Counter[str] = Counter(w.casefold() for s in sents for w in s)
+        vocab = prune_vocab(cnt, min_count, max_vocab)
         word2sym = {w: _sym_for(i) for i, w in enumerate(vocab)}
-        texts = ["".join(word2sym[w.casefold()] for w in s) for s in sents]
+        texts = [
+            "".join(word2sym.get(w.casefold(), OOV_SYM) for w in s)
+            for s in sents
+        ]
         return cls(train_kn(texts, order), word2sym)
 
     def encode(self, tokens: Iterable[str]) -> str:

@@ -73,15 +73,29 @@ def _words(col):
     return F.filter(F.split(col, " "), lambda w: w != "")
 
 
-# language dimension used by the broadcast-join query (J11 analog of the
-# GDELT lang-name dim at datasets/tmp.py:39-150)
-LANG_DIM = [
-    ("en", "English"),
-    ("zh", "Chinese"),
-    ("es", "Spanish"),
-    ("de", "German"),
-    ("fr", "French"),
-]
+# language dimension for the broadcast-join query (J11): the REAL ported
+# dims — GDELT language names routed through the ISO 639-2 -> 639-1 map
+# (reference datasets/tmp.py:39-150 + iso639_3.py:1-393, regenerated as
+# oracle/_lang_dims.py by tools/gen_script_index.py). One name per code
+# (min name alphabetically — 'Chinese' over 'Chineset' etc.).
+def _build_lang_dim() -> list[tuple[str, str]]:
+    from language_identification_spark.oracle._lang_dims import (
+        GDELT_LANG_CODES,
+        ISO639_2_1,
+    )
+
+    by_code: dict[str, str] = {}
+    for name, code2 in GDELT_LANG_CODES.items():
+        if not code2:  # GDELT names with no ISO mapping
+            continue
+        code1 = ISO639_2_1.get(code2, code2)
+        title = name.title()
+        if code1 not in by_code or title < by_code[code1]:
+            by_code[code1] = title
+    return sorted(by_code.items())
+
+
+LANG_DIM = _build_lang_dim()
 _LANG_DIM_SQL = "(VALUES " + ", ".join(f"('{c}', '{n}')" for c, n in LANG_DIM) + ") AS dim(lang, lang_name)"
 
 
@@ -290,6 +304,67 @@ SELECT query_id, entry_id, shared_words, rank FROM (
                             ORDER BY shared_words DESC, entry_id) AS rank
   FROM scored
 ) WHERE rank <= 3
+"""
+
+
+def q_multidict_lookup(spark, sf_dir):
+    """J6: MultiDictionary routed lookup (datatypes.py:668-690) in relational
+    form: per-language dictionaries (dict_id = lang, entries = first 60 docs'
+    texts), queries = docs 300-304; rank entries across ALL dictionaries by
+    shared-word count WITH query-token multiplicity (the reference
+    Counter.update semantics), top-5 per query with total tie-break. The
+    reference's routing index (prune dictionaries sharing no word) IS the
+    join: dictionaries with no shared word contribute no rows. The full
+    unicode/casefold form (exact Dictionary parity incl. case-variant
+    multiplicity) is operators/dictionary.py, pytest-verified; this is its
+    SQL-expressible projection (lower + space split)."""
+    docs = _t(spark, sf_dir, "documents")
+    entries = docs.filter(F.col("doc_id") < 60).select(
+        F.col("lang").alias("dict_id"),
+        F.col("doc_id").alias("entry_id"),
+        F.explode(_words(F.lower(F.col("text")))).alias("word"),
+    ).distinct()
+    q_words = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 305)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(_words(F.lower(F.col("text")))).alias("word"),
+    )
+    scored = (
+        q_words.join(F.broadcast(entries), "word")
+        .groupBy("query_id", "dict_id", "entry_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_shared"), F.asc("dict_id"), F.asc("entry_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "dict_id", "entry_id", "n_shared", "rank")
+    )
+
+
+SQL_MULTIDICT_LOOKUP = """
+WITH entries AS (
+  SELECT DISTINCT lang AS dict_id, doc_id AS entry_id,
+         unnest(string_split(lower(text), ' ')) AS word
+  FROM documents WHERE doc_id < 60
+), q_words AS (
+  SELECT doc_id AS query_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents WHERE doc_id >= 300 AND doc_id < 305
+), scored AS (
+  SELECT query_id, dict_id, entry_id, count(*) AS n_shared
+  FROM q_words JOIN entries USING (word)
+  WHERE word <> ''
+  GROUP BY query_id, dict_id, entry_id
+)
+SELECT query_id, dict_id, entry_id, n_shared, rank FROM (
+  SELECT query_id, dict_id, entry_id, n_shared,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_shared DESC, dict_id, entry_id) AS rank
+  FROM scored
+) WHERE rank <= 5
 """
 
 
@@ -956,6 +1031,79 @@ SELECT script_class, count(*) AS n FROM cls GROUP BY script_class
 """
 
 
+def _script_charset_dim_rows() -> list[tuple[str, int, int]]:
+    from language_identification_spark.oracle.script_index import (
+        lang_charset_rows,
+    )
+
+    return lang_charset_rows({"de", "en", "es", "fr", "zh"})
+
+
+def q_script_charset_join(spark, sf_dir):
+    """J1/J2/J4 + J12 relationally, over the FULL scripts.json-grade index:
+    per-language charset dimension (union of each language's scripts,
+    range-compressed — oracle/script_index.py:lang_charset_rows) broadcast
+    range-joined against every document character; per-doc coverage fraction
+    = lang-matched chars / any-matched chars (CharSetIndex.lookup_fraction
+    denominator semantics); per-lang rollup of doc count, mean coverage and
+    matched-char total. The dim is ~170 rows for the 5 document languages —
+    a broadcast; the fact side never shuffles for the join."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    dim = spark.createDataFrame(
+        _script_charset_dim_rows(), "lang string, cp_lo int, cp_hi int"
+    )
+    chars = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", "")).alias("pos", "chr")
+        )
+        .filter(F.col("chr") != "")
+        .select("doc_id", "pos", F.expr("ascii(chr)").alias("cp"))
+    )
+    matched = chars.join(
+        F.broadcast(dim),
+        (F.col("cp") >= F.col("cp_lo")) & (F.col("cp") <= F.col("cp_hi")),
+    ).select("doc_id", "pos", "lang")
+    any_cnt = matched.groupBy("doc_id").agg(
+        F.count_distinct("pos").alias("n_any")
+    )
+    per_lang = matched.groupBy("doc_id", "lang").agg(F.count("*").alias("n_l"))
+    return (
+        per_lang.join(any_cnt, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(F.col("n_l") / F.col("n_any")), 6).alias("avg_cov"),
+            F.sum("n_l").alias("n_chars"),
+        )
+    )
+
+
+def _sql_script_charset_join() -> str:
+    dim_values = ", ".join(
+        f"('{lang}', {lo}, {hi})" for lang, lo, hi in _script_charset_dim_rows()
+    )
+    return f"""
+WITH dim(lang, cp_lo, cp_hi) AS (VALUES {dim_values}),
+chars AS (
+  SELECT doc_id, i AS pos, unicode(substring(text, i, 1)) AS cp
+  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+), matched AS (
+  SELECT doc_id, pos, lang FROM chars JOIN dim ON cp BETWEEN cp_lo AND cp_hi
+), any_cnt AS (
+  SELECT doc_id, count(DISTINCT pos) AS n_any FROM matched GROUP BY doc_id
+), per_lang AS (
+  SELECT doc_id, lang, count(*) AS n_l FROM matched GROUP BY doc_id, lang
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_l * 1.0 / n_any), 6) AS avg_cov,
+       sum(n_l)::BIGINT AS n_chars
+FROM per_lang JOIN any_cnt USING (doc_id) GROUP BY lang
+"""
+
+
+SQL_SCRIPT_CHARSET_JOIN = _sql_script_charset_join()
+
+
 def q_doc_perplexity(spark, sf_dir):
     """L8 (SQL-expressible form): per-language char-bigram LM trained AND
     applied as pure relational algebra — the portable cousin of the modified-KN
@@ -1476,6 +1624,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_words_per_lang": q_top_words_per_lang,
     "unique_words_per_lang": q_unique_words_per_lang,
     "dictionary_lookup": q_dictionary_lookup,
+    "multidict_lookup": q_multidict_lookup,
     "length_quantiles": q_length_quantiles,
     "lang_dim_join": q_lang_dim_join,
     "ngram_counts": q_ngram_counts,
@@ -1494,6 +1643,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_stats_sql": q_quality_stats_sql,
     "scrub_sql": q_scrub_sql,
     "script_langid_sql": q_script_langid_sql,
+    "script_charset_join": q_script_charset_join,
     "doc_perplexity": q_doc_perplexity,
     "fingerprint": q_fingerprint,
     "token_count": q_token_count,
@@ -1515,6 +1665,7 @@ ORACLE_SQL: dict[str, str] = {
     "top_words_per_lang": SQL_TOP_WORDS_PER_LANG,
     "unique_words_per_lang": SQL_UNIQUE_WORDS_PER_LANG,
     "dictionary_lookup": SQL_DICTIONARY_LOOKUP,
+    "multidict_lookup": SQL_MULTIDICT_LOOKUP,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "lang_dim_join": SQL_LANG_DIM_JOIN,
     "ngram_counts": SQL_NGRAM_COUNTS,
@@ -1533,6 +1684,7 @@ ORACLE_SQL: dict[str, str] = {
     "quality_stats_sql": SQL_QUALITY_STATS,
     "scrub_sql": SQL_SCRUB,
     "script_langid_sql": SQL_SCRIPT_LANGID,
+    "script_charset_join": SQL_SCRIPT_CHARSET_JOIN,
     "doc_perplexity": SQL_DOC_PERPLEXITY,
     "fingerprint": SQL_FINGERPRINT,
     "token_count": SQL_TOKEN_COUNT,

@@ -140,16 +140,28 @@ def streaming_user_totals(
 
 
 def run_stream_once(
-    df: DataFrame, checkpoint_dir: str, query_name: str = "stream"
+    df: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "stream",
+    mode: str | None = None,
 ) -> DataFrame:
     """Drain all currently-available input (Trigger.availableNow) into an
-    in-memory sink and return the result as a DataFrame. Complete-mode for
-    aggregations, append for stateless plans."""
+    in-memory sink and return the result as a DataFrame.
+
+    Output mode (overridable via ``mode``): complete for aggregations
+    (append would hold rows until the watermark closes each window, which
+    never happens on a bounded replay), update for
+    applyInPandasWithState plans (their operator declares update mode and a
+    start in any other mode fails), append for stateless plans."""
     spark = df.sparkSession
-    # aggregations use complete mode (append would hold rows until the
-    # watermark closes each window, which never happens for a bounded replay);
-    # stateless plans append
-    mode = "complete" if _has_agg(df) else "append"
+    if mode is None:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if "FlatMapGroupsInPandasWithState" in plan:
+            mode = "update"
+        elif "Aggregate" in plan:
+            mode = "complete"
+        else:
+            mode = "append"
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
@@ -160,8 +172,3 @@ def run_stream_once(
     )
     q.awaitTermination()
     return spark.table(query_name)
-
-
-def _has_agg(df: DataFrame) -> bool:
-    plan = df._jdf.queryExecution().analyzed().toString()
-    return "Aggregate" in plan

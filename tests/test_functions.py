@@ -67,8 +67,9 @@ def test_casefold_udf(spark):
 def test_truncate_utf8(spark):
     trunc = truncate_utf8_udf(10)
     assert _one(spark, trunc(F.col("s")), "short") == "short"
-    # 10-byte cap with whitespace backoff
-    assert _one(spark, trunc(F.col("s")), "hello world again") == "hello"
+    # 10-byte cap: the backoff window is 10//100 = 0 chars, so the reference
+    # contract is a HARD cut (utils.py:124-130 searches the last 1% only)
+    assert _one(spark, trunc(F.col("s")), "hello world again") == "hello worl"
     # multibyte chars never split mid-codepoint
     out = _one(spark, trunc(F.col("s")), "日本語テキスト")  # 3 bytes each
     assert out == "日本語"  # 9 bytes <= 10, 4th char would overflow

@@ -77,6 +77,52 @@ def test_fold_softmax_scorer():
     assert script_langid_scores("") == []
 
 
+def test_full_index_matches_reference_demo():
+    """Full scripts.json-grade index (oracle/script_index.py): every demo
+    string (scripts_langid.py:87-108, incl. Baybayin, Tibetan and the
+    urdu x3 script triple) classifies to the reference's exact language set
+    with probabilities equal within 1e-9 (captured observed output in
+    tests/data/script_langid_golden.json)."""
+    import json
+    import pathlib
+
+    from language_identification_spark.oracle.script_index import (
+        SUPPORTED_LANGUAGES,
+        detect_language_full,
+    )
+
+    golden = json.loads(
+        (pathlib.Path(__file__).parent / "data" / "script_langid_golden.json").read_text()
+    )
+    assert len(SUPPORTED_LANGUAGES) == golden["n_supported"] == 402
+    for case in golden["cases"]:
+        mine = dict(detect_language_full(case["text"]))
+        ref = {lang: p for lang, p in case["result"]}
+        assert set(mine) == set(ref), case["text"]
+        for lang, p in ref.items():
+            assert abs(mine[lang] - p) < 1e-9, (case["text"], lang)
+
+
+def test_full_index_families():
+    """Spot semantics: Baybayin -> {fil, tl}; Tibetan symbol -> {bo, dz};
+    Urdu-in-Arabic-script includes ur among the Arabic-script languages;
+    Hiragana is uniquely Japanese; Devanagari covers hi."""
+    from language_identification_spark.oracle.script_index import (
+        char_langs,
+        detect_language_full,
+    )
+
+    def top(r):
+        return {lang for lang, p in r if abs(p - r[0][1]) < 1e-12}
+
+    assert top(detect_language_full("ᜀᜅ᜔ ᜃᜆᜓᜏᜒᜇᜈ᜔")) == {"fil", "tl"}
+    assert top(detect_language_full("༖")) == {"bo", "dz"}
+    urdu_arabic = dict(detect_language_full("اُردُو"))
+    assert "ur" in urdu_arabic and "ar" in urdu_arabic
+    assert detect_language_full("ひらがな") == [("ja", 1.0)]
+    assert "hi" in char_langs("ह")
+
+
 def test_unsupported_scripts_defer():
     """Baybayin (U+1700) and lone Tibetan symbols are outside the supported
     set: no language is pinned (defer), and detect_script reports what it can."""

@@ -155,6 +155,40 @@ def test_word_kn_spark_bit_identical(spark, corpus):
         assert sm.perplexity(probe) == om.perplexity(probe), lang
 
 
+def test_word_kn_vocab_bounded(spark):
+    """Web-scale vocab safety: the Spark trainer's driver collect is bounded
+    by max_vocab regardless of corpus vocabulary size, pruning happens
+    distributively, and the pruned model still equals the oracle trained
+    with the same (min_count, max_vocab) rule."""
+    from language_identification_spark.operators.perplexity import (
+        train_word_kn_spark,
+    )
+    from language_identification_spark.oracle.kneser_ney import WordKNModel
+
+    # synthetic corpus with a long-tail vocabulary much larger than the cap:
+    # 40 frequent head words + 2000 singleton tail words
+    head = [f"head{i}" for i in range(40)]
+    rows = []
+    for d in range(200):
+        words = [head[(d + j) % 40] for j in range(10)]
+        words += [f"tail{d}_{j}" for j in range(10)]
+        rows.append(("xx", " ".join(words)))
+    df = spark.createDataFrame(rows, schema="lang string, text string")
+    m = train_word_kn_spark(df, order=2, min_count=2, max_vocab=50)[
+        "xx"
+    ]
+    assert len(m.word2sym) <= 50
+    # singletons pruned by min_count; head words survive
+    assert "head0" in m.word2sym and "tail5_3" not in m.word2sym
+    om = WordKNModel.train(
+        [r[1].split() for r in rows], order=2, min_count=2, max_vocab=50
+    )
+    assert m.word2sym == om.word2sym
+    assert m.char_model.counts == om.char_model.counts
+    probe = rows[0][1].split() + ["zyzzyva"]
+    assert m.perplexity(probe) == om.perplexity(probe)
+
+
 def test_kn_persist_roundtrip(spark, tmp_path, oracle_models):
     """save -> load rebuilds BIT-IDENTICAL models from the top-order count
     table alone (integer counts + deterministic float assembly)."""

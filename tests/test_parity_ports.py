@@ -1,0 +1,101 @@
+"""Round-2 parity ports pinned against reference-observed behavior:
+
+- truncate_text exact contract (utils.py:91-132): char-length bisection,
+  whitespace backoff limited to the LAST 1% of the window, final strip —
+  expectations below were captured by running the reference function.
+- detwingle (utils.py:26-27 / the public bs4 UnicodeDammit.detwingle
+  algorithm): mixed utf-8 + cp1252 smart-quote bytes repair.
+- get_comments (remove_html_tags.py:167-168): greedy, newline-blind —
+  reference-exact including the one-comment-spans-two quirk.
+- check_languages (preprocessing.py:30-46).
+"""
+
+import pytest
+
+from language_identification_spark.oracle.extract import (
+    check_languages,
+    decode_html,
+    detwingle,
+    get_comments,
+    truncate_text,
+)
+
+
+# (text, limit, expected) — expected captured from the reference function
+TRUNC_CASES = [
+    # window 10 < 100: backoff range is empty -> hard cut + strip
+    ("hello world again", 10, "hello worl"),
+    ("hello world again", 5, "hello"),
+    ("ab cd ef gh", 7, "ab cd e"),
+    # short input within limit: returned stripped, never cut
+    ("  padded  ", 100, "padded"),
+    ("", 10, ""),
+]
+
+
+@pytest.mark.parametrize("text,limit,expected", TRUNC_CASES)
+def test_truncate_reference_contract(text, limit, expected):
+    assert truncate_text(text, limit) == expected
+
+
+def test_truncate_last_one_percent_window():
+    """Backoff only scans the last window//100 chars: a space 99 chars back
+    is NOT found (hard cut), a space inside the window is."""
+    t = "a" * 99 + " " + "b" * 200
+    out = truncate_text(t, 150)
+    assert out == t[:150]  # space at index 99 is outside the 1% window
+    # window of 333//100 = 3 chars misses the space 4 back -> hard cut 'wor'
+    t2 = "word " * 100
+    out2 = truncate_text(t2, 333)
+    assert out2.endswith("wor") and len(out2) == 333
+    # a space INSIDE the window is found: limit 504 -> window 5; text[504]
+    # is the space right after the cut, so the cut lands on a word boundary
+    t3 = "word " * 101
+    out3 = truncate_text(t3, 504)
+    assert out3.endswith("word") and len(out3) == 504
+
+
+def test_truncate_multibyte_boundary():
+    """UTF-8 boundary never splits a char; result is within the byte budget."""
+    t = "日本語のテキストです " * 30
+    out = truncate_text(t, 200)
+    assert len(out.encode("utf-8")) <= 200
+    out.encode("utf-8")  # must be valid text (would raise on a split char)
+    t2 = "ß" * 300
+    assert len(truncate_text(t2, 250).encode()) <= 250
+
+
+def test_detwingle_mixed_utf8_cp1252():
+    """The reference's every-bytes-input detwingle step: cp1252 smart quotes
+    (0x93/0x94/0x92) embedded in valid UTF-8 text decode to their intended
+    characters instead of failing the whole page over to cp1252."""
+    mixed = "日本".encode() + b"\x93quoted\x94 it\x92s" + " näive".encode()
+    out = decode_html(mixed)
+    assert out == "日本“quoted” it’s näive"
+    # pure utf-8 passes through untouched
+    pure = "héllo 世界".encode()
+    assert detwingle(pure) == pure
+    # undefined cp1252 bytes are copied raw (and the cascade still decodes)
+    assert decode_html(b"ok\x81ok") is not None
+
+
+def test_get_comments_reference_quirks():
+    """Greedy + newline-blind, exactly like RE_COMMENT
+    (remove_html_tags.py:155)."""
+    assert get_comments("a<!--x-->b") == ["x"]
+    # greedy: two comments on one line merge into one capture
+    assert get_comments("a<!--x-->b<!--y-->c") == ["x-->b<!--y"]
+    # newline-blind: multi-line comments are not matched
+    assert get_comments("<!-- multi\nline -->") == []
+    assert get_comments("no comments") == []
+    assert get_comments(None) == []
+
+
+def test_check_languages_port():
+    sup = ["en", "zh", "ar"]
+    assert check_languages(None, sup) == ["ar", "en", "zh"]
+    assert check_languages([], sup) == ["ar", "en", "zh"]
+    assert check_languages(["en", "xx"], sup) == {"en"}
+    assert check_languages(["xx"], sup) == set()
+    with pytest.raises(TypeError):
+        check_languages([42], sup)
