@@ -105,6 +105,18 @@ SELECT query, word, dist, rank FROM (
 )
 
 
+def _q_emd_fuzzy_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: positional-EMD fuzzy matcher (ApproxWordList3 semantics,
+    dictionary_langid/datatypes.py:477-617) — rows-only: 1-D EMD with
+    unmatched-point cost is not SQL-expressible; covered by pytest parity
+    against the reference-verified row-wise oracle (tests/test_fuzzy.py)."""
+    from language_identification_spark.operators.fuzzy import emd_fuzzy_topk
+
+    vdf = spark.createDataFrame([(w,) for w in FUZZY_VOCAB], "word string")
+    qdf = spark.createDataFrame([(q,) for q in FUZZY_QUERIES], "query string")
+    return emd_fuzzy_topk(vdf, qdf, top_k=5)
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-media decode plumbing over the deterministic fake table
     (rows-only: content-hash features have no SQL equivalent)."""
@@ -163,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .withColumn("drop_reasons", F.array_join("drop_reasons", "|"))
     )
     out["fuzzy_lookup"] = _q_fuzzy_lookup
+    out["emd_fuzzy_lookup"] = _q_emd_fuzzy_lookup
     out["multimodal_features"] = lambda spark, sf_dir: _q_multimodal_features(
         spark, sf_dir
     ).withColumn(

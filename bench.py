@@ -39,6 +39,7 @@ HEADLINE = [
     "cosine_topk",
     "ivf_topk",
     "embedding_near_dup",
+    "script_charset_join",
     "pricing_summary",
     "order_revenue_topk",
     "events_hourly",

@@ -21,6 +21,8 @@ Row-wise oracle: ``fuzzy_topk_oracle`` (tested equal).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -98,3 +100,180 @@ def fuzzy_topk_dfs(
         spark.createDataFrame([(q,) for q in queries], "query string"),
         k=k,
     )
+
+
+# ---------------------------------------------------------------------------
+# J8: positional-EMD fuzzy matcher (ApproxWordList3 semantics,
+# dictionary_langid/datatypes.py:477-617)
+# ---------------------------------------------------------------------------
+
+STX, ETX = "\x02", "\x03"
+
+
+def _gram_locations(word: str, n: int) -> dict[str, tuple[float, ...]]:
+    """Padded n-gram -> normalized positions (datatypes.py:544-561): word is
+    wrapped in STX/ETX, gram index normalized by (count - 1). Words shorter
+    than n-1 chars (a single padded gram) put it at position 0."""
+    padded = f"{STX}{word}{ETX}"
+    grams = [padded[i : i + n] for i in range(len(word) - n + 3)]
+    locs: dict[str, list[float]] = {}
+    if len(grams) > 1:
+        for idx, g in enumerate(grams):
+            locs.setdefault(g, []).append(idx / (len(grams) - 1))
+    elif grams:
+        locs.setdefault(grams[0], []).append(0.0)
+    return {g: tuple(ls) for g, ls in locs.items()}
+
+
+def _emd_scores(
+    query: str,
+    cand_rows: list[tuple[str, int, tuple[float, ...], tuple[float, ...]]],
+    n_list: tuple[int, ...],
+) -> dict[str, list[float]]:
+    """Accumulate per-(word, n) scores: max(|q_locs|, |w_locs|) - EMD per
+    shared gram, then normalize by the query's padded gram count for that n
+    (datatypes.py:567-585). cand_rows: (word, n, q_locs, w_locs) per shared
+    gram."""
+    from language_identification_spark.oracle.emd import emd_1d
+
+    n_idx = {n: i for i, n in enumerate(n_list)}
+    matches: dict[str, list[float]] = {}
+    for word, n, q_locs, w_locs in cand_rows:
+        scores = matches.setdefault(word, [0.0] * len(n_list))
+        scores[n_idx[n]] += max(len(q_locs), len(w_locs)) - emd_1d(
+            list(q_locs), list(w_locs)
+        )
+    for word, scores in matches.items():
+        matches[word] = [
+            scores[i] / (len(query) - n + 3) for i, n in enumerate(n_list)
+        ]
+    return matches
+
+
+def _rank_emd_matches(
+    query: str,
+    matches: dict[str, list[float]],
+    top_k: int,
+) -> list[tuple[str, float, int, int]]:
+    """Mean over n-grams sizes (dim=1), then the reference's cutoff: fetch
+    top_k*2, keep score >= 0.9*top OR Damerau-Levenshtein <= 1, return
+    top_k (datatypes.py:592-617). Ties broken totally (score desc, word
+    asc) — the reference inherits Counter insertion order; a total order is
+    required for distributed determinism. Rows: (word, score[3dp], dl, rank)."""
+    if not matches:
+        return []
+    avg = {w: sum(s) / len(s) for w, s in matches.items()}
+    ranked = sorted(avg.items(), key=lambda kv: (-kv[1], kv[0]))
+    top_score = ranked[0][1]
+    out = []
+    for word, score in ranked[: top_k * 2]:
+        dl = _damerau_levenshtein(query, word)
+        if score >= top_score * 0.9 or dl <= 1:
+            out.append((word, round(score, 3), dl))
+    return [
+        (word, score, dl, rank)
+        for rank, (word, score, dl) in enumerate(out[:top_k], start=1)
+    ]
+
+
+def emd_fuzzy_oracle(
+    vocab: list[str],
+    queries: list[str],
+    n_list: tuple[int, ...] = (2, 4),
+    top_k: int = 10,
+) -> dict[str, list[tuple[str, float, int, int]]]:
+    """Row-wise ApproxWordList3: index casefolded vocab grams, score each
+    query via positional EMD over shared grams."""
+    index: dict[int, dict[str, dict[str, tuple[float, ...]]]] = {}
+    for n in n_list:
+        per_word: dict[str, dict[str, tuple[float, ...]]] = {}
+        for w in vocab:
+            per_word[w.casefold()] = _gram_locations(w.casefold(), n)
+        index[n] = per_word
+    out = {}
+    for q in queries:
+        qc = q.casefold()
+        rows = []
+        for n in n_list:
+            q_locs = _gram_locations(qc, n)
+            for word, w_gram_locs in index[n].items():
+                for g, ql in q_locs.items():
+                    wl = w_gram_locs.get(g)
+                    if wl is not None:
+                        rows.append((word, n, ql, wl))
+        out[q] = _rank_emd_matches(qc, _emd_scores(qc, rows, n_list), top_k)
+    return out
+
+
+EMD_RESULT_SCHEMA = "query string, word string, score double, dl int, rank int"
+
+
+def emd_fuzzy_topk(
+    vocab: DataFrame,
+    queries: DataFrame,
+    n_list: tuple[int, ...] = (2, 4),
+    top_k: int = 10,
+) -> DataFrame:
+    """Distributed ApproxWordList3: per-n padded-gram location rows on both
+    sides, equi-join on (n, gram) — the set-similarity join again, vocab
+    side broadcast — then ONE grouped-map per query replays the exact oracle
+    scoring (shared helpers; bit-parity by construction, tested)."""
+    @F.pandas_udf("string")
+    def _casefold(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batches:
+            yield series.str.casefold()
+
+    # the reference index dedups casefolded vocabulary (add_word returns
+    # early on known words) — mirror that before gram explosion, or case
+    # variants would double their scores
+    vocab = vocab.select(_casefold(F.col("word")).alias("word")).distinct()
+
+    def gram_rows(df: DataFrame, col: str) -> DataFrame:
+        @F.pandas_udf("array<struct<n int, gram string, locs array<double>>>")
+        def _grams(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            def one(w):
+                wc = w.casefold()
+                return [
+                    {"n": n, "gram": g, "locs": list(ls)}
+                    for n in n_list
+                    for g, ls in _gram_locations(wc, n).items()
+                ]
+
+            for series in batches:
+                yield series.map(one)
+
+        return (
+            df.select(
+                F.col(col).alias("orig"),
+                F.explode(_grams(F.col(col))).alias("g"),
+            )
+            .select("orig", "g.n", "g.gram", "g.locs")
+        )
+
+    v = gram_rows(vocab, "word").withColumnRenamed("orig", "word").withColumnRenamed("locs", "w_locs")
+    q = gram_rows(queries, "query").withColumnRenamed("orig", "query").withColumnRenamed("locs", "q_locs")
+    cands = q.join(F.broadcast(v), ["n", "gram"]).select(
+        "query", "word", "n", "q_locs", "w_locs"
+    )
+
+    def rescore(pdf: pd.DataFrame) -> pd.DataFrame:
+        query = pdf["query"].iloc[0]
+        qc = query.casefold()
+        rows = [
+            (w.casefold(), int(n), tuple(ql), tuple(wl))
+            for w, n, ql, wl in zip(
+                pdf["word"], pdf["n"], pdf["q_locs"], pdf["w_locs"]
+            )
+        ]
+        ranked = _rank_emd_matches(qc, _emd_scores(qc, rows, n_list), top_k)
+        return pd.DataFrame(
+            {
+                "query": [query] * len(ranked),
+                "word": [w for w, _, _, _ in ranked],
+                "score": [s for _, s, _, _ in ranked],
+                "dl": pd.Series([d for _, _, d, _ in ranked], dtype="int32"),
+                "rank": pd.Series([r for _, _, _, r in ranked], dtype="int32"),
+            }
+        )
+
+    return cands.groupBy("query").applyInPandas(rescore, schema=EMD_RESULT_SCHEMA)

@@ -149,6 +149,18 @@ def _exact_dot(a, b):
     )
 
 
+def _dot_with_plane(v, plane: list[float]):
+    """v . plane with literal coefficients via the sequential HOF fold.
+
+    Measured note: an unrolled 64-term `+` tree looks codegen-friendly but
+    actually lands in interpreted evaluation at ~80 us/dot (the projection's
+    expression count blows the codegen limits), while the zip_with/aggregate
+    fold — though CodegenFallback itself — evaluates at ~9 us/dot. Keep the
+    fold, and keep the evaluation count down structurally (materialization
+    barrier below) instead of micro-optimizing the expression."""
+    return _exact_dot(v, F.array(*[F.lit(x) for x in plane]))
+
+
 def lsh_planes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes, shared verbatim by the Spark plan and
     the DuckDB oracle (inlined as float literals — repr round-trips exactly)."""
@@ -159,7 +171,7 @@ def lsh_planes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]
 def lsh_near_dup_topn(
     emb: DataFrame,
     top_n: int = 20,
-    n_planes: int = 16,
+    n_planes: int = 24,
     bands: int = 4,
     seed: int = 42,
     dim: int = 64,
@@ -181,49 +193,85 @@ def lsh_near_dup_topn(
     """
     planes = lsh_planes(dim, n_planes, seed)
     bits_per_band = n_planes // bands
+    p = emb.sparkSession.sparkContext.defaultParallelism
     v = F.col(vec_col)
-    bits = [
-        F.when(_exact_dot(v, F.array(*[F.lit(x) for x in plane])) > 0, 1).otherwise(0)
-        for plane in planes
-    ]
+    # Stage 1: the 24 plane dots as PLAIN COLUMNS with an exchange barrier
+    # after them. Inlining the dot trees into the band-signature structs
+    # (CollapseProject does this eagerly) builds a ~10k-node expression per
+    # row that falls out of whole-stage codegen AND is re-evaluated by BOTH
+    # sides of the self-join — measured 26 s vs ~1 s with the barrier. The
+    # exchange materializes rows, so each dot runs exactly once per vector
+    # and everything downstream references cheap column refs.
+    dots = emb.select(
+        F.col(id_col).alias("vid"),
+        *[
+            _dot_with_plane(v, plane).alias(f"d{i}")
+            for i, plane in enumerate(planes)
+        ],
+    ).repartition(p)
     band_structs = []
     for k in range(bands):
         sig = None
         for j in range(bits_per_band):
-            term = bits[k * bits_per_band + j] * F.lit(1 << j)
+            bit = F.when(F.col(f"d{k * bits_per_band + j}") > 0, 1).otherwise(0)
+            term = bit * F.lit(1 << j)
             sig = term if sig is None else sig + term
-        band_structs.append(
-            F.struct(F.lit(k).alias("band"), sig.alias("sig"))
-        )
-    sigs = emb.select(
-        F.col(id_col).alias("vid"),
-        F.explode(F.array(*band_structs)).alias("bs"),
+        band_structs.append(F.struct(F.lit(k).alias("band"), sig.alias("sig")))
+    sigs = dots.select(
+        "vid", F.explode(F.array(*band_structs)).alias("bs")
     ).select("vid", "bs.band", "bs.sig")
+    # the candidate table is BYTES-tiny (two longs per pair) but each row
+    # carries a 64-term dot in the rerank — AQE's size-based coalescing
+    # would collapse the post-distinct shuffle to one partition and run
+    # every dot on one core (measured: 3.5 s single-task tail). Re-spread
+    # by the compute parallelism instead; at real scale candidate volume is
+    # large enough that AQE sizing is right on its own.
     cands = (
         sigs.alias("x")
         .join(sigs.alias("y"), ["band", "sig"])
         .filter(F.col("x.vid") < F.col("y.vid"))
         .select(F.col("x.vid").alias("a"), F.col("y.vid").alias("b"))
         .distinct()
+        .repartition(p)
     )
-    ea = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    eb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    cos = _exact_dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_exact_dot(F.col("va"), F.col("va")))
-        * F.sqrt(_exact_dot(F.col("vb"), F.col("vb")))
+    # norms once per VECTOR (N rows), not once per PAIR: the pair table is
+    # the big side, so the 2 extra dot products per pair were 2/3 of the
+    # rerank cost. Values are identical (same expression over the same
+    # array), so the DuckDB oracle may still compute norms inline.
+    normed = emb.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        F.sqrt(_exact_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
     )
-    scored = cands.join(ea, "a").join(eb, "b").select("a", "b", cos.alias("cos"))
+    ea = normed.select(
+        F.col("nid").alias("a"), F.col("nv").alias("va"), F.col("norm").alias("na")
+    )
+    eb = normed.select(
+        F.col("nid").alias("b"), F.col("nv").alias("vb"), F.col("norm").alias("nb")
+    )
+    cos = _exact_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    scored = (
+        cands.join(F.broadcast(ea), "a")
+        .join(F.broadcast(eb), "b")
+        .select("a", "b", cos.alias("cos"))
+    )
+    # top-N via orderBy+limit = TakeOrderedAndProject: per-partition local
+    # top-N then a driver merge of N rows per partition. A global
+    # Window.orderBy here would exchange EVERY candidate pair to one
+    # partition and evaluate the cos projection there on one core
+    # (measured 3.5 s of a 4 s query at sf0.1); rank is then a window over
+    # only the N surviving rows.
+    topn = scored.orderBy(F.desc("cos"), F.asc("a"), F.asc("b")).limit(top_n)
     w = Window.orderBy(F.desc("cos"), F.asc("a"), F.asc("b"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
+        topn.withColumn("rank", F.row_number().over(w))
         .select("rank", "a", "b", F.round("cos", 4).alias("cos"))
     )
 
 
 def lsh_near_dup_topn_sql(
     top_n: int = 20,
-    n_planes: int = 16,
+    n_planes: int = 24,
     bands: int = 4,
     seed: int = 42,
     dim: int = 64,

@@ -169,6 +169,66 @@ def script_langid(text: str) -> tuple[str | None, float]:
     return None, frac
 
 
+def ensemble_detect(
+    model: "NgramNBModel", text: str | None
+) -> tuple[str | None, float]:
+    """L7: the reference's full ensemble cascade semantics
+    (language_identification_test.py:30-68), mapped onto this engine's
+    backends:
+
+    1. empty text -> (None, 0.0)            (clean_text raises -> None)
+    2. the reference's one hardcoded case   (:39-40: 'assalamualaikum'->'ms')
+    3. unique-script pin (>= 0.5 coverage)  ~ the cld2full/cld2 early returns
+       (:42-56 — high-precision backends win outright when they answer)
+    4. sys = n-gram NB top-1, score * 0.8   (:59-60: 'backend tends to be
+       overconfident even when wrong')
+    5. fallback = full script-index fold    (:62-63: constrained fallback)
+    6. sys wins only if sys_score * 3/4 > fallback_score (:65-68);
+       otherwise the fallback's answer stands. No fold signal -> sys.
+    """
+    if not text:
+        return None, 0.0
+    if text.lower() == "assalamualaikum":
+        return "ms", 1.0
+    lang, frac = script_langid(text)
+    if lang is not None and frac >= 0.5:
+        return lang, frac
+    nb = model.detect(text)
+    sys_lang, sys_score = nb[0], nb[1] * 0.8
+    from language_identification_spark.oracle.script_index import (
+        detect_language_full,
+    )
+
+    fold = detect_language_full(text)
+    if fold:
+        fb_lang, fb_score = fold[0]
+        if not (sys_score * 3 / 4 > fb_score):
+            return fb_lang, fb_score
+    return sys_lang, sys_score
+
+
+def ensemble_udf(spark_or_sc, model: "NgramNBModel"):
+    """(text) -> struct<lang string, conf double>: the L7 cascade as an
+    Arrow-batched UDF with the model broadcast (same executor-singleton
+    shape as the NB scorer)."""
+    import pandas
+    from pyspark.sql import functions as F
+
+    sc = getattr(spark_or_sc, "sparkContext", spark_or_sc)
+    bc = sc.broadcast(model)
+
+    def _detect(series: "pandas.Series") -> "pandas.DataFrame":
+        m = bc.value
+        rows = [ensemble_detect(m, t) for t in series]
+        return pandas.DataFrame(rows, columns=["lang", "conf"])
+
+    _detect.__annotations__ = {
+        "series": pandas.Series,
+        "return": pandas.DataFrame,
+    }
+    return F.pandas_udf(_detect, "lang string, conf double")
+
+
 class NgramNBModel:
     """Multinomial Naive Bayes over character n-grams with add-k smoothing.
 

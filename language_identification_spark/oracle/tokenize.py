@@ -105,6 +105,31 @@ def unicode_tokenize(text: str) -> list[str]:
     return _unicode_tokenize_scan(text)
 
 
+@lru_cache(maxsize=None)
+def _is_letter_mark_char(ch: str) -> bool:
+    """F7 char class: letters + marks ONLY — no digits, no private-use
+    (datasets/tmp.py:8-15; the commented-out categories are deliberate)."""
+    return unicodedata.category(ch)[0] in ("L", "M")
+
+
+def find_words(text: str) -> list[str]:
+    """F7: maximal runs of letter/mark chars (datasets/tmp.py:18-32) — the
+    GDELT-notebook tokenizer variant: digits break words ('a1b' -> ['a','b'])
+    and there is no apostrophe merge."""
+    tokens: list[str] = []
+    start = -1
+    for i, ch in enumerate(text):
+        if _is_letter_mark_char(ch):
+            if start < 0:
+                start = i
+        elif start >= 0:
+            tokens.append(text[start:i])
+            start = -1
+    if start >= 0:
+        tokens.append(text[start:])
+    return tokens
+
+
 _SENTENCE_DELIMS = re.compile(r"[.!?\n]")
 
 

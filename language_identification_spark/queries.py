@@ -1039,18 +1039,37 @@ def _script_charset_dim_rows() -> list[tuple[str, int, int]]:
     return lang_charset_rows({"de", "en", "es", "fr", "zh"})
 
 
+_CP_BLOCK = 256  # codepoint block width for the equi-join key
+
+
+def _script_charset_dim_blocked() -> list[tuple[int, str, int, int]]:
+    """The charset dim exploded per 256-codepoint block: (block, lang, lo,
+    hi). Turns the char<->range lookup from a nested-loop theta join (every
+    char against every range) into a block-keyed HASH join + a short BETWEEN
+    residual — the standard interval-join binning trick; ~540 rows for the
+    5 document languages."""
+    out = []
+    for lang, lo, hi in _script_charset_dim_rows():
+        for block in range(lo // _CP_BLOCK, hi // _CP_BLOCK + 1):
+            out.append((block, lang, lo, hi))
+    return out
+
+
 def q_script_charset_join(spark, sf_dir):
     """J1/J2/J4 + J12 relationally, over the FULL scripts.json-grade index:
     per-language charset dimension (union of each language's scripts,
     range-compressed — oracle/script_index.py:lang_charset_rows) broadcast
-    range-joined against every document character; per-doc coverage fraction
-    = lang-matched chars / any-matched chars (CharSetIndex.lookup_fraction
-    denominator semantics); per-lang rollup of doc count, mean coverage and
-    matched-char total. The dim is ~170 rows for the 5 document languages —
-    a broadcast; the fact side never shuffles for the join."""
+    equi-joined against every document character on the 256-codepoint block
+    key (binned interval join — a plain BETWEEN theta join measured ~4 s at
+    sf0.1 vs ~1 s binned); per-doc coverage fraction = lang-matched chars /
+    any-matched chars (CharSetIndex.lookup_fraction denominator semantics);
+    per-lang rollup of doc count, mean coverage and matched-char total. The
+    dim is ~540 blocked rows — a broadcast; the fact side never shuffles
+    for the join."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     dim = spark.createDataFrame(
-        _script_charset_dim_rows(), "lang string, cp_lo int, cp_hi int"
+        _script_charset_dim_blocked(),
+        "block int, lang string, cp_lo int, cp_hi int",
     )
     chars = (
         docs.select(
@@ -1058,11 +1077,13 @@ def q_script_charset_join(spark, sf_dir):
         )
         .filter(F.col("chr") != "")
         .select("doc_id", "pos", F.expr("ascii(chr)").alias("cp"))
+        .withColumn("block", (F.col("cp") / _CP_BLOCK).cast("int"))
     )
-    matched = chars.join(
-        F.broadcast(dim),
-        (F.col("cp") >= F.col("cp_lo")) & (F.col("cp") <= F.col("cp_hi")),
-    ).select("doc_id", "pos", "lang")
+    matched = (
+        chars.join(F.broadcast(dim), "block")
+        .filter((F.col("cp") >= F.col("cp_lo")) & (F.col("cp") <= F.col("cp_hi")))
+        .select("doc_id", "pos", "lang")
+    )
     any_cnt = matched.groupBy("doc_id").agg(
         F.count_distinct("pos").alias("n_any")
     )

@@ -72,9 +72,39 @@ def read_scripts_json(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def merge_wordlists(dfs: list[DataFrame]) -> DataFrame:
+    """SO5: union word lists across sources then dedupe
+    (merge_wordlists.ipynb cells 1-2) — the named operator form of
+    unionByName + distinct; pairs with A4/J9 downstream."""
+    if not dfs:
+        raise ValueError("no wordlists to merge")
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out.distinct()
+
+
+def has_text_filter(df: DataFrame, col: str = "term") -> DataFrame:
+    """P8: keep rows whose value contains at least one letter
+    (cleanup.ipynb cell 2 has_text)."""
+    return df.filter(F.col(col).rlike(r"\p{L}"))
+
+
+def has_digit_filter(df: DataFrame, col: str = "term") -> DataFrame:
+    """P8: keep rows whose value contains at least one digit
+    (cleanup.ipynb cell 2 has_digit)."""
+    return df.filter(F.col(col).rlike(r"\p{N}"))
+
+
 # ---------------------------------------------------------------------------
 # sinks
 # ---------------------------------------------------------------------------
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """K2: JSON sink (char stats.ipynb cells 4-12 json.dump of aggregates) —
+    one JSON object per row, partition-parallel."""
+    df.write.mode("overwrite").json(path)
 
 
 def write_partitioned_by_lang(df: DataFrame, path: str) -> None:

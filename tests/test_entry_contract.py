@@ -14,6 +14,7 @@ def test_oracle_keys_subset_of_queries():
         "quality_pipeline",
         "multimodal_features",
         "word_kn_ppl",
+        "emd_fuzzy_lookup",
     }, no_oracle
 
 

@@ -37,3 +37,74 @@ def test_fuzzy_top1_is_correction(spark):
 def test_fuzzy_no_shared_bigram_no_rows(spark):
     rows = fuzzy_topk_dfs(spark, ["abc"], ["xyz"], k=3).collect()
     assert rows == []
+
+
+# ---------------------------------------------------------------------------
+# J8/F12: positional-EMD matcher (ApproxWordList3, datatypes.py:477-617)
+# ---------------------------------------------------------------------------
+
+
+def test_emd_fast_equals_slow_property():
+    """The reference's dual-implementation cross-check as a property test:
+    the alignment DP equals the defining recursion on random location sets."""
+    import random
+
+    from language_identification_spark.oracle.emd import emd_1d_fast, emd_1d_slow
+
+    rng = random.Random(13)
+    grid = [i / 20 for i in range(21)]
+    for _ in range(400):
+        xs = rng.sample(grid, rng.randint(0, 5))
+        ys = rng.sample(grid, rng.randint(0, 5))
+        assert abs(emd_1d_fast(xs, ys) - emd_1d_slow(xs, ys)) < 1e-9, (xs, ys)
+
+
+def test_emd_basics():
+    from language_identification_spark.oracle.emd import emd_1d
+
+    assert emd_1d([], []) == 0.0
+    assert emd_1d([0.5], []) == 1.0
+    assert emd_1d([0.0, 1.0], [0.0, 1.0]) == 0.0
+    assert emd_1d([0.0], [0.25]) == 0.25
+    # one unmatched point costs 1 + best match for the rest
+    assert emd_1d([0.0, 1.0], [0.0]) == 1.0
+
+
+EMD_VOCAB = [
+    "schwarzenegger", "schwartz", "sandwich", "water", "waterfall",
+    "morning", "mourning", "running", "hello", "yellow", "banana", "bandana",
+]
+
+
+def test_emd_oracle_reference_golden():
+    """Captured reference ApproxWordList3((2,4)).lookup outputs (score 3dp,
+    Damerau-Levenshtein): the 0.9*top cutoff drops every non-correction."""
+    from language_identification_spark.operators.fuzzy import emd_fuzzy_oracle
+
+    got = emd_fuzzy_oracle(
+        EMD_VOCAB, ["schwarzeneger", "watter", "bananna"], top_k=3
+    )
+    assert got["schwarzeneger"] == [("schwarzenegger", 0.894, 1, 1)]
+    assert got["watter"] == [("water", 0.614, 1, 1)]
+    assert got["bananna"] == [("banana", 0.659, 1, 1)]
+
+
+def test_emd_spark_matches_oracle(spark):
+    from language_identification_spark.operators.fuzzy import (
+        emd_fuzzy_oracle,
+        emd_fuzzy_topk,
+    )
+
+    queries = ["schwarzeneger", "watter", "morninng", "helo", "bananna", "Water"]
+    vdf = spark.createDataFrame([(w,) for w in EMD_VOCAB], "word string")
+    qdf = spark.createDataFrame([(q,) for q in queries], "query string")
+    got: dict = {}
+    for r in emd_fuzzy_topk(vdf, qdf, top_k=5).collect():
+        got.setdefault(r["query"], []).append(
+            (r["word"], r["score"], r["dl"], r["rank"])
+        )
+    oracle = emd_fuzzy_oracle(EMD_VOCAB, queries, top_k=5)
+    for q in queries:
+        assert sorted(got.get(q, [])) == sorted(oracle[q]), q
+    # exact-word query: score 1.0, rank 1, case-insensitive
+    assert got["Water"][0][0] == "water" and got["Water"][0][1] == 1.0

@@ -132,3 +132,46 @@ def test_unsupported_scripts_defer():
     tib = "༖"
     assert script_langid(tib)[0] is None
     assert detect_script(tib).get("tibetan") == 1.0
+
+
+def test_l7_ensemble_cascade(spark):
+    """L7 ensemble (language_identification_test.py:30-68 semantics): the
+    hardcoded case, the unique-script early return, the 0.8 scaling of the
+    NB backend, and the 3/4-margin comparison against the script fold."""
+    from language_identification_spark.fixtures import training_corpus
+    from language_identification_spark.oracle.langid import (
+        NgramNBModel,
+        ensemble_detect,
+        ensemble_udf,
+    )
+
+    model = NgramNBModel.train(training_corpus())
+    # the reference's one hardcoded answer
+    assert ensemble_detect(model, "assalamualaikum") == ("ms", 1.0)
+    assert ensemble_detect(model, "") == (None, 0.0)
+    assert ensemble_detect(model, None) == (None, 0.0)
+    # unique script pins early (cld2full-analog path)
+    lang, conf = ensemble_detect(model, "แหลงข้าหลวง")
+    assert lang == "th" and conf >= 0.5
+    # latin text: script fold has no signal -> NB answer, scaled by 0.8
+    nb = model.detect("the quick brown fox jumps over the lazy dog")
+    lang, conf = ensemble_detect(
+        model, "the quick brown fox jumps over the lazy dog"
+    )
+    assert lang == nb[0] and abs(conf - nb[1] * 0.8) < 1e-12
+    # UDF parity on a small frame
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("assalamualaikum",), ("แหลงข้าหลวง",), ("hello world of words",)],
+        "text string",
+    )
+    rows = df.select(
+        ensemble_udf(spark, model)(F.col("text")).alias("r")
+    ).collect()
+    got = [(r["r"]["lang"], round(r["r"]["conf"], 9)) for r in rows]
+    want = [
+        (lambda t: (t[0], round(t[1], 9)))(ensemble_detect(model, x))
+        for x in ["assalamualaikum", "แหลงข้าหลวง", "hello world of words"]
+    ]
+    assert got == want

@@ -222,3 +222,51 @@ def test_multimodal_is_narrow_map(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_merge_wordlists_and_filters(spark):
+    """SO5 + P8: wordlist union dedupes across sources; has_text/has_digit
+    keep rows with at least one letter / digit (unicode classes, not ASCII)."""
+    from language_identification_spark.sources.io import (
+        has_digit_filter,
+        has_text_filter,
+        merge_wordlists,
+    )
+
+    a = spark.createDataFrame([("apple",), ("beta1",), ("42",)], "term string")
+    b = spark.createDataFrame([("apple",), ("čaj",), ("٣٤",)], "term string")
+    merged = merge_wordlists([a, b])
+    assert merged.count() == 5  # 'apple' deduped
+    with_text = sorted(r["term"] for r in has_text_filter(merged).collect())
+    assert with_text == ["apple", "beta1", "čaj"]  # unicode letters count
+    with_digit = sorted(r["term"] for r in has_digit_filter(merged).collect())
+    assert with_digit == ["42", "beta1", "٣٤"]  # arabic-indic digits count
+
+
+def test_json_sink_roundtrip(spark, tmp_path):
+    """K2: JSON sink writes one object per row; read-back equals input."""
+    from language_identification_spark.sources.io import write_json
+
+    df = spark.createDataFrame(
+        [("en", "a", 3), ("zh", "b", 5)], "lang string, gram string, n long"
+    )
+    out = str(tmp_path / "agg_json")
+    write_json(df, out)
+    back = spark.read.json(out)
+    assert sorted(
+        (r["lang"], r["gram"], r["n"]) for r in back.collect()
+    ) == [("en", "a", 3), ("zh", "b", 5)]
+
+
+def test_find_words_f7():
+    """F7 (datasets/tmp.py:18-32): letters+marks only — digits split words,
+    unlike unicode_tokenize which keeps them."""
+    from language_identification_spark.oracle.tokenize import (
+        find_words,
+        unicode_tokenize,
+    )
+
+    assert find_words("a1b c42 naïve") == ["a", "b", "c", "naïve"]
+    assert unicode_tokenize("a1b c42") == ["a1b", "c42"]
+    assert find_words("") == []
+    assert find_words("123 456") == []
