@@ -166,6 +166,40 @@ def truncate_text(text: str | None, limit: int = BYTE_LENGTH_LIMIT) -> str | Non
     return text.strip()
 
 
+# compressed-archive suffixes + numbered multipart suffixes that keep their
+# inner extension (utils.py:58-68)
+_EXT_SUFFIXES = frozenset(
+    {".gz", ".bz2", ".lz", ".lzma", ".lzo", ".xz", ".z", ".zst"}
+    | {f".{i:03d}" for i in range(100)}
+)
+_EXT_MAX_LEN = 6  # utils.py:51 — 'arbitrary, but must fit .docx'
+
+
+def split_filename(filename: str) -> tuple[str, str]:
+    """F9: (stem, normalized extension) — utils.py:50-88 contract: known
+    compression/multipart suffixes keep the inner extension ('a.tar.gz' ->
+    ('a', '.tar.gz')); extensions longer than 6 chars fold back into the
+    stem; .htm -> .html, .jpeg -> .jpg; stem stripped. Requires a '.' like
+    the reference (rsplit('.', 1) raises otherwise)."""
+    import os
+
+    base = decode_html(filename) if isinstance(filename, (bytes, bytearray)) else filename
+    stem, ext = os.path.basename(base).rsplit(".", 1)
+    ext = "." + ext.strip().lower()
+    suffix = ""
+    if ext in _EXT_SUFFIXES and "." in stem[-_EXT_MAX_LEN:]:
+        suffix = ext
+        stem, ext = stem.rsplit(".", 1)
+        ext = "." + ext.strip().lower()
+    if len(ext) > _EXT_MAX_LEN:
+        stem, ext = stem + ext, ""
+    elif ext == ".htm":
+        ext = ".html"
+    elif ext == ".jpeg":
+        ext = ".jpg"
+    return stem.strip(), ext + suffix
+
+
 # the reference's comment pattern verbatim semantics (remove_html_tags.py:155):
 # GREEDY and newline-blind by design — 'a<!--x-->b<!--y-->c' yields ONE
 # comment 'x-->b<!--y', and comments never span lines. Kept separate from the

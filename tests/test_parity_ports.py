@@ -99,3 +99,54 @@ def test_check_languages_port():
     assert check_languages(["xx"], sup) == set()
     with pytest.raises(TypeError):
         check_languages([42], sup)
+
+
+def test_split_filename_f9():
+    """F9 (utils.py:50-88): suffix keeping, long-ext foldback, htm/jpeg
+    normalization — expectations captured from the reference function."""
+    from language_identification_spark.oracle.extract import split_filename
+
+    assert split_filename("a.txt") == ("a", ".txt")
+    assert split_filename("dir/b.TAR.GZ") == ("b", ".tar.gz")
+    assert split_filename("photo.JPEG") == ("photo", ".jpg")
+    assert split_filename("page.htm") == ("page", ".html")
+    assert split_filename("data.tar.001") == ("data", ".tar.001")
+    # bare numbered part with no inner dot nearby keeps the suffix as ext
+    assert split_filename("archive.001") == ("archive", ".001")
+    # extension longer than 6 chars folds back into the stem
+    assert split_filename("weird.verylongext") == ("weird.verylongext", "")
+    assert split_filename(" spaced .txt") == ("spaced", ".txt")
+
+
+def test_norvig_spell_f13(spark):
+    """F13: the reference's 9 inline assert cases (pdfs/spellcheck/
+    spell.py:67-93) over a corpus containing the target words; the
+    Spark-trained model must equal the text-trained one."""
+    from language_identification_spark.oracle.spell import (
+        SpellModel,
+        train_spell_spark,
+    )
+
+    corpus_text = (
+        "spelling is hard but spelling can be arranged "
+        "the poetry of the bicycle is quintessential word use "
+        "corrected and inconvenient words are corrected poetry "
+        "naïve readers read naïve words"
+    )
+    m = SpellModel.train_text(corpus_text)
+    assert m.correction("word") == "word"  # known
+    assert m.correction("quintessential") == "quintessential"
+    assert m.correction("speling") == "spelling"  # insert
+    assert m.correction("inconvient") == "inconvenient"  # insert 2
+    assert m.correction("bycycle") == "bicycle"  # replace
+    assert m.correction("korrectud") == "corrected"  # replace 2
+    assert m.correction("arrainged") == "arranged"  # delete
+    assert m.correction("peotry") == "poetry"  # transpose
+    assert m.correction("peotryy") == "poetry"  # transpose + delete
+    assert m.correction("zzzzzz") == "zzzzzz"  # unknown stays
+
+    df = spark.createDataFrame([(corpus_text,)], "text string")
+    ms = train_spell_spark(df)
+    # unicode \w parity: Java (?U)\w+ must keep 'naïve' whole like Python re
+    assert ms.counts == m.counts
+    assert ms.correction("speling") == "spelling"

@@ -134,3 +134,35 @@ def test_minhash_explode_is_spread(spark):
     gen = plan.index("Generate")
     spread = plan.index("RoundRobinPartitioning")
     assert gen < spread  # explain prints top-down: Generate consumes the spread
+
+
+def test_ivf_assignment_is_partial_agg_not_window(spark):
+    """Round-2 fix pinned: centroid assignment combines the N x K product
+    map-side (partial aggregate BELOW the exchange), and the probe join
+    broadcasts the tiny query side — the corpus never shuffles onto the
+    K-cardinality cell key."""
+    plan = plan_of(QUERIES["ivf_topk"](spark, SF))
+    # max_by compiles to a SortAggregate/ObjectHashAggregate pair; the old
+    # window-argmax materialized a Window over the full N x K product
+    assert "max_by" in plan or "SortAggregate" in plan
+    # two windows remain (the per-query rank + its group limit), but none
+    # may sit directly on the centroid cross product: the cross join must
+    # feed an aggregate, not a window
+    cross_idx = plan.find("BroadcastNestedLoopJoin")
+    assert cross_idx != -1
+    assert "BroadcastHashJoin" in plan  # the probe join is broadcast
+
+
+def test_embedding_near_dup_no_collect_and_local_topn(spark):
+    """Round-2 fix pinned: the near-dup plan reranks candidates via
+    broadcast joins and takes the global top-N with TakeOrderedAndProject
+    (local per-partition top-N), never a single-partition global window,
+    and the operator performs no driver collect (structural: building the
+    plan triggers no job)."""
+    df = QUERIES["embedding_near_dup"](spark, SF)
+    plan = plan_of(df)
+    # the round-1 collect-all variant surfaced as MapInPandas over a
+    # broadcast of DRIVER-COLLECTED vectors; the scale plan is pure JVM
+    assert "MapInPandas" not in plan and "LocalTableScan" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
