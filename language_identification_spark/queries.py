@@ -686,14 +686,10 @@ SELECT doc_id, {bit_sum} AS simhash FROM votes
 )
 
 
-def q_simhash_near_dup(spark, sf_dir):
-    """SimHash near-dup pairing at scale: candidate pairs via the pigeonhole
-    band join — the 60-bit hash split into 4 bands of 15 bits, so any pair
-    within Hamming distance 3 differs in at most 3 bands and MUST share at
-    least one exact band (full recall for the reported hamming <= 3 range,
-    unlike the round-1 two-half split which only guaranteed hamming <= 1).
-    Exact Hamming check bit_count(xor) runs on candidates only; like
-    MinHash-LSH, the quadratic all-pairs scan never happens."""
+def _simhash_near_dup_pairs(spark, sf_dir):
+    """Near-dup candidate pairs (x < y, hamming) via the pigeonhole band
+    join over the 60-bit simhash — shared by the histogram query and the
+    connected-components clustering."""
     sim = q_simhash(spark, sf_dir)
     banded = sim.select(
         "doc_id",
@@ -723,16 +719,79 @@ def q_simhash_near_dup(spark, sf_dir):
     cands = _pairs(0)
     for k in range(1, SIMHASH_BANDS):
         cands = cands.unionByName(_pairs(k))
+    return cands.distinct().filter(F.col("hamming") <= 3)
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairing at scale: candidate pairs via the pigeonhole
+    band join — the 60-bit hash split into 4 bands of 15 bits, so any pair
+    within Hamming distance 3 differs in at most 3 bands and MUST share at
+    least one exact band (full recall for the reported hamming <= 3 range,
+    unlike the round-1 two-half split which only guaranteed hamming <= 1).
+    Exact Hamming check bit_count(xor) runs on candidates only; like
+    MinHash-LSH, the quadratic all-pairs scan never happens."""
     return (
-        cands.distinct()
-        .filter(F.col("hamming") <= 3)
+        _simhash_near_dup_pairs(spark, sf_dir)
         .groupBy("hamming")
         .agg(F.count("*").alias("n_pairs"))
     )
 
 
-SQL_SIMHASH_NEAR_DUP = """
-WITH sim AS ({simhash}),
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over the simhash near-dup
+    graph (hamming <= 3 edges) by distributed min-label propagation — the
+    keep-one-per-cluster step of any dedup pipeline. Each iteration is one
+    join + one min-aggregate over the edge/label tables (both
+    candidate-sized, never corpus-quadratic); the loop runs to fixpoint,
+    which takes O(cluster diameter) rounds — near-dup clusters are shallow
+    (chains of pairwise-similar docs), so 2-3 rounds in practice; a
+    large-star/small-star scheme would cut worst-case rounds to O(log d) at
+    identical per-round cost. localCheckpoint truncates per-round lineage
+    (sandbox-local executors; on a real cluster use reliable
+    checkpoint(dir) so executor loss cannot drop checkpointed partitions).
+    Output: one row per cluster (cluster = min doc_id, n_docs, max_doc)."""
+    pairs = _simhash_near_dup_pairs(spark, sf_dir).select("x", "y")
+    # both directions so a single equi-join sees every neighbor.
+    # localCheckpoint (not cache): every loop round must TRUNCATE lineage —
+    # with plain caching each round's plan re-embeds the whole upstream
+    # simhash DAG plus all previous rounds, and plan size grows until the
+    # driver OOMs (hit at sf0.1). Iterative Spark algorithms checkpoint for
+    # exactly this reason.
+    edges = pairs.unionByName(
+        pairs.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("x").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(30):  # fixpoint guard; diameter of dup clusters is tiny
+        neigh = labels.join(
+            edges, labels.doc_id == edges.x
+        ).select(F.col("y").alias("doc_id"), "lbl")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.groupBy(F.col("lbl").alias("cluster")).agg(
+        F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc")
+    )
+
+
+# shared candidate-pair CTE chain (sim -> banded -> cands) for the near-dup
+# histogram and the connected-components clustering oracle
+_SQL_SIMHASH_CANDS = """sim AS ({simhash}),
 banded AS (
   SELECT doc_id, simhash,
     {band_cols}
@@ -741,10 +800,7 @@ banded AS (
   SELECT DISTINCT x, y, hamming FROM (
     {pair_union}
   )
-)
-SELECT hamming, count(*) AS n_pairs
-FROM cands WHERE hamming <= 3 GROUP BY hamming
-""".format(
+)""".format(
     simhash=SQL_SIMHASH.strip(),
     band_cols=",\n    ".join(
         f"(simhash >> {k * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1} AS band{k}"
@@ -756,6 +812,39 @@ FROM cands WHERE hamming <= 3 GROUP BY hamming
         f"    FROM banded a JOIN banded b ON a.band{k} = b.band{k} AND a.doc_id < b.doc_id"
         for k in range(SIMHASH_BANDS)
     ),
+)
+
+SQL_SIMHASH_NEAR_DUP = (
+    "WITH "
+    + _SQL_SIMHASH_CANDS
+    + """
+SELECT hamming, count(*) AS n_pairs
+FROM cands WHERE hamming <= 3 GROUP BY hamming
+"""
+)
+
+# connected components as a recursive CTE: reach(node, lbl) accumulates every
+# label reachable from each node over the (bidirectional) near-dup edges;
+# UNION set-semantics terminates at the closure; min per node = the cluster
+# representative — identical to the Spark min-label fixpoint.
+SQL_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE "
+    + _SQL_SIMHASH_CANDS
+    + """,
+edges AS (
+  SELECT x AS a, y AS b FROM cands WHERE hamming <= 3
+  UNION ALL
+  SELECT y, x FROM cands WHERE hamming <= 3
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+),
+final AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node)
+SELECT cluster, count(*) AS n_docs, max(doc_id) AS max_doc
+FROM final GROUP BY cluster
+"""
 )
 
 
@@ -1613,6 +1702,90 @@ SELECT l_orderkey, revenue, nation, rank FROM (
 """
 
 
+def q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped: revenue per nation for one region and year, with the
+    local-supplier condition (supplier and customer share the nation) — the
+    classic 6-table join chain. region/nation/customer/supplier are
+    broadcast dims; lineitem x orders is the one fact-fact shuffle join;
+    Catalyst pushes both date predicates into the scans."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1996-01-01'
+GROUP BY n.n_name
+"""
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-shaped: promo revenue share for one month — a fact x dim
+    join (part broadcast) feeding a conditional aggregate (the
+    sum(CASE)/sum ratio pattern). Single output row; ratio rounded."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+            * 100.0
+            / F.sum(rev),
+            6,
+        ).alias("promo_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_PROMO_REVENUE = """
+SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1995-09-01' AND l.l_shipdate < DATE '1995-10-01'
+"""
+
+
 def q_events_hourly(spark, sf_dir):
     """Windowed-aggregation analog on the events table (the batch form of the
     streaming tumbling-window rollup): per (hour, event_type) counts + value."""
@@ -1655,6 +1828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_top_pairs": q_jaccard_top_pairs,
     "simhash": q_simhash,
     "simhash_near_dup": q_simhash_near_dup,
+    "dedup_clusters": q_dedup_clusters,
     "lsh_band_buckets": q_lsh_band_buckets,
     "stopword_anti_join": q_stopword_anti_join,
     "events_sessionize": q_events_sessionize,
@@ -1675,6 +1849,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_counts": q_rollup_counts,
     "pricing_summary": q_pricing_summary,
     "order_revenue_topk": q_order_revenue_topk,
+    "regional_revenue": q_regional_revenue,
+    "promo_revenue": q_promo_revenue,
     "events_hourly": q_events_hourly,
 }
 
@@ -1696,6 +1872,7 @@ ORACLE_SQL: dict[str, str] = {
     "jaccard_top_pairs": SQL_JACCARD_TOP_PAIRS,
     "simhash": SQL_SIMHASH,
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "lsh_band_buckets": SQL_LSH_BAND_BUCKETS,
     "stopword_anti_join": SQL_STOPWORD_ANTI_JOIN,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
@@ -1716,5 +1893,7 @@ ORACLE_SQL: dict[str, str] = {
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
+    "regional_revenue": SQL_REGIONAL_REVENUE,
+    "promo_revenue": SQL_PROMO_REVENUE,
     "events_hourly": SQL_EVENTS_HOURLY,
 }
