@@ -128,6 +128,27 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(fake_media_df(spark, 64))
 
 
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over the deterministic fake media table
+    (rows-only: content-hash frame features have no SQL equivalent);
+    features stringified for the gate canonicalizer."""
+    from language_identification_spark.operators.multimodal import (
+        fake_media_df,
+        sample_frames,
+    )
+
+    return sample_frames(fake_media_df(spark, 64), every_n_bytes=32).withColumn(
+        "features",
+        F.array_join(
+            F.transform(
+                F.col("features"),
+                lambda x: F.round(x.cast("double"), 6).cast("string"),
+            ),
+            ",",
+        ),
+    )
+
+
 def _q_word_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-level Kneser-Ney perplexity of each document under its own
     language's LM, trained distributively on the same corpus (rows-only:
@@ -188,6 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ",",
         ),
     )
+    out["media_frames"] = _q_media_frames
     out["word_kn_ppl"] = _q_word_kn_ppl
     return out
 

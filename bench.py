@@ -38,7 +38,9 @@ HEADLINE = [
     "simhash",
     "cosine_topk",
     "ivf_topk",
+    "kmeans_ivf_train",
     "embedding_near_dup",
+    "dedup_clusters",
     "script_charset_join",
     "pricing_summary",
     "order_revenue_topk",

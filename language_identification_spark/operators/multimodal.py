@@ -93,6 +93,52 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+FRAMES_SCHEMA = (
+    "doc_id bigint, frame_idx int, features array<float>, decode_error string"
+)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame sampling for video rows: one output row PER SAMPLED FRAME — the
+    1->N mapInPandas shape (unlike extract_features' 1->1), which is how
+    frame-level features land in a training table.
+
+    STUB at the codec layer like decode_media: real frame extraction
+    (ffmpeg) is unavailable, so a 'frame' is a deterministic content-derived
+    vector over each every_n_bytes-sized blob slice, capped at max_frames.
+    The Spark-side contract is real: streaming Arrow batches in, exploded
+    frame rows out, per-row error capture, narrow map. Non-video rows pass
+    through as a single no-frame row with decode_error set."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, blob in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["media"]
+            ):
+                if mt != "video/mp4":
+                    rows.append((doc_id, -1, None, f"not_video:{mt}"))
+                    continue
+                if blob is None:
+                    rows.append((doc_id, -1, None, "null_media"))
+                    continue
+                blob = bytes(blob)
+                n_frames = min(max_frames, max(1, len(blob) // every_n_bytes))
+                for i in range(n_frames):
+                    sl = blob[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    digest = hashlib.sha256(b"frame%d" % i + sl).digest()
+                    feats = [
+                        int.from_bytes(digest[4 * j : 4 * j + 4], "big") / 2**32
+                        for j in range(FEATURE_DIM)
+                    ]
+                    rows.append((doc_id, i, feats, None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "features", "decode_error"]
+            )
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def fake_media_df(spark, n: int = 64, seed: int = 13) -> DataFrame:
     """Deterministic synthetic media table for tests/benchmarks."""
     import random

@@ -766,24 +766,52 @@ def q_dedup_clusters(spark, sf_dir):
         .withColumn("lbl", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(30):  # fixpoint guard; diameter of dup clusters is tiny
-        neigh = labels.join(
-            edges, labels.doc_id == edges.x
-        ).select(F.col("y").alias("doc_id"), "lbl")
-        new_labels = (
-            labels.unionByName(neigh)
-            .groupBy("doc_id")
-            .agg(F.min("lbl").alias("lbl"))
+    prev_sum = None
+    for _ in range(30):  # fixpoint guard
+        # neighbor-min step WITHOUT a Union: unioning `labels` with a branch
+        # derived from `labels` trips Catalyst's Union constraint rewriting
+        # ('key not found: doc_id#...'); the equivalent left join + least is
+        # also one fewer shuffle. Every neighbor key is already a label key
+        # (neigh targets are edge endpoints; labels covers all endpoints),
+        # so left-join semantics equal the union-min.
+        lab_src = labels.select(
+            F.col("doc_id").alias("src_id"), F.col("lbl").alias("src_lbl")
+        )
+        nmin = (
+            lab_src.join(edges, lab_src.src_id == edges.x)
+            .groupBy(F.col("y").alias("doc_id"))
+            .agg(F.min("src_lbl").alias("nlbl"))
+        )
+        stepped = labels.join(nmin, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+        )
+        # pointer jump (path halving): follow my label's label so chains
+        # shortcut a hop per round. The jump table is the PREVIOUS round's
+        # checkpointed labels — jumping through the live `stepped` plan
+        # would be a self-join of an unmaterialized plan (the same Catalyst
+        # constraint-rewrite failure as the union), and the stale-by-one
+        # mapping preserves monotone convergence to the same fixpoint.
+        jump_t = labels.select(
+            F.col("doc_id").alias("t_id"), F.col("lbl").alias("t_lbl")
+        )
+        labels = (
+            stepped.join(jump_t, stepped.lbl == jump_t.t_id, "left")
+            .select(
+                stepped.doc_id.alias("doc_id"),
+                F.least(
+                    stepped.lbl, F.coalesce("t_lbl", stepped.lbl)
+                ).alias("lbl"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-            .filter(F.col("lbl") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # labels are monotonically non-increasing (min over a union that
+        # includes the old label; jumping only lowers further), so an
+        # unchanged SUM means fixpoint — one cheap aggregate per round
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.groupBy(F.col("lbl").alias("cluster")).agg(
         F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc")
     )
@@ -979,6 +1007,120 @@ SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos FROM (
   FROM scored
 ) WHERE rank <= 3
 """
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+_EMB_DIM = 64
+
+
+def q_kmeans_ivf_train(spark, sf_dir):
+    """IVF centroid TRAINING: k-means (Lloyd) over the embedding table with
+    deterministic first-k init — 2 assign+update rounds, then final
+    assignment stats. Each round is the ivf_topk assignment shape (cross
+    join against the broadcast k-row centroid set, max_by partial agg — no
+    N x K shuffle) plus a per-(cell, dim) mean. Centroids are ROUNDED to
+    6 dp as part of the algorithm: both engines then assign against
+    bit-identical centroid values, making the iteration cross-engine
+    reproducible (unrounded means differ in summation order at ~1e-16 and
+    could flip borderline assignments). Output: (cid, n_vecs, norm) of the
+    final model."""
+    emb = _spread(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
+    )
+
+    def assign(cent_df):
+        cos = _dot(F.col("v"), F.col("cvec")) / (
+            F.sqrt(_dot(F.col("v"), F.col("v")))
+            * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
+        )
+        return (
+            emb.crossJoin(F.broadcast(cent_df))
+            .select("vec_id", "v", "cid", cos.alias("cos_c"))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct(F.col("cid"), F.col("v")),
+                    F.struct(F.col("cos_c"), (-F.col("cid")).alias("nc")),
+                ).alias("best")
+            )
+            .select(
+                "vec_id",
+                F.col("best.v").alias("v"),
+                F.col("best.cid").alias("cell"),
+            )
+        )
+
+    for _ in range(KMEANS_ITERS):
+        assigned = assign(cent)
+        cent = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+            .select(F.col("cell").alias("cid"), "cvec")
+        )
+    final = assign(cent)
+    counts = final.groupBy(F.col("cell").alias("cid")).agg(
+        F.count("*").alias("n_vecs")
+    )
+    norm = F.round(F.sqrt(_dot(F.col("cvec"), F.col("cvec"))), 4)
+    return counts.join(cent, "cid").select("cid", "n_vecs", norm.alias("norm"))
+
+
+def _sql_kmeans_ivf_train() -> str:
+    def assign_cte(name, cent, prev):
+        return f"""{name} AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, c.cvec)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+             c.cid ASC) AS rn
+    FROM emb e CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+    def cent_cte(name, assign):
+        return f"""{name} AS (
+  SELECT cell AS cid, list(m ORDER BY pos) AS cvec FROM (
+    SELECT cell, i AS pos, round(avg(v[i]), 6) AS m
+    FROM {assign}, unnest(range(1, {_EMB_DIM} + 1)) AS t(i)
+    GROUP BY cell, i
+  ) GROUP BY cell
+)"""
+
+    parts = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cid, v AS cvec FROM emb WHERE vec_id < {KMEANS_K})",
+    ]
+    cent = "cent0"
+    for i in range(1, KMEANS_ITERS + 1):
+        parts.append(assign_cte(f"assign{i}", cent, None))
+        parts.append(cent_cte(f"cent{i}", f"assign{i}"))
+        cent = f"cent{i}"
+    parts.append(assign_cte("final_assign", cent, None))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+counts AS (SELECT cell AS cid, count(*) AS n_vecs FROM final_assign GROUP BY cell)
+SELECT c.cid, n.n_vecs, round(sqrt(list_dot_product(c.cvec, c.cvec)), 4) AS norm
+FROM {cent} c JOIN counts n USING (cid)
+"""
+    )
+
+
+SQL_KMEANS_IVF_TRAIN = _sql_kmeans_ivf_train()
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -1834,6 +1976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
+    "kmeans_ivf_train": q_kmeans_ivf_train,
     "embedding_near_dup": q_embedding_near_dup,
     "quality_stats_sql": q_quality_stats_sql,
     "scrub_sql": q_scrub_sql,
@@ -1878,6 +2021,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "cosine_topk": SQL_COSINE_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
+    "kmeans_ivf_train": SQL_KMEANS_IVF_TRAIN,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "quality_stats_sql": SQL_QUALITY_STATS,
     "scrub_sql": SQL_SCRUB,

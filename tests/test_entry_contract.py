@@ -13,6 +13,7 @@ def test_oracle_keys_subset_of_queries():
     assert no_oracle == {
         "quality_pipeline",
         "multimodal_features",
+        "media_frames",
         "word_kn_ppl",
         "emd_fuzzy_lookup",
     }, no_oracle

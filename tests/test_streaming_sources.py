@@ -270,3 +270,46 @@ def test_find_words_f7():
     assert unicode_tokenize("a1b c42") == ["a1b", "c42"]
     assert find_words("") == []
     assert find_words("123 456") == []
+
+
+def test_multimodal_frame_sampling(spark):
+    """sample_frames: 1->N exploded frame rows for video, per-row error
+    capture for non-video/null, deterministic content-derived features,
+    narrow map (no exchange)."""
+    from language_identification_spark.operators.multimodal import (
+        FEATURE_DIM,
+        fake_media_df,
+        sample_frames,
+    )
+
+    media = fake_media_df(spark, 40)
+    out = sample_frames(media, every_n_bytes=32, max_frames=4)
+    rows = out.collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    videos = {
+        r["doc_id"]: r["media"]
+        for r in media.collect()
+        if r["media_type"] == "video/mp4"
+    }
+    for doc_id, blob in videos.items():
+        frames = sorted(by_doc[doc_id], key=lambda r: r["frame_idx"])
+        if blob is None:
+            assert frames[0]["decode_error"] == "null_media"
+            continue
+        expect_n = min(4, max(1, len(bytes(blob)) // 32))
+        assert len(frames) == expect_n
+        assert [f["frame_idx"] for f in frames] == list(range(expect_n))
+        assert all(len(f["features"]) == FEATURE_DIM for f in frames)
+        assert all(f["decode_error"] is None for f in frames)
+    # non-video rows emit exactly one error row
+    non_video = [r for r in rows if r["decode_error"] and r["decode_error"].startswith("not_video")]
+    assert non_video and all(r["frame_idx"] == -1 for r in non_video)
+    # determinism across runs (task-retry safety)
+    rows2 = sample_frames(media, every_n_bytes=32, max_frames=4).collect()
+    key = lambda r: (r["doc_id"], r["frame_idx"])  # noqa: E731
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    # narrow map: no shuffle exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan or "BroadcastExchange" in plan
