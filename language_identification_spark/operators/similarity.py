@@ -331,6 +331,7 @@ def lsh_bucket_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH candidate pairs — the 100 TB near-dup path.
 
@@ -338,12 +339,68 @@ def lsh_bucket_pairs(
     on (band, sig). Only candidates sharing a band signature are compared
     downstream, so the join is shuffle-by-signature instead of a cross join.
     Returns distinct candidate (a, b) pairs, a < b.
+
+    ``max_bucket_size`` is the stop-shingle defense for skewed buckets (a
+    boilerplate-dominated signature shared by 10^8 docs would make the
+    within-bucket self-join quadratic): buckets above the cap are EXCLUDED
+    from candidate generation — a recall tradeoff, not a correctness bug,
+    and never silent: audit what was dropped with ``lsh_oversized_buckets``
+    (same inputs, same cap) and record it in the run's metrics table.
     """
-    spark = emb.sparkSession
+    sigs = _lsh_signatures(emb, n_planes, bands, seed, id_col, vec_col)
+    if max_bucket_size is not None:
+        # window count per bucket, then drop members of oversized buckets —
+        # one extra shuffle on the SAME (band, sig) key the join needs
+        w = Window.partitionBy("band", "sig")
+        sigs = (
+            sigs.withColumn("bucket_n", F.count("*").over(w))
+            .filter(F.col("bucket_n") <= max_bucket_size)
+            .drop("bucket_n")
+        )
+    return (
+        sigs.alias("x")
+        .join(sigs.alias("y"), ["band", "sig"])
+        .filter(F.col("x.vid") < F.col("y.vid"))
+        .select(F.col("x.vid").alias("a"), F.col("y.vid").alias("b"))
+        .distinct()
+    )
+
+
+def lsh_oversized_buckets(
+    emb: DataFrame,
+    max_bucket_size: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Audit companion to ``lsh_bucket_pairs(max_bucket_size=...)``: the
+    (band, sig, n_members) rows the cap excluded — write this to the run's
+    metrics table so capping is observable, never silent."""
+    sigs = _lsh_signatures(emb, n_planes, bands, seed, id_col, vec_col)
+    return (
+        sigs.groupBy("band", "sig")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > max_bucket_size)
+    )
+
+
+def _lsh_signatures(
+    emb: DataFrame,
+    n_planes: int,
+    bands: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vid, band, sig) rows via numpy sign bits against seeded hyperplanes
+    — shared by candidate generation and the bucket-size audit (identical
+    planes => identical buckets)."""
     rng = np.random.default_rng(seed)
     dim = len(emb.select(vec_col).first()[0])
     planes = rng.standard_normal((dim, n_planes))
-    bc = spark.sparkContext.broadcast(planes)
+    bc = emb.sparkSession.sparkContext.broadcast(planes)
     bits_per_band = n_planes // bands
 
     def signature(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -361,13 +418,6 @@ def lsh_bucket_pairs(
                     rows.append((int(vid), band, sig))
             yield pd.DataFrame(rows, columns=["vid", "band", "sig"])
 
-    sigs = emb.select(id_col, vec_col).mapInPandas(
+    return emb.select(id_col, vec_col).mapInPandas(
         signature, schema="vid long, band int, sig long"
-    )
-    return (
-        sigs.alias("x")
-        .join(sigs.alias("y"), ["band", "sig"])
-        .filter(F.col("x.vid") < F.col("y.vid"))
-        .select(F.col("x.vid").alias("a"), F.col("y.vid").alias("b"))
-        .distinct()
     )

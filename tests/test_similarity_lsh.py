@@ -41,3 +41,37 @@ def test_lsh_deterministic(spark):
     a = sorted((r["a"], r["b"]) for r in lsh_bucket_pairs(df).collect())
     b = sorted((r["a"], r["b"]) for r in lsh_bucket_pairs(df).collect())
     assert a == b
+
+
+def test_lsh_bucket_cap_excludes_hot_buckets(spark):
+    """max_bucket_size (the stop-shingle defense): a planted hot bucket —
+    many near-identical vectors sharing every band signature — is excluded
+    from candidate generation under the cap, and the audit query reports
+    exactly the oversized buckets."""
+    import numpy as np
+
+    from language_identification_spark.operators.similarity import (
+        lsh_oversized_buckets,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(16)
+    rows = []
+    # 60 near-copies of one vector = a hot bucket in every band
+    for i in range(60):
+        v = base + rng.standard_normal(16) * 1e-3
+        rows.append((i, [float(x) for x in v]))
+    # plus unrelated background vectors
+    for i in range(60, 160):
+        rows.append((i, [float(x) for x in rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    uncapped = lsh_bucket_pairs(df).count()
+    capped = lsh_bucket_pairs(df, max_bucket_size=30).count()
+    # the hot cluster alone contributes 60*59/2 = 1770 pairs; capping must
+    # remove them (and only bucket-level removals, nothing random)
+    assert capped < uncapped - 1500, (capped, uncapped)
+    audit = lsh_oversized_buckets(df, max_bucket_size=30).collect()
+    assert audit and all(r["n_members"] > 30 for r in audit)
+    # audited buckets are exactly where the 60 hot vectors live
+    assert max(r["n_members"] for r in audit) >= 60
