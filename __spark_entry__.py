@@ -128,6 +128,17 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(fake_media_df(spark, 64))
 
 
+def _stringify_floats(col: str):
+    """array<float> -> '0.12,0.34,...' for the gate canonicalizer (pandas
+    sort_values cannot sort list cells); shared by every media entry."""
+    return F.array_join(
+        F.transform(
+            F.col(col), lambda x: F.round(x.cast("double"), 6).cast("string")
+        ),
+        ",",
+    )
+
+
 def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing over the deterministic fake media table
     (rows-only: content-hash frame features have no SQL equivalent);
@@ -138,14 +149,7 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return sample_frames(fake_media_df(spark, 64), every_n_bytes=32).withColumn(
-        "features",
-        F.array_join(
-            F.transform(
-                F.col("features"),
-                lambda x: F.round(x.cast("double"), 6).cast("string"),
-            ),
-            ",",
-        ),
+        "features", _stringify_floats("features")
     )
 
 
@@ -199,16 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["emd_fuzzy_lookup"] = _q_emd_fuzzy_lookup
     out["multimodal_features"] = lambda spark, sf_dir: _q_multimodal_features(
         spark, sf_dir
-    ).withColumn(
-        "features",
-        F.array_join(
-            F.transform(
-                F.col("features"),
-                lambda x: F.round(x.cast("double"), 6).cast("string"),
-            ),
-            ",",
-        ),
-    )
+    ).withColumn("features", _stringify_floats("features"))
     out["media_frames"] = _q_media_frames
     out["word_kn_ppl"] = _q_word_kn_ppl
     return out

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-from language_identification_spark.oracle.tokenize import unicode_tokenize
+from language_identification_spark.oracle.tokenize import is_word_char
 
 _FNAME_RE = re.compile(r"\[(?P<lang>\w+)\]\s*(?P<terms>[^-]+)-(?P<defs>[^.]+)\.csv$")
 
@@ -95,13 +95,38 @@ def read_bilingual_dictionaries(spark: SparkSession, paths: list[str]) -> DataFr
     return out
 
 
+def _dict_tokenize(text: str) -> list[str]:
+    """The reference Dictionary's exact token stream (datatypes.py:606-609
+    tokenizes with the DEFAULT unicode_tokenize, words_only=False —
+    verified against the reference: word-char runs, each punctuation/symbol
+    char as its own token, NO apostrophe merge, so "don't" -> don, ', t and
+    'self-taught' -> self, -, taught). Space tokens are omitted: the
+    reference reserves vocab index 0 for ' ' and excludes it from both
+    inverted indices (datatypes.py:582-584, :624-628)."""
+    tokens: list[str] = []
+    start = -1
+    for i, ch in enumerate(text):
+        if is_word_char(ch):
+            if start < 0:
+                start = i
+            continue
+        if start >= 0:
+            tokens.append(text[start:i])
+            start = -1
+        if not ch.isspace():
+            tokens.append(ch)
+    if start >= 0:
+        tokens.append(text[start:])
+    return tokens
+
+
 @F.pandas_udf(ArrayType(StringType()))
 def _tokenize_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """Reference tokenization of terms/queries: whitespace-normalize then
-    unicode_tokenize (datatypes.py:606-609, :634)."""
+    the Dictionary token stream (datatypes.py:606-609, :634)."""
     for series in batches:
         yield series.map(
-            lambda t: [] if t is None else list(unicode_tokenize(" ".join(t.strip().split())))
+            lambda t: [] if t is None else _dict_tokenize(" ".join(t.strip().split()))
         )
 
 
@@ -181,7 +206,7 @@ class DictionaryOracle:
         self._entries: dict[tuple[str, int], tuple[str, str]] = {}
 
     def add(self, dict_id: str, entry_id: int, term: str, definition: str) -> None:
-        words = list(unicode_tokenize(" ".join(term.strip().split())))
+        words = _dict_tokenize(" ".join(term.strip().split()))
         variants = self._variants.setdefault(dict_id, {})
         index = self._entry_index.setdefault(dict_id, {})
         for w in words:
@@ -191,7 +216,7 @@ class DictionaryOracle:
 
     def lookup(self, query_id, text: str, k: int = 5) -> list[tuple]:
         matches: Counter[tuple[str, int]] = Counter()
-        tokens = list(unicode_tokenize(" ".join(text.strip().casefold().split())))
+        tokens = _dict_tokenize(" ".join(text.strip().casefold().split()))
         for tok in tokens:
             for dict_id, variants in self._variants.items():
                 for variant in variants.get(tok, ()):

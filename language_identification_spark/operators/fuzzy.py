@@ -133,19 +133,28 @@ def _emd_scores(
     """Accumulate per-(word, n) scores: max(|q_locs|, |w_locs|) - EMD per
     shared gram, then normalize by the query's padded gram count for that n
     (datatypes.py:567-585). cand_rows: (word, n, q_locs, w_locs) per shared
-    gram."""
-    from language_identification_spark.oracle.emd import emd_1d
+    gram.
+
+    Uses emd_1d_fast directly — the fast==slow cross-check assert stays in
+    tests (the slow recursion is exponential-state; inside a Spark rescore
+    a repeated-char word would make it a DoS). Queries shorter than n-2
+    have ZERO grams of that n: the reference divides by their gram count
+    anyway and raises ZeroDivisionError (datatypes.py:581-583); we define
+    that n's contribution as 0.0 instead so one short query cannot kill a
+    distributed job (intentional divergence)."""
+    from language_identification_spark.oracle.emd import emd_1d_fast
 
     n_idx = {n: i for i, n in enumerate(n_list)}
     matches: dict[str, list[float]] = {}
     for word, n, q_locs, w_locs in cand_rows:
         scores = matches.setdefault(word, [0.0] * len(n_list))
-        scores[n_idx[n]] += max(len(q_locs), len(w_locs)) - emd_1d(
+        scores[n_idx[n]] += max(len(q_locs), len(w_locs)) - emd_1d_fast(
             list(q_locs), list(w_locs)
         )
     for word, scores in matches.items():
         matches[word] = [
-            scores[i] / (len(query) - n + 3) for i, n in enumerate(n_list)
+            (scores[i] / denom if (denom := len(query) - n + 3) > 0 else 0.0)
+            for i, n in enumerate(n_list)
         ]
     return matches
 
@@ -218,15 +227,12 @@ def emd_fuzzy_topk(
     sides, equi-join on (n, gram) — the set-similarity join again, vocab
     side broadcast — then ONE grouped-map per query replays the exact oracle
     scoring (shared helpers; bit-parity by construction, tested)."""
-    @F.pandas_udf("string")
-    def _casefold(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for series in batches:
-            yield series.str.casefold()
+    from language_identification_spark.functions.text import casefold_udf
 
     # the reference index dedups casefolded vocabulary (add_word returns
     # early on known words) — mirror that before gram explosion, or case
     # variants would double their scores
-    vocab = vocab.select(_casefold(F.col("word")).alias("word")).distinct()
+    vocab = vocab.select(casefold_udf(F.col("word")).alias("word")).distinct()
 
     def gram_rows(df: DataFrame, col: str) -> DataFrame:
         @F.pandas_udf("array<struct<n int, gram string, locs array<double>>>")

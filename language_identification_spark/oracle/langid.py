@@ -169,15 +169,18 @@ def script_langid(text: str) -> tuple[str | None, float]:
     return None, frac
 
 
-def ensemble_detect(
-    model: "NgramNBModel", text: str | None
-) -> tuple[str | None, float]:
+def ensemble_detect_batch(
+    model: "NgramNBModel", texts: list[str | None]
+) -> list[tuple[str | None, float]]:
     """L7: the reference's full ensemble cascade semantics
     (language_identification_test.py:30-68), mapped onto this engine's
-    backends:
+    backends and vectorized over a batch (ONE NB matrix pass for every row
+    the cheap stages don't resolve — the same batching detect_batch uses):
 
-    1. empty text -> (None, 0.0)            (clean_text raises -> None)
-    2. the reference's one hardcoded case   (:39-40: 'assalamualaikum'->'ms')
+    1. clean_text first (:32-36: digit strip + whitespace collapse; empty
+       after cleaning -> (None, 0.0) — the reference returns None there)
+    2. the reference's one hardcoded case   (:39-40: 'assalamualaikum'->'ms',
+       compared on the CLEANED text like the reference)
     3. unique-script pin (>= 0.5 coverage)  ~ the cld2full/cld2 early returns
        (:42-56 — high-precision backends win outright when they answer)
     4. sys = n-gram NB top-1, score * 0.8   (:59-60: 'backend tends to be
@@ -186,31 +189,63 @@ def ensemble_detect(
     6. sys wins only if sys_score * 3/4 > fallback_score (:65-68);
        otherwise the fallback's answer stands. No fold signal -> sys.
     """
-    if not text:
-        return None, 0.0
-    if text.lower() == "assalamualaikum":
-        return "ms", 1.0
-    lang, frac = script_langid(text)
-    if lang is not None and frac >= 0.5:
-        return lang, frac
-    nb = model.detect(text)
-    sys_lang, sys_score = nb[0], nb[1] * 0.8
+    import numpy as np
+
+    from language_identification_spark.oracle.extract import clean_text
     from language_identification_spark.oracle.script_index import (
         detect_language_full,
     )
 
-    fold = detect_language_full(text)
-    if fold:
-        fb_lang, fb_score = fold[0]
-        if not (sys_score * 3 / 4 > fb_score):
-            return fb_lang, fb_score
-    return sys_lang, sys_score
+    out: list[tuple[str | None, float] | None] = [None] * len(texts)
+    nb_rows: list[int] = []
+    nb_texts: list[str] = []
+    for i, raw in enumerate(texts):
+        cleaned = clean_text(raw) if raw else None
+        if not cleaned:
+            out[i] = (None, 0.0)
+            continue
+        if cleaned.lower() == "assalamualaikum":
+            out[i] = ("ms", 1.0)
+            continue
+        lang, frac = script_langid(cleaned)
+        if lang is not None and frac >= 0.5:
+            out[i] = (lang, frac)
+            continue
+        nb_rows.append(i)
+        nb_texts.append(cleaned)
+    if nb_texts:
+        langs, raw_scores = model._raw_scores_batch(nb_texts)
+        for k, i in enumerate(nb_rows):
+            if not langs:
+                out[i] = (None, 0.0)
+                continue
+            col = np.ascontiguousarray(raw_scores[:, k])
+            exps = np.exp(col - col.max())
+            z = exps.sum()
+            top = int(exps.argmax())
+            sys_lang, sys_score = langs[top], float(exps[top] / z) * 0.8
+            fold = detect_language_full(nb_texts[k])
+            if fold:
+                fb_lang, fb_score = fold[0]
+                if not (sys_score * 3 / 4 > fb_score):
+                    out[i] = (fb_lang, fb_score)
+                    continue
+            out[i] = (sys_lang, sys_score)
+    return out  # type: ignore[return-value]
+
+
+def ensemble_detect(
+    model: "NgramNBModel", text: str | None
+) -> tuple[str | None, float]:
+    """Single-row form of ensemble_detect_batch (same code path, so row-wise
+    and batched results are identical by construction)."""
+    return ensemble_detect_batch(model, [text])[0]
 
 
 def ensemble_udf(spark_or_sc, model: "NgramNBModel"):
     """(text) -> struct<lang string, conf double>: the L7 cascade as an
     Arrow-batched UDF with the model broadcast (same executor-singleton
-    shape as the NB scorer)."""
+    shape as the NB scorer); one NB matrix pass per Arrow batch."""
     import pandas
     from pyspark.sql import functions as F
 
@@ -218,8 +253,7 @@ def ensemble_udf(spark_or_sc, model: "NgramNBModel"):
     bc = sc.broadcast(model)
 
     def _detect(series: "pandas.Series") -> "pandas.DataFrame":
-        m = bc.value
-        rows = [ensemble_detect(m, t) for t in series]
+        rows = ensemble_detect_batch(bc.value, series.tolist())
         return pandas.DataFrame(rows, columns=["lang", "conf"])
 
     _detect.__annotations__ = {

@@ -79,7 +79,10 @@ class SpellModel:
         )
 
     def correction(self, word: str) -> str:
-        return max(self.candidates(word), key=lambda w: (self.p(w), w))
+        # min over (-p, word) = probability desc then word ASC, matching the
+        # documented total order (max with key (p, w) would break prob ties
+        # by word DESCENDING)
+        return min(self.candidates(word), key=lambda w: (-self.p(w), w))
 
 
 def train_spell_spark(corpus, text_col: str = "text") -> SpellModel:

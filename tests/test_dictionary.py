@@ -19,6 +19,11 @@ IND_ROWS = [
     ("The morning sun", "matahari pagi"),
     ("water", "air"),
     ("The Water buffalo", "kerbau"),
+    # punctuation/apostrophe shapes: the reference tokenizer emits each
+    # punctuation char as its own indexed token and does NOT merge
+    # apostrophes ("don't" -> don / ' / t) — verified against the reference
+    ("don't worry", "jangan risau"),
+    ("self-taught person", "orang belajar sendiri"),
 ]
 
 MSA_ROWS = [
@@ -65,6 +70,8 @@ def test_lookup_matches_rowwise_oracle(spark, dict_files):
         (2, "morning morning"),
         (3, "thank you for the evening dew"),
         (4, "zzz nothing matches"),
+        (5, "don't"),  # matches via don, ', t
+        (6, "a - b"),  # the '-' token alone reaches 'self-taught'
     ]
     qdf = spark.createDataFrame(queries, "query_id long, text string")
     got = sorted(

@@ -108,3 +108,14 @@ def test_emd_spark_matches_oracle(spark):
         assert sorted(got.get(q, [])) == sorted(oracle[q]), q
     # exact-word query: score 1.0, rank 1, case-insensitive
     assert got["Water"][0][0] == "water" and got["Water"][0][1] == 1.0
+
+
+def test_emd_short_query_no_crash():
+    """A 1-char query has zero n=4 grams; the reference divides by that gram
+    count and raises ZeroDivisionError — we define the contribution as 0.0
+    so one short query cannot kill a distributed rescore task."""
+    from language_identification_spark.operators.fuzzy import emd_fuzzy_oracle
+
+    got = emd_fuzzy_oracle(["a", "apple", "banana"], ["a"], top_k=3)
+    assert got["a"], got
+    assert got["a"][0][0] == "a" and got["a"][0][3] == 1  # exact match first

@@ -150,3 +150,13 @@ def test_norvig_spell_f13(spark):
     # unicode \w parity: Java (?U)\w+ must keep 'naïve' whole like Python re
     assert ms.counts == m.counts
     assert ms.correction("speling") == "spelling"
+
+
+def test_spell_tie_break_word_asc():
+    """Probability ties break by word ASC (the documented total order)."""
+    from collections import Counter
+
+    from language_identification_spark.oracle.spell import SpellModel
+
+    m = SpellModel(Counter({"aa": 1, "ab": 1}))
+    assert m.correction("az") == "aa"

@@ -310,6 +310,12 @@ def test_multimodal_frame_sampling(spark):
     rows2 = sample_frames(media, every_n_bytes=32, max_frames=4).collect()
     key = lambda r: (r["doc_id"], r["frame_idx"])  # noqa: E731
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
-    # narrow map: no shuffle exchange in the plan
+    # narrow map: every Exchange occurrence (if any) must be a broadcast —
+    # a shuffle Exchange line would contain 'Exchange' without 'Broadcast'
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan or "BroadcastExchange" in plan
+    shuffle_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert not shuffle_lines, shuffle_lines
