@@ -737,19 +737,11 @@ def q_simhash_near_dup(spark, sf_dir):
     )
 
 
-def q_dedup_clusters(spark, sf_dir):
-    """Near-dup CLUSTERING: connected components over the simhash near-dup
-    graph (hamming <= 3 edges) by distributed min-label propagation — the
-    keep-one-per-cluster step of any dedup pipeline. Each iteration is one
-    join + one min-aggregate over the edge/label tables (both
-    candidate-sized, never corpus-quadratic); the loop runs to fixpoint,
-    which takes O(cluster diameter) rounds — near-dup clusters are shallow
-    (chains of pairwise-similar docs), so 2-3 rounds in practice; a
-    large-star/small-star scheme would cut worst-case rounds to O(log d) at
-    identical per-round cost. localCheckpoint truncates per-round lineage
-    (sandbox-local executors; on a real cluster use reliable
-    checkpoint(dir) so executor loss cannot drop checkpointed partitions).
-    Output: one row per cluster (cluster = min doc_id, n_docs, max_doc)."""
+def _near_dup_labels(spark, sf_dir):
+    """(doc_id, lbl) connected-component labels over the simhash near-dup
+    graph (hamming <= 3 edges) by distributed min-label propagation with
+    pointer jumping, run to fixpoint — see q_dedup_clusters for the full
+    story. Only docs that appear in at least one near-dup edge get a row."""
     pairs = _simhash_near_dup_pairs(spark, sf_dir).select("x", "y")
     # both directions so a single equi-join sees every neighbor.
     # localCheckpoint (not cache): every loop round must TRUNCATE lineage —
@@ -812,8 +804,53 @@ def q_dedup_clusters(spark, sf_dir):
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    return labels
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over the simhash near-dup
+    graph (hamming <= 3 edges) by distributed min-label propagation — the
+    keep-one-per-cluster step of any dedup pipeline. Each iteration is one
+    join + one min-aggregate over the edge/label tables (both
+    candidate-sized, never corpus-quadratic) plus a pointer jump, run to
+    fixpoint in O(log diameter)-ish rounds. localCheckpoint truncates
+    per-round lineage (sandbox-local executors; on a real cluster use
+    reliable checkpoint(dir) so executor loss cannot drop checkpointed
+    partitions). Output: one row per cluster (cluster = min doc_id, n_docs,
+    max_doc)."""
+    labels = _near_dup_labels(spark, sf_dir)
     return labels.groupBy(F.col("lbl").alias("cluster")).agg(
         F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc")
+    )
+
+
+def q_dedup_keep_list(spark, sf_dir):
+    """The END of the dedup pipeline: one keep/drop decision per document,
+    composing exact dedup (keep the min doc_id per content hash) with
+    near-dup clustering (keep only the cluster representative). Drop-reason
+    precedence: exact_dup beats near_dup (a doc that loses both ways
+    reports exact_dup); a cluster whose representative is itself an exact
+    duplicate keeps no member — deterministic, and mirrored in the oracle.
+    Output: (reason, n_docs) histogram + implied keeps."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    exact_min = docs.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    labels = _near_dup_labels(spark, sf_dir)
+    joined = (
+        docs.join(F.broadcast(exact_min), "h")
+        .join(labels, "doc_id", "left")
+    )
+    reason = (
+        F.when(F.col("doc_id") != F.col("keep_id"), "exact_dup")
+        .when(
+            F.col("lbl").isNotNull() & (F.col("lbl") != F.col("doc_id")),
+            "near_dup",
+        )
+        .otherwise("keep")
+    )
+    return joined.select(reason.alias("reason")).groupBy("reason").agg(
+        F.count("*").alias("n_docs")
     )
 
 
@@ -872,6 +909,34 @@ reach(node, lbl) AS (
 final AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node)
 SELECT cluster, count(*) AS n_docs, max(doc_id) AS max_doc
 FROM final GROUP BY cluster
+"""
+)
+
+SQL_DEDUP_KEEP_LIST = (
+    "WITH RECURSIVE "
+    + _SQL_SIMHASH_CANDS
+    + """,
+edges AS (
+  SELECT x AS a, y AS b FROM cands WHERE hamming <= 3
+  UNION ALL
+  SELECT y, x FROM cands WHERE hamming <= 3
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+),
+final AS (SELECT node AS doc_id, min(lbl) AS lbl FROM reach GROUP BY node),
+exact AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+  FROM documents
+)
+SELECT CASE WHEN e.doc_id <> e.keep_id THEN 'exact_dup'
+            WHEN f.lbl IS NOT NULL AND f.lbl <> e.doc_id THEN 'near_dup'
+            ELSE 'keep' END AS reason,
+       count(*) AS n_docs
+FROM exact e LEFT JOIN final f ON f.doc_id = e.doc_id
+GROUP BY 1
 """
 )
 
@@ -1971,6 +2036,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "simhash_near_dup": q_simhash_near_dup,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_list": q_dedup_keep_list,
     "lsh_band_buckets": q_lsh_band_buckets,
     "stopword_anti_join": q_stopword_anti_join,
     "events_sessionize": q_events_sessionize,
@@ -2016,6 +2082,7 @@ ORACLE_SQL: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_keep_list": SQL_DEDUP_KEEP_LIST,
     "lsh_band_buckets": SQL_LSH_BAND_BUCKETS,
     "stopword_anti_join": SQL_STOPWORD_ANTI_JOIN,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
