@@ -13,15 +13,20 @@ list_dot_product, string_split/split on '' both yield char arrays.
 Operator coverage map (reference file:line in each docstring):
   A1 char_freq, A2 char_doc_freq, A3 length_histogram, A4+K3 word_doc_freq,
   A5 ngram_counts, A9 doc_perplexity, A13/W2 top_words_per_lang,
-  A14 exact_dedup/fingerprint, J9 unique_words_per_lang, J10
-  stopword_anti_join, J11 lang_dim_join, W4 zipf_rank, SO1/SO2
-  charset_setops; dedup: minhash_signatures / lsh_band_buckets /
-  jaccard_top_pairs / simhash; similarity: cosine_topk / ivf_topk /
-  embedding_near_dup; quality: quality_stats_sql; scrub: scrub_sql; langid:
-  script_langid_sql; tokens: token_count / bpe_token_count; splits:
-  deterministic_split; reporting: rollup_counts; windows/sessions:
-  events_hourly / events_sessionize; TPC-H-style: pricing_summary /
-  order_revenue_topk / shipping_priority.
+  A14 exact_dedup/fingerprint, J5 dictionary_lookup, J6 multidict_lookup,
+  J9 unique_words_per_lang, J10 stopword_anti_join, J11 lang_dim_join
+  (real ported dims), W4 zipf_rank, SO1/SO2 charset_setops;
+  dedup: minhash_signatures / lsh_band_buckets / jaccard_top_pairs /
+  simhash (60-bit) / simhash_near_dup / dedup_clusters (connected
+  components) / dedup_keep_list (exact+near composition);
+  similarity: cosine_topk / ivf_topk / kmeans_ivf_train /
+  embedding_near_dup (LSH candidates + exact rerank, mirrored oracle);
+  quality: quality_stats_sql; scrub: scrub_sql; langid: script_langid_sql
+  + script_charset_join (full scripts.json-grade charset dim, J1/J2/J4/J12);
+  tokens: token_count / bpe_token_count; splits: deterministic_split;
+  reporting: rollup_counts; windows/sessions: events_hourly /
+  events_sessionize; TPC-H-style: pricing_summary / order_revenue_topk /
+  shipping_priority / regional_revenue / promo_revenue.
 """
 
 from __future__ import annotations
