@@ -1372,23 +1372,37 @@ def q_script_charset_join(spark, sf_dir):
         _script_charset_dim_blocked(),
         "block int, lang string, cp_lo int, cp_hi int",
     )
-    chars = (
-        docs.select(
-            "doc_id", F.posexplode(F.split("text", "")).alias("pos", "chr")
-        )
+    # pre-aggregate to DISTINCT (doc, char) with occurrence counts before
+    # the dim join: chars repeat heavily (~5x fewer rows reach the join +
+    # BETWEEN residual), and the aggregates below weight by cnt so every
+    # output value is identical to the per-occurrence formulation
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("chr"))
         .filter(F.col("chr") != "")
-        .select("doc_id", "pos", F.expr("ascii(chr)").alias("cp"))
+        .groupBy("doc_id", "chr")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "doc_id",
+            "chr",
+            "cnt",
+            F.expr("ascii(chr)").alias("cp"),
+        )
         .withColumn("block", (F.col("cp") / _CP_BLOCK).cast("int"))
     )
     matched = (
-        chars.join(F.broadcast(dim), "block")
+        counts.join(F.broadcast(dim), "block")
         .filter((F.col("cp") >= F.col("cp_lo")) & (F.col("cp") <= F.col("cp_hi")))
-        .select("doc_id", "pos", "lang")
+        .select("doc_id", "chr", "cnt", "lang")
     )
-    any_cnt = matched.groupBy("doc_id").agg(
-        F.count_distinct("pos").alias("n_any")
+    any_cnt = (
+        matched.select("doc_id", "chr", "cnt")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_any"))
     )
-    per_lang = matched.groupBy("doc_id", "lang").agg(F.count("*").alias("n_l"))
+    per_lang = matched.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("n_l")
+    )
     return (
         per_lang.join(any_cnt, "doc_id")
         .groupBy("lang")
