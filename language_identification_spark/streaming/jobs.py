@@ -30,6 +30,10 @@ EVENTS_SCHEMA = (
     "value double, payload string"
 )
 
+DOCUMENTS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
 
 def streaming_events_hourly(
     spark: SparkSession, source_dir: str, watermark: str = "1 hour"
@@ -135,6 +139,111 @@ def streaming_user_totals(
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def simhash60(text: str | None) -> int:
+    """60-bit word-vote simhash, value-identical to the batch q_simhash
+    expression pipeline (md5 first-15-hex per whitespace word, per-bit +-1
+    votes, sign sets the bit) — computed per ROW in Python so it works on a
+    stream without a per-doc aggregation (streaming aggs need watermarked
+    keys; a fingerprint is a projection). Tested equal to the batch values."""
+    import hashlib
+
+    votes = [0] * 60
+    for word in (text or "").split():
+        if not word:
+            continue
+        h = int(hashlib.md5(word.encode()).hexdigest()[:15], 16)
+        for b in range(60):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(60):
+        if votes[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def streaming_near_dup(
+    spark: SparkSession,
+    source_dir: str,
+    max_bucket_state: int = 256,
+    hamming_max: int = 3,
+) -> DataFrame:
+    """Streaming NEAR-dup detection: the simhash banding pipeline as a
+    stateful stream — every arriving document is checked against all
+    previously seen documents that share a 15-bit band of its 60-bit
+    simhash, and matches within ``hamming_max`` are emitted as
+    (doc_id, dup_of, hamming) rows.
+
+    Shape: per-row simhash (Arrow UDF) -> explode the 4 band keys ->
+    groupBy(band, sig).applyInPandasWithState — state per bucket is the
+    [(doc_id, simhash), ...] list of members, capped at
+    ``max_bucket_state`` (the streaming form of the stop-shingle bucket
+    cap: a degenerate bucket stops accumulating comparisons instead of
+    growing O(n^2); the cap event is observable in the output as a
+    bucket's matches simply ceasing). Within a micro-batch rows are
+    processed in doc_id order, so batch boundaries do not change WHICH
+    pairs are found (tested equal to the batch candidate set)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType
+
+    docs = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .load(source_dir)
+    )
+
+    def _simhash_fn(series):
+        return series.map(simhash60)
+
+    _simhash_fn.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    _simhash = F.pandas_udf(_simhash_fn, LongType())
+
+    banded = docs.select(
+        "doc_id", _simhash(F.col("text")).alias("simhash")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("simhash"), k * 15)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("sig"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "simhash", "bs.band", "bs.sig")
+
+    out_schema = "doc_id bigint, dup_of bigint, hamming int"
+    state_schema = "members array<struct<doc_id: bigint, simhash: bigint>>"
+
+    def update(key, pdfs, state):
+        members: list[tuple[int, int]] = (
+            [tuple(m) for m in state.get[0]] if state.exists else []
+        )
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            for doc_id, simhash in zip(pdf["doc_id"], pdf["simhash"]):
+                doc_id, simhash = int(doc_id), int(simhash)
+                for m_id, m_hash in members:
+                    d = bin(simhash ^ m_hash).count("1")
+                    if d <= hamming_max:
+                        rows.append((doc_id, m_id, d))
+                if len(members) < max_bucket_state:
+                    members.append((doc_id, simhash))
+        state.update(([list(m) for m in members],))
+        yield pd.DataFrame(rows, columns=["doc_id", "dup_of", "hamming"])
+
+    return banded.groupBy("band", "sig").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
 

@@ -319,3 +319,41 @@ def test_multimodal_frame_sampling(spark):
         if "Exchange" in ln and "BroadcastExchange" not in ln
     ]
     assert not shuffle_lines, shuffle_lines
+
+
+def test_streaming_near_dup_matches_batch(spark, tmp_path):
+    """Streaming stateful near-dup == the batch banding pipeline on the same
+    rows: (1) the per-row Python simhash equals the batch 60-bit expression
+    values; (2) the emitted match pairs (deduped across bands) equal the
+    batch candidate pairs at hamming <= 3."""
+    from language_identification_spark.queries import (
+        _simhash_near_dup_pairs,
+        q_simhash,
+    )
+    from language_identification_spark.streaming.jobs import (
+        run_stream_once,
+        simhash60,
+        streaming_near_dup,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # (1) fingerprint parity, python-per-row vs batch JVM expression
+    batch_sim = {r["doc_id"]: r["simhash"] for r in q_simhash(spark, sf_dir).collect()}
+    for r in docs.limit(50).collect():
+        assert simhash60(r["text"]) == batch_sim[r["doc_id"]], r["doc_id"]
+
+    # (2) pair parity through the real stateful stream
+    src = str(tmp_path / "docs_stream")
+    docs.write.mode("overwrite").parquet(src)
+    stream = streaming_near_dup(spark, src)
+    got = run_stream_once(stream, str(tmp_path / "ckpt_nd"), "near_dup")
+    got_pairs = {
+        (min(r["doc_id"], r["dup_of"]), max(r["doc_id"], r["dup_of"]))
+        for r in got.collect()
+    }
+    want_pairs = {
+        (r["x"], r["y"]) for r in _simhash_near_dup_pairs(spark, sf_dir).collect()
+    }
+    assert got_pairs == want_pairs
