@@ -744,10 +744,17 @@ def q_simhash_near_dup(spark, sf_dir):
 
 def _near_dup_labels(spark, sf_dir):
     """(doc_id, lbl) connected-component labels over the simhash near-dup
-    graph (hamming <= 3 edges) by distributed min-label propagation with
-    pointer jumping, run to fixpoint — see q_dedup_clusters for the full
-    story. Only docs that appear in at least one near-dup edge get a row."""
+    graph (hamming <= 3 edges) — see q_dedup_clusters for the full story.
+    Only docs that appear in at least one near-dup edge get a row."""
     pairs = _simhash_near_dup_pairs(spark, sf_dir).select("x", "y")
+    return propagate_min_labels(pairs)
+
+
+def propagate_min_labels(pairs: DataFrame) -> DataFrame:
+    """Connected components by distributed min-label propagation with
+    pointer jumping, run to fixpoint: (x, y) undirected edge rows ->
+    (doc_id, lbl) where lbl = min node id of the component.
+    Property-tested against a union-find oracle on random graphs."""
     # both directions so a single equi-join sees every neighbor.
     # localCheckpoint (not cache): every loop round must TRUNCATE lineage —
     # with plain caching each round's plan re-embeds the whole upstream

@@ -123,3 +123,56 @@ def test_kn_model_properties(corpus, probe, order):
         assert abs(total - 1.0) < 1e-9, ctx
     p = m.perplexity(probe)
     assert p > 0.0 and p != float("inf")
+
+
+def test_propagate_min_labels_random_graphs(spark):
+    """Connected-components property: on random graphs, the distributed
+    min-label propagation (neighbor min + pointer jumping to fixpoint) must
+    label every node with the MINIMUM id of its component — checked against
+    a plain union-find oracle over many graph shapes including long chains
+    (the pointer-jump stress case)."""
+    import random
+
+    from language_identification_spark.queries import propagate_min_labels
+
+    def uf_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp: dict = {}
+        for n in nodes:
+            comp.setdefault(find(n), set()).add(n)
+        return {n: min(members) for members in comp.values() for n in members}
+
+    rng = random.Random(11)
+    cases = []
+    # random sparse graphs
+    for trial in range(3):
+        n = rng.randint(5, 40)
+        edges = {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(rng.randint(1, n))
+        }
+        cases.append(sorted(edges))
+    # a long chain — worst case for plain propagation, exercises jumping
+    cases.append([(i, i + 1) for i in range(30)])
+    # two chains + an isolated pair
+    cases.append([(i, i + 1) for i in range(10)] + [(20 + i, 21 + i) for i in range(8)] + [(50, 51)])
+
+    for edges in cases:
+        df = spark.createDataFrame(edges, "x long, y long")
+        got = {
+            r["doc_id"]: r["lbl"] for r in propagate_min_labels(df).collect()
+        }
+        nodes = {a for a, _ in edges} | {b for _, b in edges}
+        want = uf_components(edges, nodes)
+        assert got == want, (edges, got, want)
