@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
+from language_identification_spark.functions.text import casefold_udf as _casefold_udf
 from language_identification_spark.oracle.tokenize import is_word_char
 
 _FNAME_RE = re.compile(r"\[(?P<lang>\w+)\]\s*(?P<terms>[^-]+)-(?P<defs>[^.]+)\.csv$")
@@ -128,12 +129,6 @@ def _tokenize_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield series.map(
             lambda t: [] if t is None else _dict_tokenize(" ".join(t.strip().split()))
         )
-
-
-@F.pandas_udf(StringType())
-def _casefold_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    for series in batches:
-        yield series.str.casefold()
 
 
 def term_word_index(entries: DataFrame) -> DataFrame:

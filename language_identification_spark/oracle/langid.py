@@ -189,8 +189,6 @@ def ensemble_detect_batch(
     6. sys wins only if sys_score * 3/4 > fallback_score (:65-68);
        otherwise the fallback's answer stands. No fold signal -> sys.
     """
-    import numpy as np
-
     from language_identification_spark.oracle.extract import clean_text
     from language_identification_spark.oracle.script_index import (
         detect_language_full,
@@ -216,14 +214,16 @@ def ensemble_detect_batch(
     if nb_texts:
         langs, raw_scores = model._raw_scores_batch(nb_texts)
         for k, i in enumerate(nb_rows):
-            if not langs:
-                out[i] = (None, 0.0)
-                continue
-            col = np.ascontiguousarray(raw_scores[:, k])
-            exps = np.exp(col - col.max())
-            z = exps.sum()
-            top = int(exps.argmax())
-            sys_lang, sys_score = langs[top], float(exps[top] / z) * 0.8
+            if langs:
+                sys_lang, sys_prob = NgramNBModel._softmax_top1(
+                    langs, raw_scores[:, k]
+                )
+                sys_score = sys_prob * 0.8
+            else:
+                # degenerate (untrained) model: no sys answer, but the
+                # cascade still consults the fold fallback below (the
+                # row-wise reference shape: sys never beats it at score 0)
+                sys_lang, sys_score = None, 0.0
             fold = detect_language_full(nb_texts[k])
             if fold:
                 fb_lang, fb_score = fold[0]
@@ -391,6 +391,22 @@ class NgramNBModel:
         raw += defaults[:, None] * np.asarray(unseen, dtype=np.float64)[None, :]
         return langs, raw
 
+    @staticmethod
+    def _softmax_top1(langs: list[str], raw_col) -> tuple[str, float]:
+        """THE softmax/top-1 reduction over one document's raw log-score
+        column — single shared implementation (used by detect_batch and the
+        ensemble cascade) because results must stay bit-identical across
+        every scoring path regardless of Arrow batch boundaries. langs is
+        sorted ascending, so argmax's first-max rule gives the (prob desc,
+        lang asc) tie-break."""
+        import numpy as np
+
+        col = np.ascontiguousarray(raw_col)
+        exps = np.exp(col - col.max())
+        z = exps.sum()
+        top = int(exps.argmax())
+        return langs[top], float(exps[top] / z)
+
     def scores(self, text: str) -> list[tuple[str, float]]:
         """All languages with softmax-normalized probabilities, sorted desc
         then by lang for determinism (fasttext_wrapper.py:43-45 shape)."""
@@ -417,8 +433,6 @@ class NgramNBModel:
     ) -> list[tuple[str | None, float]]:
         """Vectorized detect over a batch: script shortcuts row-wise (cheap,
         memoized), then ONE matrix pass for every remaining document."""
-        import numpy as np
-
         out: list[tuple[str | None, float] | None] = [None] * len(texts)
         nb_rows: list[int] = []
         nb_texts: list[str] = []
@@ -438,17 +452,11 @@ class NgramNBModel:
                 for i in nb_rows:
                     out[i] = (None, 0.0)
             else:
-                # softmax per column with the SAME 1-D reduction as the
-                # single-doc path — results must be bit-identical regardless
-                # of Arrow batch boundaries (task retries re-batch rows)
+                # shared softmax/top-1 reduction (_softmax_top1): results
+                # must be bit-identical regardless of Arrow batch boundaries
+                # (task retries re-batch rows) and across scoring paths
                 for k, i in enumerate(nb_rows):
-                    col = np.ascontiguousarray(raw[:, k])
-                    exps = np.exp(col - col.max())
-                    z = exps.sum()
-                    # top-1 with (prob desc, lang asc) tie-break: langs are
-                    # sorted ascending, argmax returns the first max
-                    top = int(exps.argmax())
-                    out[i] = (langs[top], float(exps[top] / z))
+                    out[i] = self._softmax_top1(langs, raw[:, k])
         return out  # type: ignore[return-value]
 
     # -- flat-table form ----------------------------------------------------

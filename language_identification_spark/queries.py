@@ -847,10 +847,18 @@ def q_dedup_keep_list(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
     )
+    # exact_min is O(|distinct texts|) — corpus-sized, NEVER broadcast; a
+    # plain shuffle join on the hash is the scale-correct form. eqNullSafe:
+    # md5(NULL text) is NULL and the oracle's window groups all NULLs
+    # together, so the join must too (a plain equi-join would silently drop
+    # NULL-text rows from the histogram).
     exact_min = docs.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     labels = _near_dup_labels(spark, sf_dir)
     joined = (
-        docs.join(F.broadcast(exact_min), "h")
+        docs.join(
+            exact_min.withColumnRenamed("h", "h2"),
+            docs["h"].eqNullSafe(F.col("h2")),
+        )
         .join(labels, "doc_id", "left")
     )
     reason = (

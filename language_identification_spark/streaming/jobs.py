@@ -34,6 +34,14 @@ DOCUMENTS_SCHEMA = (
     "doc_id bigint, text string, lang string, source string, n_chars bigint"
 )
 
+# simhash geometry shared with the batch pipeline — importing the constants
+# keeps streaming==batch parity intact when they are tuned
+from language_identification_spark.queries import (  # noqa: E402
+    SIMHASH_BAND_BITS,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+)
+
 
 def streaming_events_hourly(
     spark: SparkSession, source_dir: str, watermark: str = "1 hour"
@@ -143,23 +151,29 @@ def streaming_user_totals(
     )
 
 
-def simhash60(text: str | None) -> int:
+def simhash60(text: str | None) -> int | None:
     """60-bit word-vote simhash, value-identical to the batch q_simhash
-    expression pipeline (md5 first-15-hex per whitespace word, per-bit +-1
-    votes, sign sets the bit) — computed per ROW in Python so it works on a
-    stream without a per-doc aggregation (streaming aggs need watermarked
-    keys; a fingerprint is a projection). Tested equal to the batch values."""
+    expression pipeline (split on SINGLE SPACES exactly like the batch
+    F.split(text, ' ') — .split() with no argument would split on
+    tabs/newlines too and fingerprint differently; md5 first-15-hex per
+    word, per-bit +-1 votes, sign sets the bit) — computed per ROW in
+    Python so it works on a stream without a per-doc aggregation. Returns
+    None for wordless text: the batch pipeline emits NO row for such docs
+    (zero exploded words), so the stream must drop them too — otherwise
+    every empty doc would share fingerprint 0 and pair quadratically.
+    Tested equal to the batch values incl. tab/newline/empty cases."""
     import hashlib
 
-    votes = [0] * 60
-    for word in (text or "").split():
-        if not word:
-            continue
-        h = int(hashlib.md5(word.encode()).hexdigest()[:15], 16)
-        for b in range(60):
+    words = [w for w in (text or "").split(" ") if w]
+    if not words:
+        return None
+    votes = [0] * SIMHASH_BITS
+    for word in words:
+        h = int(hashlib.md5(word.encode()).hexdigest()[: SIMHASH_BITS // 4], 16)
+        for b in range(SIMHASH_BITS):
             votes[b] += 1 if (h >> b) & 1 else -1
     out = 0
-    for b in range(60):
+    for b in range(SIMHASH_BITS):
         if votes[b] > 0:
             out |= 1 << b
     return out
@@ -177,15 +191,17 @@ def streaming_near_dup(
     simhash, and matches within ``hamming_max`` are emitted as
     (doc_id, dup_of, hamming) rows.
 
-    Shape: per-row simhash (Arrow UDF) -> explode the 4 band keys ->
+    Shape: per-row simhash (Arrow UDF) -> explode the band keys ->
     groupBy(band, sig).applyInPandasWithState — state per bucket is the
     [(doc_id, simhash), ...] list of members, capped at
     ``max_bucket_state`` (the streaming form of the stop-shingle bucket
     cap: a degenerate bucket stops accumulating comparisons instead of
-    growing O(n^2); the cap event is observable in the output as a
-    bucket's matches simply ceasing). Within a micro-batch rows are
-    processed in doc_id order, so batch boundaries do not change WHICH
-    pairs are found (tested equal to the batch candidate set)."""
+    growing O(n^2)). BELOW the cap, batch boundaries do not change which
+    pairs are found (within a micro-batch rows process in doc_id order;
+    tested equal to the batch candidate set); ONCE A BUCKET CAPS, later
+    arrivals still compare against the retained members but are not
+    retained themselves, so which pairs among the overflow are found
+    depends on arrival order — the documented recall tradeoff."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import LongType
@@ -202,25 +218,30 @@ def streaming_near_dup(
     _simhash_fn.__annotations__ = {"series": pd.Series, "return": pd.Series}
     _simhash = F.pandas_udf(_simhash_fn, LongType())
 
-    banded = docs.select(
-        "doc_id", _simhash(F.col("text")).alias("simhash")
-    ).select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"),
-                        F.shiftright(F.col("simhash"), k * 15)
-                        .bitwiseAND(F.lit((1 << 15) - 1))
-                        .alias("sig"),
-                    )
-                    for k in range(4)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "simhash", "bs.band", "bs.sig")
+    banded = (
+        docs.select("doc_id", _simhash(F.col("text")).alias("simhash"))
+        .filter(F.col("simhash").isNotNull())  # wordless docs: batch parity
+        .select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("band"),
+                            F.shiftright(
+                                F.col("simhash"), k * SIMHASH_BAND_BITS
+                            )
+                            .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                            .alias("sig"),
+                        )
+                        for k in range(SIMHASH_BANDS)
+                    ]
+                )
+            ).alias("bs"),
+        )
+        .select("doc_id", "simhash", "bs.band", "bs.sig")
+    )
 
     out_schema = "doc_id bigint, dup_of bigint, hamming int"
     state_schema = "members array<struct<doc_id: bigint, simhash: bigint>>"

@@ -357,3 +357,34 @@ def test_streaming_near_dup_matches_batch(spark, tmp_path):
         (r["x"], r["y"]) for r in _simhash_near_dup_pairs(spark, sf_dir).collect()
     }
     assert got_pairs == want_pairs
+
+
+def test_simhash60_whitespace_and_empty_parity(spark):
+    """simhash60 must match the batch q_simhash on whitespace edge cases:
+    the batch splits on SINGLE SPACES only ('foo\\tbar' is ONE word), and
+    wordless docs produce NO batch row (simhash60 returns None)."""
+    from language_identification_spark.queries import q_simhash
+    from language_identification_spark.streaming.jobs import simhash60
+
+    rows = [
+        (0, "foo\tbar", "en", "s", 7),
+        (1, "foo bar", "en", "s", 7),
+        (2, "a\nb c", "en", "s", 5),
+        (3, "", "en", "s", 0),
+        (4, "   ", "en", "s", 3),
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        batch = {r["doc_id"]: r["simhash"] for r in q_simhash(spark, d).collect()}
+    # docs 3 and 4 are wordless: no batch row, simhash60 -> None
+    assert set(batch) == {0, 1, 2}
+    for doc_id, text, *_ in rows:
+        assert simhash60(text) == batch.get(doc_id), (doc_id, text)
+    assert simhash60(None) is None
+    # tab vs space: different fingerprints (tab-joined is one word)
+    assert simhash60("foo\tbar") != simhash60("foo bar")
