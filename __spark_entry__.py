@@ -193,11 +193,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
     # the gate canonicalizes results via pandas sort_values, which cannot sort
     # list cells — array columns are stringified for the GATE ENTRY ONLY (the
-    # real pipeline output keeps drop_reasons array<string>, plans/pipeline.py)
+    # real pipeline output keeps drop_reasons array<string>, plans/pipeline.py).
+    # lang_conf is rounded to 6 dp on BOTH sides: raw NB scores are ~1e4
+    # log-prob sums whose summation order differs across engines (numpy
+    # reduceat vs SQL SUM), so unrounded confs agree only to ~1e-11
+    # (oracle/pipeline_sql.py docstring).
     out["quality_pipeline"] = lambda spark, sf_dir: (
         _pipeline(spark, sf_dir)
         .drop("warc_ts")
         .withColumn("drop_reasons", F.array_join("drop_reasons", "|"))
+        .withColumn("lang_conf", F.round("lang_conf", 6))
     )
     out["fuzzy_lookup"] = _q_fuzzy_lookup
     out["emd_fuzzy_lookup"] = _q_emd_fuzzy_lookup
@@ -210,11 +215,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracles; quality_pipeline/multimodal_features/
-    word_kn_ppl intentionally omitted (pandas-UDF langid + unicode-category
-    stats, content-hash features and modified-KN backoff are not
-    SQL-expressible — the driver records the weaker rows-only check; full
-    row-level parity is covered by pytest against the Python oracles)."""
+    """DuckDB-runnable oracles. The flagship quality_pipeline is fully
+    oracled (oracle/pipeline_sql.py: NB model inlined as a VALUES CTE,
+    tokenizer/stats replayed with RE2 classes, rules + scrub in plain SQL).
+    word_kn_ppl/emd_fuzzy_lookup stay rows-only (modified-KN backoff and
+    positional EMD are not SQL-expressible; pytest parity covers them)."""
+    from language_identification_spark.oracle.pipeline_sql import (
+        quality_pipeline_oracle_sql,
+    )
+
     out = dict(ORACLE_SQL)
     out["fuzzy_lookup"] = SQL_FUZZY_LOOKUP
+    out["quality_pipeline"] = quality_pipeline_oracle_sql(_model())
     return out

@@ -1,0 +1,134 @@
+"""The flagship DuckDB oracle (oracle/pipeline_sql.py) vs the real pipeline.
+
+The driver gate runs the oracle only on the well-behaved sf0.01 documents
+table; this suite feeds BOTH engines an adversarial Basic-Latin corpus that
+triggers every rule path (empty text, digit soup, symbol soup, repeated-char
+runs, duplicated lines, bullet lists, ellipsis spam, boilerplate without
+stopwords, clean docs in several NB languages) and asserts full-row equality
+under the gate's own canonicalization. Non-Latin scripts are excluded by
+design: the oracle replays only the NB branch of detect_batch (the script
+shortcut is unreachable on Basic-Latin corpora — pipeline_sql.py docstring);
+script-branch parity is pinned by tests/test_golden_scripts.py.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.fixtures import training_corpus
+from language_identification_spark.oracle.langid import NgramNBModel
+from language_identification_spark.oracle.pipeline_sql import (
+    quality_pipeline_oracle_sql,
+)
+from language_identification_spark.oracle.quality import QualityConfig
+from language_identification_spark.plans.pipeline import quality_filter_plan
+
+ADVERSARIAL_TEXTS: list[str | None] = [
+    None,  # empty_text
+    "",  # conf 0.0 -> lang_conf_low (+ zero-stat rules)
+    "a",  # single char, single NB gram
+    "the be to of and that have with more words here to pass the gate",
+    "dan yang untuk dengan tidak ini itu dari saya mereka bisa akan sudah",
+    "12345 99821 55 102 8 77 3141 59 26 535 89 79 323 84 626 433 83",
+    "#$%& *@! #$%& *@! #$%& *@! #$%& *@!",
+    "word aaaaaaaaaaaaaaaaaaaa word and the be to of that lines here",
+    "same line here\nsame line here\nsame line here\nsame line here",
+    "- item one\n- item two\n- item three\n- item four",
+    # NB: ascii '...' can never trigger the ellipsis rule ('.' is a sentence
+    # delimiter, so no split line ends with it) — the U+2026 form does
+    "this trails off…\nand again it does…\nmore of that too…",
+    "click here copyright page link subscribe cookie privacy policy terms",
+    "short",
+    "wordwordwordword wordwordwordword wordwordwordword wordwordwordword",
+    "don't can't won't it's o'clock the and of to be that have with them",
+    "contact me a@b.example or https://x.example/page +1 555-123-4567 ok",
+    "the quick brown fox jumps over the lazy dog with that have from it",
+]
+
+
+@pytest.fixture(scope="module")
+def model():
+    return NgramNBModel.train(training_corpus())
+
+
+def _canon_frame(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = []
+    for row in pdf[cols].itertuples(index=False, name=None):
+        rows.append(
+            tuple(
+                "<NULL>"
+                if v is None or (isinstance(v, float) and v != v)
+                else str(bool(v))
+                if str(type(v)).endswith(("bool'>", "bool_'>"))
+                else str(v)
+                for v in row
+            )
+        )
+    return sorted(rows)
+
+
+def test_flagship_oracle_matches_pipeline_on_adversarial_corpus(spark, model):
+    rows = [(i, t) for i, t in enumerate(ADVERSARIAL_TEXTS)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle_pdf = con.execute(quality_pipeline_oracle_sql(model)).df()
+
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        "text",
+    )
+    spark_pdf = (
+        quality_filter_plan(pages, model, config=QualityConfig(), text_col="text")
+        .drop("warc_ts")
+        .withColumn("drop_reasons", F.array_join("drop_reasons", "|"))
+        .withColumn("lang_conf", F.round("lang_conf", 6))
+        .toPandas()
+    )
+
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns)
+    s_rows, o_rows = _canon_frame(spark_pdf), _canon_frame(oracle_pdf)
+    assert len(s_rows) == len(ADVERSARIAL_TEXTS)
+    for s, o in zip(s_rows, o_rows):
+        assert s == o
+
+
+def test_every_rule_fires_somewhere(spark, model):
+    """The adversarial corpus is only a good oracle test if it actually
+    exercises the rules: assert the union of drop reasons covers every
+    non-perplexity rule name."""
+    rows = [(i, t) for i, t in enumerate(ADVERSARIAL_TEXTS)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        "text",
+    )
+    out = quality_filter_plan(
+        pages, model, config=QualityConfig(), text_col="text"
+    ).toPandas()
+    fired = {r for reasons in out["drop_reasons"] for r in reasons}
+    expected = {
+        "empty_text",
+        "lang_conf_low",
+        "too_few_words",
+        "too_few_stopwords",
+        "mean_word_len_high",
+        "symbol_ratio_high",
+        "digit_frac_high",
+        "dup_line_frac_high",
+        "repeated_char_high",
+        "bullet_frac_high",
+        "ellipsis_frac_high",
+    }
+    assert expected <= fired, expected - fired
+    assert out["keep"].any()
