@@ -118,39 +118,43 @@ def _q_emd_fuzzy_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-media decode plumbing over the deterministic fake table
-    (rows-only: content-hash features have no SQL equivalent)."""
+    """Binary-media decode plumbing (mapInPandas, per-row error capture) over
+    the media table derived from the parquet documents — derived, not built
+    driver-side, precisely so the DuckDB oracle can rebuild the identical
+    table and replay the sha256 features (operators/multimodal.py)."""
     from language_identification_spark.operators.multimodal import (
         extract_features,
-        fake_media_df,
+        media_from_documents,
     )
 
-    return extract_features(fake_media_df(spark, 64))
+    return extract_features(media_from_documents(spark, sf_dir))
 
 
 def _stringify_floats(col: str):
-    """array<float> -> '0.12,0.34,...' for the gate canonicalizer (pandas
-    sort_values cannot sort list cells); shared by every media entry."""
+    """array<float> -> '0.123456,...' for the gate canonicalizer (pandas
+    sort_values cannot sort list cells); shared by every media entry.
+    format_number (fixed 6-decimal), not round+cast: cast-to-string renders
+    sub-1e-3 doubles in scientific notation ('6.8E-5') where DuckDB does not."""
     return F.array_join(
         F.transform(
-            F.col(col), lambda x: F.round(x.cast("double"), 6).cast("string")
+            F.col(col), lambda x: F.format_number(x.cast("double"), 6)
         ),
         ",",
     )
 
 
 def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing over the deterministic fake media table
-    (rows-only: content-hash frame features have no SQL equivalent);
-    features stringified for the gate canonicalizer."""
+    """Frame-sampling plumbing (1->N mapInPandas) over the documents-derived
+    media table; features stringified for the gate canonicalizer and fully
+    replayed by the DuckDB oracle."""
     from language_identification_spark.operators.multimodal import (
-        fake_media_df,
+        media_from_documents,
         sample_frames,
     )
 
-    return sample_frames(fake_media_df(spark, 64), every_n_bytes=32).withColumn(
-        "features", _stringify_floats("features")
-    )
+    return sample_frames(
+        media_from_documents(spark, sf_dir), every_n_bytes=32
+    ).withColumn("features", _stringify_floats("features"))
 
 
 def _q_word_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,6 +224,10 @@ def oracle_sql() -> dict[str, str]:
     tokenizer/stats replayed with RE2 classes, rules + scrub in plain SQL).
     word_kn_ppl/emd_fuzzy_lookup stay rows-only (modified-KN backoff and
     positional EMD are not SQL-expressible; pytest parity covers them)."""
+    from language_identification_spark.operators.multimodal import (
+        SQL_MEDIA_FRAMES,
+        SQL_MULTIMODAL_FEATURES,
+    )
     from language_identification_spark.oracle.pipeline_sql import (
         quality_pipeline_oracle_sql,
     )
@@ -227,4 +235,6 @@ def oracle_sql() -> dict[str, str]:
     out = dict(ORACLE_SQL)
     out["fuzzy_lookup"] = SQL_FUZZY_LOOKUP
     out["quality_pipeline"] = quality_pipeline_oracle_sql(_model())
+    out["multimodal_features"] = SQL_MULTIMODAL_FEATURES
+    out["media_frames"] = SQL_MEDIA_FRAMES
     return out

@@ -139,6 +139,124 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
     return media.mapInPandas(run, schema=FRAMES_SCHEMA)
 
 
+MEDIA_TYPES = sorted(_SUPPORTED_FAKE) + ["application/x-unknown"]
+
+
+def media_from_documents(spark, sf_dir: str) -> DataFrame:
+    """Derive a deterministic media table from the parquet ``documents``
+    table: blob = the UTF-8 bytes of ``text``, media_type round-robin by
+    ``doc_id % 5`` (the four supported fakes + one unknown), every 17th row a
+    NULL blob (fetch-failure case). Because every column is a pure SQL
+    expression over ``documents``, a DuckDB oracle can rebuild the identical
+    table and replay the sha256-derived features — which is what makes the
+    multimodal gate entries fully hash-checkable rather than rows-only."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    type_arr = F.array(*[F.lit(t) for t in MEDIA_TYPES])
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            type_arr, (F.col("doc_id") % len(MEDIA_TYPES) + 1).cast("int")
+        ).alias("media_type"),
+        F.when(F.col("doc_id") % 17 == 11, F.lit(None).cast("binary"))
+        .otherwise(F.encode(F.col("text"), "UTF-8"))
+        .alias("media"),
+        F.create_map(
+            F.lit("src"),
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")),
+        ).alias("meta"),
+    )
+
+
+# DuckDB replay of the derived media table + decode_media's sha256-derived
+# features. The documents corpus is ASCII, so VARCHAR concat/substring equals
+# the byte-level operations decode_media performs on the blob; chr(0) is the
+# same separator byte decode_media inserts. Each feature f_i is the big-endian
+# uint32 at digest bytes [4i, 4i+4) (hex chars [8i, 8i+8)) / 2^32, stored as
+# float32 by the Arrow schema — hence the FLOAT-then-DOUBLE cast before the
+# 6-dp gate rounding.
+_SQL_HEX_U32 = (
+    "list_sum(list_transform(range(8), j -> "
+    "(strpos('0123456789abcdef', substr(sha, i*8 + j + 1, 1)) - 1)"
+    " * 16.0**(7-j)))"
+)
+
+# printf fixed 6-decimal (not round+::VARCHAR): matches Spark's
+# format_number on both sub-1e-3 values (no scientific notation) and
+# trailing zeros.
+_SQL_FEATURES_STR = (
+    "array_to_string(list_transform(range(8), i -> "
+    f"printf('%.6f', CAST(CAST({_SQL_HEX_U32} / 4294967296.0 AS FLOAT) AS DOUBLE))"
+    "), ',')"
+)
+
+
+def _sql_media_base() -> str:
+    types = ", ".join(f"'{t}'" for t in MEDIA_TYPES)
+    return f"""
+media AS (
+  SELECT doc_id,
+         [{types}][CAST(doc_id % {len(MEDIA_TYPES)} AS INT) + 1] AS media_type,
+         CASE WHEN doc_id % 17 = 11 THEN NULL ELSE text END AS payload
+  FROM documents
+)"""
+
+
+SUPPORTED_SQL = ", ".join(f"'{t}'" for t in sorted(_SUPPORTED_FAKE))
+
+SQL_MULTIMODAL_FEATURES = (
+    "WITH "
+    + _sql_media_base()
+    + f""",
+hashed AS (
+  SELECT doc_id, media_type, payload,
+         CASE WHEN payload IS NULL OR media_type NOT IN ({SUPPORTED_SQL})
+              THEN NULL
+              ELSE sha256(media_type || chr(0) || payload) END AS sha
+  FROM media
+)
+SELECT doc_id, media_type,
+       coalesce(octet_length(encode(payload)), 0) AS n_bytes,
+       CASE WHEN sha IS NULL THEN NULL ELSE {_SQL_FEATURES_STR} END AS features,
+       CASE WHEN payload IS NULL THEN 'null_media'
+            WHEN media_type NOT IN ({SUPPORTED_SQL})
+            THEN 'no codec for media_type=''' || media_type || ''''
+            ELSE NULL END AS decode_error
+FROM hashed
+"""
+)
+
+# sample_frames(every_n_bytes=32, max_frames=8): one row per sampled frame of
+# each video blob; frame i hashes 'frame' || i || blob[32i : 32i+32).
+SQL_MEDIA_FRAMES = (
+    "WITH "
+    + _sql_media_base()
+    + """,
+vids AS (
+  SELECT doc_id, payload,
+         least(8, greatest(1, octet_length(encode(payload)) // 32)) AS n_frames
+  FROM media WHERE media_type = 'video/mp4' AND payload IS NOT NULL
+),
+frames AS (
+  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         sha256('frame' || i || substring(payload, i*32 + 1, 32)) AS sha
+  FROM vids, unnest(range(n_frames)) AS t(i)
+)
+SELECT doc_id, frame_idx, """
+    + _SQL_FEATURES_STR
+    + """ AS features,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM frames
+UNION ALL
+SELECT doc_id, -1 AS frame_idx, NULL AS features,
+       CASE WHEN media_type <> 'video/mp4' THEN 'not_video:' || media_type
+            ELSE 'null_media' END AS decode_error
+FROM media WHERE media_type <> 'video/mp4' OR payload IS NULL
+"""
+)
+
+
 def fake_media_df(spark, n: int = 64, seed: int = 13) -> DataFrame:
     """Deterministic synthetic media table for tests/benchmarks."""
     import random
