@@ -159,8 +159,9 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_word_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-level Kneser-Ney perplexity of each document under its own
-    language's LM, trained distributively on the same corpus (rows-only:
-    modified-KN backoff is not SQL-expressible)."""
+    language's LM, trained distributively on the same corpus. At order 2 the
+    whole train+score loop is SQL-expressible (oracle/kn_sql.py), so this
+    entry is fully hash-gated."""
     from pyspark.sql.types import DoubleType
 
     from language_identification_spark.operators.perplexity import (
@@ -228,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_MEDIA_FRAMES,
         SQL_MULTIMODAL_FEATURES,
     )
+    from language_identification_spark.oracle.kn_sql import SQL_WORD_KN_PPL
     from language_identification_spark.oracle.pipeline_sql import (
         quality_pipeline_oracle_sql,
     )
@@ -237,4 +239,5 @@ def oracle_sql() -> dict[str, str]:
     out["quality_pipeline"] = quality_pipeline_oracle_sql(_model())
     out["multimodal_features"] = SQL_MULTIMODAL_FEATURES
     out["media_frames"] = SQL_MEDIA_FRAMES
+    out["word_kn_ppl"] = SQL_WORD_KN_PPL
     return out

@@ -386,6 +386,72 @@ def lsh_oversized_buckets(
     )
 
 
+def lsh_bucket_cap_audit_sql(
+    max_bucket_size: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of ``lsh_oversized_buckets`` + capped
+    ``lsh_bucket_pairs`` over the embeddings view: rebuilds the IDENTICAL
+    numpy-seeded hyperplanes (default_rng(seed).standard_normal((dim,
+    n_planes)) — _lsh_signatures' plane layout, transposed vs lsh_planes),
+    re-derives the (band, sig) buckets, and emits per-band oversized-bucket
+    stats plus the global surviving candidate-pair count. Sign bits agree
+    with numpy's BLAS dots unless a |dot| falls within float summation-order
+    noise (~1e-14; measured minimum on the testdata is ~2e-5)."""
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    bits_per_band = n_planes // bands
+    bit_cols = ",\n    ".join(
+        "CASE WHEN list_dot_product(v, [{vals}]::DOUBLE[]) > 0 THEN 1 ELSE 0 END AS bit{j}".format(
+            vals=", ".join(repr(float(x)) for x in planes[:, j]), j=j
+        )
+        for j in range(n_planes)
+    )
+    # sig packs chunk[0] as the MOST significant bit (int(''.join(bits), 2))
+    sig_cols = ",\n    ".join(
+        " + ".join(
+            f"bit{k * bits_per_band + j} * {1 << (bits_per_band - 1 - j)}"
+            for j in range(bits_per_band)
+        )
+        + f" AS sig{k}"
+        for k in range(bands)
+    )
+    bands_union = "\n  UNION ALL\n  ".join(
+        f"SELECT vid, {k} AS band, sig{k} AS sig FROM sigs" for k in range(bands)
+    )
+    return f"""
+WITH p AS (
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+), bits AS (
+  SELECT vid,
+    {bit_cols}
+  FROM p
+), sigs AS (
+  SELECT vid,
+    {sig_cols}
+  FROM bits
+), bandsigs AS (
+  {bands_union}
+), bucket_n AS (
+  SELECT band, sig, count(*) AS n_members FROM bandsigs GROUP BY band, sig
+), capped AS (
+  SELECT bs.vid, bs.band, bs.sig
+  FROM bandsigs bs JOIN bucket_n b ON b.band = bs.band AND b.sig = bs.sig
+  WHERE b.n_members <= {max_bucket_size}
+), pairs AS (
+  SELECT DISTINCT x.vid AS a, y.vid AS b
+  FROM capped x JOIN capped y ON x.band = y.band AND x.sig = y.sig AND x.vid < y.vid
+), n_pairs AS (SELECT count(*)::BIGINT AS n_pairs_after_cap FROM pairs)
+SELECT band, count(*)::BIGINT AS n_oversized,
+       sum(n_members)::BIGINT AS n_excluded_members,
+       (SELECT n_pairs_after_cap FROM n_pairs) AS n_pairs_after_cap
+FROM bucket_n WHERE n_members > {max_bucket_size}
+GROUP BY band
+"""
+
+
 def _lsh_signatures(
     emb: DataFrame,
     n_planes: int,

@@ -1,0 +1,145 @@
+"""DuckDB oracle for the word_kn_ppl gate entry (order-2 modified KN).
+
+The word-KN scorer (operators/perplexity.py:train_word_kn_spark +
+oracle/kneser_ney.py:WordKNModel) encodes words to one symbol each and runs
+the char-KN machinery, so at order 2 the whole model — bigram counts,
+continuation unigrams, Chen-Goodman discounts, context stats, interpolated
+backoff — is two chained aggregations plus scalar math over the SAME corpus
+the documents are scored against. That makes the full train-AND-score loop
+expressible as one SQL statement (the round-2 verdict's "order-2 KN backoff
+IS expressible as chained CTEs" item): DuckDB re-trains from the documents
+view and replays every probability, no model parameters are inlined.
+
+Exactness notes (mirroring oracle/kneser_ney.py line for line):
+- min_count=1 and MAX_WORD_VOCAB >> corpus vocab, and each doc is scored
+  under its OWN language's model trained on the same rows — so no word is
+  ever OOV and every scored context exists; the general coalesce/backoff
+  branches are still written out.
+- Python's scalar arithmetic is reproduced with the same association order
+  (e.g. ``lam/(V+1)`` computes lam first; ``max(c-D,0)/total + lam*p1``),
+  and log2/pow hit the same libm. Per-doc log-prob summation order differs
+  (SQL SUM vs sequential Python) at ~1e-13 relative — absorbed by the 6-dp
+  rounding both sides apply.
+- BOS/EOS are chr(2)/chr(3), same as kneser_ney.py padding; whitespace
+  tokenization is Python str.split() == regexp split on \\s+ with empties
+  dropped; casefold == lower on the ASCII corpus.
+- Empty/whitespace-only texts: training still counts their (BOS, EOS)
+  bigram (the encoder maps them to the empty symbol string); scoring maps
+  NULL/'' to NULL ppl and whitespace-only to +inf, as the entry UDF does.
+"""
+
+from __future__ import annotations
+
+# Chen-Goodman discounts with the degenerate fallback and MIN_DISCOUNT
+# clamping of oracle/kneser_ney.py:_estimate_discounts. {t} is the
+# counts-of-counts CTE alias.
+_DISCOUNTS = """
+  CASE WHEN {t}.n1 = 0 OR {t}.n2 = 0 THEN 0.5
+       ELSE least(greatest(
+         1.0 - 2.0*({t}.n1/({t}.n1 + 2.0*{t}.n2))*({t}.n2/{t}.n1),
+         0.05), 1.0) END AS d1,
+  CASE WHEN {t}.n1 = 0 OR {t}.n2 = 0 THEN 1.0
+       WHEN {t}.n3 <> 0 THEN least(greatest(
+         2.0 - 3.0*({t}.n1/({t}.n1 + 2.0*{t}.n2))*({t}.n3/{t}.n2),
+         0.05), 2.0)
+       ELSE 1.0 END AS d2,
+  CASE WHEN {t}.n1 = 0 OR {t}.n2 = 0 THEN 1.5
+       WHEN {t}.n3 <> 0 AND {t}.n4 <> 0 THEN least(greatest(
+         3.0 - 4.0*({t}.n1/({t}.n1 + 2.0*{t}.n2))*({t}.n4/{t}.n3),
+         0.05), 3.0)
+       ELSE 1.5 END AS d3
+"""
+
+SQL_WORD_KN_PPL = f"""
+WITH docs AS (
+  SELECT doc_id, lang, text,
+         list_transform(
+           list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                       w -> w <> ''),
+           w -> lower(w)) AS ws
+  FROM documents
+),
+padded AS (
+  SELECT doc_id, lang,
+         list_concat(list_concat([chr(2)], ws), [chr(3)]) AS seq,
+         len(ws) AS n_words, text
+  FROM docs
+),
+pairs AS (
+  SELECT doc_id, lang, i AS pos, seq[i] AS prev, seq[i+1] AS cur
+  FROM padded, unnest(range(1, len(seq))) AS t(i)
+),
+-- training tables (every doc contributes, including empty ones)
+c2 AS (SELECT lang, prev, cur, count(*) AS c FROM pairs GROUP BY lang, prev, cur),
+c1 AS (SELECT lang, cur, count(*) AS c FROM c2 GROUP BY lang, cur),
+cc2 AS (
+  SELECT lang,
+         count(*) FILTER (WHERE c = 1) AS n1,
+         count(*) FILTER (WHERE c = 2) AS n2,
+         count(*) FILTER (WHERE c = 3) AS n3,
+         count(*) FILTER (WHERE c = 4) AS n4
+  FROM c2 GROUP BY lang
+),
+cc1 AS (
+  SELECT lang,
+         count(*) FILTER (WHERE c = 1) AS n1,
+         count(*) FILTER (WHERE c = 2) AS n2,
+         count(*) FILTER (WHERE c = 3) AS n3,
+         count(*) FILTER (WHERE c = 4) AS n4
+  FROM c1 GROUP BY lang
+),
+disc2 AS (SELECT lang, {_DISCOUNTS.format(t='cc2')} FROM cc2),
+disc1 AS (SELECT lang, {_DISCOUNTS.format(t='cc1')} FROM cc1),
+ctx2 AS (
+  SELECT lang, prev, sum(c) AS total,
+         count(*) FILTER (WHERE c = 1) AS n1,
+         count(*) FILTER (WHERE c = 2) AS n2,
+         count(*) FILTER (WHERE c >= 3) AS n3p
+  FROM c2 GROUP BY lang, prev
+),
+uni AS (
+  SELECT lang, sum(c) AS uni_total, count(*) AS vocab,
+         count(*) FILTER (WHERE c = 1) AS n1,
+         count(*) FILTER (WHERE c = 2) AS n2,
+         count(*) FILTER (WHERE c >= 3) AS n3p
+  FROM c1 GROUP BY lang
+),
+scored AS (
+  SELECT p.doc_id, p.pos,
+    -- p1(cur): unigram with uniform OOV backoff (kneser_ney.py prob, k=1)
+    greatest(coalesce(w1.c, 0) -
+             CASE coalesce(w1.c, 0) WHEN 0 THEN 0.0 WHEN 1 THEN k1.d1
+                  WHEN 2 THEN k1.d2 ELSE k1.d3 END, 0.0) / u.uni_total
+      + ((k1.d1*u.n1 + k1.d2*u.n2 + k1.d3*u.n3p) / u.uni_total)
+        / (u.vocab + 1) AS p1,
+    x2.total AS ctx_total, x2.n1 AS xn1, x2.n2 AS xn2, x2.n3p AS xn3p,
+    coalesce(w2.c, 0) AS c2c,
+    k2.d1 AS b1, k2.d2 AS b2, k2.d3 AS b3
+  FROM pairs p
+  JOIN uni u ON u.lang = p.lang
+  JOIN disc1 k1 ON k1.lang = p.lang
+  JOIN disc2 k2 ON k2.lang = p.lang
+  LEFT JOIN c1 w1 ON w1.lang = p.lang AND w1.cur = p.cur
+  LEFT JOIN ctx2 x2 ON x2.lang = p.lang AND x2.prev = p.prev
+  LEFT JOIN c2 w2 ON w2.lang = p.lang AND w2.prev = p.prev AND w2.cur = p.cur
+),
+probs AS (
+  SELECT doc_id, pos,
+    CASE WHEN ctx_total IS NULL THEN p1
+         ELSE greatest(c2c - CASE c2c WHEN 0 THEN 0.0 WHEN 1 THEN b1
+                                      WHEN 2 THEN b2 ELSE b3 END, 0.0)
+                / ctx_total
+              + ((b1*xn1 + b2*xn2 + b3*xn3p) / ctx_total) * p1
+         END AS p
+  FROM scored
+),
+doc_ppl AS (
+  SELECT doc_id, 2.0 ** (-(sum(log2(p)) / count(*))) AS ppl
+  FROM probs GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       CASE WHEN d.text IS NULL OR d.text = '' THEN NULL
+            WHEN d.n_words = 0 THEN CAST('infinity' AS DOUBLE)
+            ELSE round(pp.ppl, 6) END AS word_ppl
+FROM padded d LEFT JOIN doc_ppl pp ON pp.doc_id = d.doc_id
+"""

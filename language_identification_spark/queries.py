@@ -1234,6 +1234,49 @@ def _sql_embedding_near_dup() -> str:
 
 SQL_EMBEDDING_NEAR_DUP = _sql_embedding_near_dup()
 
+_LSH_CAP = 45  # chosen so the sf0.01 bucket distribution (median 30, max
+# ~62) actually trips the cap — an audit gate row that never fires would
+# verify nothing
+
+
+def q_lsh_bucket_cap_audit(spark, sf_dir):
+    """The LSH skew defense, driver-verified: `lsh_bucket_pairs` with
+    max_bucket_size excludes oversized buckets from candidate generation and
+    `lsh_oversized_buckets` audits what was dropped (operators/similarity.py
+    — the degenerate-bucket defense a 100 TB near-dup run needs when one
+    boilerplate signature collects 10^8 members). Output: per band, the
+    oversized-bucket count and excluded member total, plus the global
+    candidate-pair count that survives the cap."""
+    from language_identification_spark.operators.similarity import (
+        lsh_bucket_pairs,
+        lsh_oversized_buckets,
+    )
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    audit = (
+        lsh_oversized_buckets(emb, max_bucket_size=_LSH_CAP)
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_oversized"),
+            F.sum("n_members").cast("bigint").alias("n_excluded_members"),
+        )
+    )
+    n_pairs = lsh_bucket_pairs(emb, max_bucket_size=_LSH_CAP).agg(
+        F.count("*").cast("bigint").alias("n_pairs_after_cap")
+    )
+    return audit.crossJoin(F.broadcast(n_pairs))
+
+
+def _sql_lsh_bucket_cap_audit() -> str:
+    from language_identification_spark.operators.similarity import (
+        lsh_bucket_cap_audit_sql,
+    )
+
+    return lsh_bucket_cap_audit_sql(max_bucket_size=_LSH_CAP)
+
+
+SQL_LSH_BUCKET_CAP_AUDIT = _sql_lsh_bucket_cap_audit()
+
 
 # ---------------------------------------------------------------------------
 # quality-filter / scrub / langid as portable SQL (JVM-native fast paths)
@@ -2078,6 +2121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": q_ivf_topk,
     "kmeans_ivf_train": q_kmeans_ivf_train,
     "embedding_near_dup": q_embedding_near_dup,
+    "lsh_bucket_cap_audit": q_lsh_bucket_cap_audit,
     "quality_stats_sql": q_quality_stats_sql,
     "scrub_sql": q_scrub_sql,
     "script_langid_sql": q_script_langid_sql,
@@ -2124,6 +2168,7 @@ ORACLE_SQL: dict[str, str] = {
     "ivf_topk": SQL_IVF_TOPK,
     "kmeans_ivf_train": SQL_KMEANS_IVF_TRAIN,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "lsh_bucket_cap_audit": SQL_LSH_BUCKET_CAP_AUDIT,
     "quality_stats_sql": SQL_QUALITY_STATS,
     "scrub_sql": SQL_SCRUB,
     "script_langid_sql": SQL_SCRIPT_LANGID,

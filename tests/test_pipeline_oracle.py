@@ -102,6 +102,43 @@ def test_flagship_oracle_matches_pipeline_on_adversarial_corpus(spark, model):
         assert s == o
 
 
+KN_EDGE_DOCS = [
+    (0, "en", "the cat sat on the mat and the cat sat again"),
+    (1, "en", "the dog sat on the mat"),
+    (2, "en", ""),  # NULL-equivalent: scored as NULL ppl
+    (3, "en", "   "),  # whitespace-only: +inf ppl, but trains (BOS,EOS)
+    (4, "en", "one"),  # single word: two predictions (word, EOS)
+    (5, "xx", "solo language with its own tiny model"),
+    (6, "en", "the cat sat on the mat"),
+]
+
+
+def test_word_kn_oracle_matches_spark_on_edge_docs(spark):
+    """oracle/kn_sql.py vs the Spark-trained order-2 word-KN scorer on a
+    corpus with empty/whitespace/single-word docs and a singleton language."""
+    import __spark_entry__ as entry
+    from language_identification_spark.oracle.kn_sql import SQL_WORD_KN_PPL
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", KN_EDGE_DOCS)
+    oracle_pdf = con.execute(SQL_WORD_KN_PPL).df()
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            KN_EDGE_DOCS, "doc_id bigint, lang string, text string"
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        spark_pdf = entry._q_word_kn_ppl(spark, d).toPandas()
+
+    s_rows, o_rows = _canon_frame(spark_pdf), _canon_frame(oracle_pdf)
+    assert len(s_rows) == len(KN_EDGE_DOCS)
+    for s, o in zip(s_rows, o_rows):
+        assert s == o
+
+
 def test_every_rule_fires_somewhere(spark, model):
     """The adversarial corpus is only a good oracle test if it actually
     exercises the rules: assert the union of drop reasons covers every
