@@ -5,9 +5,11 @@ chain mirrors the reference's semantics:
 
 - ``decode_html``    ~ ensure_unicode (/root/reference/utils.py:15-37): bytes ->
   unicode with encoding fallback. The reference uses bs4.UnicodeDammit.detwingle
-  + ftfy.fix_text; neither library is available in this environment, so we use a
-  deterministic utf-8 -> cp1252 -> latin-1 cascade (latin-1 never fails), which
-  is the dominant real-world behavior of UnicodeDammit for web text.
+  + ftfy.fix_text; neither library is available in this environment, so we use
+  our own detwingle port, a deterministic utf-8 -> cp1252 -> latin-1 cascade
+  (latin-1 never fails — the dominant real-world behavior of UnicodeDammit for
+  web text), then ``fix_mojibake`` — a minimal ftfy-style utf8-as-cp1252
+  re-decode pass covering the double-encoded 'Ã©' class.
 - ``strip_html``     ~ remove_html_tags (/root/reference/remove_html_tags.py:146-164):
   comments first, then whole <script>/<style> blocks, then any remaining tag,
   each replaced by a single space, followed by HTML entity unescape
@@ -80,25 +82,72 @@ def detwingle(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _encode_sloppy_cp1252(text: str) -> bytes | None:
+    """Chars -> their cp1252 bytes, with the 0x80-0x9F gap codepoints mapped
+    back to their raw byte (ftfy's 'sloppy-windows-1252' codec semantics —
+    the inverse of how mojibake text was mis-decoded in the first place).
+    None when any char has no single-byte form (not mojibake-shaped)."""
+    out = bytearray()
+    for ch in text:
+        try:
+            out += ch.encode("cp1252")
+        except UnicodeEncodeError:
+            cp = ord(ch)
+            if cp <= 0xFF:
+                out.append(cp)
+            else:
+                return None
+    return bytes(out)
+
+
+def fix_mojibake(text: str) -> str:
+    """Minimal ftfy.fix_text-style repair of UTF-8-read-as-cp1252 mojibake
+    ('Ã©' -> 'é'), the pass the reference applies after detwingle
+    (utils.py:33). A repair is accepted only when the sloppy-cp1252 byte
+    form of the WHOLE string strictly decodes as UTF-8 — ordinary Latin
+    text ('café', 'À demain') fails that decode and passes through
+    untouched, which is the same conservative bar ftfy's badness heuristic
+    enforces. Looped to unwind doubly-encoded text, like ftfy.
+
+    Residual divergence from full ftfy (documented): no partial-string
+    repair (a single mojibake word inside clean non-Latin-1 text stays),
+    no C1-control/curly-quote normalization, no encoding families beyond
+    cp1252 (latin-1 gap bytes are covered via the sloppy mapping)."""
+    for _ in range(3):
+        if not any("\x80" <= ch <= "\xff" for ch in text):
+            return text
+        data = _encode_sloppy_cp1252(text)
+        if data is None:
+            return text
+        try:
+            fixed = data.decode("utf-8")
+        except UnicodeDecodeError:
+            return text
+        if fixed == text or not fixed:
+            return text
+        text = fixed
+    return text
+
+
 def decode_html(raw: bytes | bytearray | str | None) -> str | None:
     """bytes -> unicode (utils.py:15-37 semantics): detwingle mixed
     utf-8/cp1252 first (the reference's UnicodeDammit.detwingle step), then a
     deterministic utf-8 -> cp1252 -> latin-1 cascade (latin-1 never fails) in
-    place of UnicodeDammit's chardet guess + ftfy (libraries absent here;
-    the cascade is their dominant real-world behavior for web text)."""
+    place of UnicodeDammit's chardet guess, then the ftfy-style mojibake
+    repair (fix_mojibake ~ the reference's ftfy.fix_text step, utils.py:33)."""
     if raw is None:
         return None
     if isinstance(raw, str):
-        return raw
+        return fix_mojibake(raw)
     data = detwingle(bytes(raw))
     try:
-        return data.decode("utf-8")
+        return fix_mojibake(data.decode("utf-8"))
     except UnicodeDecodeError:
         pass
     try:
-        return data.decode("cp1252")
+        return fix_mojibake(data.decode("cp1252"))
     except UnicodeDecodeError:
-        return data.decode("latin-1")
+        return fix_mojibake(data.decode("latin-1"))
 
 
 def strip_html(text: str | None) -> str | None:

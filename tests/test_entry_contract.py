@@ -8,15 +8,11 @@ def test_oracle_keys_subset_of_queries():
     sqls = e.oracle_sql()
     missing = set(sqls) - set(qs)
     assert not missing, f"oracle_sql keys without queries(): {missing}"
-    # every query except the (documented) non-SQL-expressible ones has an oracle
+    # every query except the (documented) non-SQL-expressible one has an
+    # oracle (round 3 oracled the flagship, multimodal and word-KN entries;
+    # positional EMD remains the single rows-only declaration)
     no_oracle = set(qs) - set(sqls)
-    assert no_oracle == {
-        "quality_pipeline",
-        "multimodal_features",
-        "media_frames",
-        "word_kn_ppl",
-        "emd_fuzzy_lookup",
-    }, no_oracle
+    assert no_oracle == {"emd_fuzzy_lookup"}, no_oracle
 
 
 def test_entry_runs_and_schema_stable(spark):

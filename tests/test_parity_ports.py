@@ -79,6 +79,29 @@ def test_detwingle_mixed_utf8_cp1252():
     assert decode_html(b"ok\x81ok") is not None
 
 
+def test_fix_mojibake_double_encoded():
+    """The ftfy.fix_text step of ensure_unicode (utils.py:33), minimal port:
+    utf8-bytes-read-as-cp1252 mojibake is unwound, including doubly-encoded
+    text; legitimate accented text is never touched (the conservative
+    whole-string-decode acceptance bar)."""
+    from language_identification_spark.oracle.extract import fix_mojibake
+
+    assert fix_mojibake("cafÃ©") == "café"
+    # curly-quote class ('â€™'): utf-8 of U+2019 read as cp1252
+    assert fix_mojibake("it" + "’".encode("utf-8").decode("cp1252")) == "it’"
+    # doubly-encoded
+    twice = "é".encode("utf-8").decode("cp1252").encode("utf-8").decode("cp1252")
+    assert fix_mojibake(twice) == "é"
+    # legitimate Latin-1-range text passes through untouched
+    for clean in ("café", "À demain", "naïve straße", "plain ascii"):
+        assert fix_mojibake(clean) == clean
+    # non-Latin text untouched
+    assert fix_mojibake("日本語") == "日本語"
+    # end-to-end through decode_html: double-encoded page bytes repair
+    raw = "<p>café</p>".encode("utf-8").decode("cp1252").encode("utf-8")
+    assert decode_html(raw) == "<p>café</p>"
+
+
 def test_get_comments_reference_quirks():
     """Greedy + newline-blind, exactly like RE_COMMENT
     (remove_html_tags.py:155)."""

@@ -139,6 +139,44 @@ def test_word_kn_oracle_matches_spark_on_edge_docs(spark):
         assert s == o
 
 
+ASTRAL_DOCS = [
+    # CJK Ext B (U+20000+), Deseret (U+10400 — an 'en' script in the full
+    # index), emoji outside every dim range, plus BMP controls
+    (0, "zh", "水\U00020000\U00020001 的"),
+    (1, "en", "\U00010400\U00010401 the word"),
+    (2, "fr", "c'est \U0001F600 bien"),
+    (3, "de", "plain ascii text"),
+]
+
+
+def test_script_charset_join_astral_parity(spark):
+    """queries.q_script_charset_join vs its DuckDB oracle on astral-plane
+    chars: Spark's split('')+ascii() must yield full codepoints (not UTF-16
+    halves) so astral scripts (Han Ext B, Deseret) bin identically to
+    DuckDB's unicode() — the round-2 verdict's astral risk, pinned."""
+    import os
+    import tempfile
+
+    from language_identification_spark.queries import (
+        SQL_SCRIPT_CHARSET_JOIN,
+        q_script_charset_join,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", ASTRAL_DOCS)
+    oracle_pdf = con.execute(SQL_SCRIPT_CHARSET_JOIN).df()
+    assert len(oracle_pdf)  # astral chars matched some language's charset
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            ASTRAL_DOCS, "doc_id bigint, lang string, text string"
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        spark_pdf = q_script_charset_join(spark, d).toPandas()
+
+    assert _canon_frame(spark_pdf) == _canon_frame(oracle_pdf)
+
+
 def test_every_rule_fires_somewhere(spark, model):
     """The adversarial corpus is only a good oracle test if it actually
     exercises the rules: assert the union of drop reasons covers every
