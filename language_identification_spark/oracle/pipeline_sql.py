@@ -42,13 +42,55 @@ from language_identification_spark.oracle.scrub import (
     SCRUB_PATTERNS,
     badword_pattern,
 )
+from language_identification_spark.oracle.tokenize import (
+    CLOSING_PUNCTUATION,
+    SENTENCE_PASSTHROUGH,
+    UNICODE_SPACES,
+    _APOSTROPHES,
+)
 
 # RE2 equivalents of oracle/tokenize.py classifier classes. \p{Co} (private
 # use) is part of is_word_char; RE2 supports all general categories.
-_TOK_RE = r"[\p{L}\p{M}\p{N}\p{Co}]+(?:['’ʼ][\p{L}\p{M}\p{N}\p{Co}]+)*"
+# The apostrophe merge is the REGEX approximation (oracle/tokenize.py:
+# _unicode_tokenize_regex): exact except multi-apostrophe / wait-state
+# sequences ("a'b'c"), which the state machine refuses to merge — absent
+# from the gate corpus and pinned separately by tokenizer pytests.
+_TOK_RE = (
+    r"[\p{L}\p{M}\p{N}\p{Co}]+"
+    rf"(?:[{_APOSTROPHES}][\p{{L}}\p{{M}}\p{{N}}\p{{Co}}]+)*"
+)
 _NONSYMBOL_RE = r"[^\p{P}\p{S}]"
 _NONDIGIT_RE = r"[^\p{Nd}]"
 _BULLET_RE = r"^\s*[-*•●▪]"
+
+
+def _re2_class(chars) -> str:
+    """RE2 character class with \\x{...} escapes (Python re.escape output is
+    not RE2-safe for raw control chars)."""
+    parts = []
+    for ch in sorted(chars):
+        if ch.isalnum() and ord(ch) < 128:
+            parts.append(ch)
+        else:
+            parts.append("\\x{%04X}" % ord(ch))
+    return "[" + "".join(parts) + "]"
+
+
+# sentence boundary (oracle/tokenize.py:SENTENCE_BOUNDARY_PATTERN, RE2 form):
+# closing punct + passthrough brackets/quotes + the terminating whitespace;
+# a sentinel goes after the match, replaying sentence_split exactly
+_SENT_BOUNDARY_RE2 = (
+    "("
+    + _re2_class(CLOSING_PUNCTUATION)
+    + _re2_class(SENTENCE_PASSTHROUGH)
+    + "*"
+    + _re2_class(UNICODE_SPACES)
+    + ")"
+)
+
+# the str.strip() character set (paragraphs/sentences strip with Python
+# semantics, which differ from UNICODE_SPACES on the ZWSP family)
+_PY_STRIP_CHARS = "".join(chr(c) for c in range(0x3001) if chr(c).isspace())
 
 # (rule_name, SQL boolean expr) in ALPHABETICAL rule-name order — the Spark
 # side emits array_sort'ed reason names, so building drop_reasons with
@@ -175,7 +217,15 @@ pred AS (
 toks AS (
   SELECT url, text,
          regexp_extract_all(text, '{_sql_quote(_TOK_RE)}') AS tokens,
-         regexp_split_to_array(coalesce(text, ''), '[.!?\\n]') AS segs
+         -- sentence_split full port: paragraphs on newline (stripped), then
+         -- a sentinel after every boundary match, split, strip, drop empties
+         flatten(list_transform(
+           string_split(coalesce(text, ''), chr(10)),
+           p -> string_split(
+                  regexp_replace(trim(p, '{_sql_quote(_PY_STRIP_CHARS)}'),
+                                 '{_sql_quote(_SENT_BOUNDARY_RE2)}',
+                                 '\\1' || chr(1), 'g'),
+                  chr(1)))) AS segs
   FROM docs
 ),
 stats AS (
@@ -185,7 +235,7 @@ stats AS (
          length(regexp_replace(coalesce(text, ''), '{_NONSYMBOL_RE}', '', 'g')) AS n_symbols,
          length(regexp_replace(array_to_string(tokens, ''), '{_NONDIGIT_RE}', '', 'g')) AS n_digits,
          len(list_filter(tokens, w -> list_contains([{stop_list}], lower(w)))) AS stop_count,
-         list_filter(list_transform(segs, s -> trim(s)), s -> s <> '') AS lines
+         list_filter(list_transform(segs, s -> trim(s, '{_sql_quote(_PY_STRIP_CHARS)}')), s -> s <> '') AS lines
   FROM toks
 ),
 -- repeated-char runs >= 4 (the (.)\\1{{3,}} backreference regex, which RE2

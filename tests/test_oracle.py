@@ -90,7 +90,25 @@ class TestTokenize:
         assert unicode_tokenize("v2 engine") == ["v2", "engine"]
 
     def test_sentence_split(self):
-        assert sentence_split("One. Two!\nThree") == ["One", "Two", "Three"]
+        # full port: punctuation retained, boundary = closing punct followed
+        # by whitespace (tokenizer.py:398-466)
+        assert sentence_split("One. Two!\nThree") == ["One.", "Two!", "Three"]
+
+    def test_sentence_split_unclosed(self):
+        # word chars un-close: dotted quads never split (the reference
+        # docstring's 192.168.1.1 case)
+        assert sentence_split("ip 192.168.1.1 ok. done") == [
+            "ip 192.168.1.1 ok.",
+            "done",
+        ]
+
+    def test_sentence_split_bracket_passthrough(self):
+        # closing quotes/brackets keep the sentence closed
+        assert sentence_split('He left. "Bye." Next') == [
+            "He left.",
+            '"Bye."',
+            "Next",
+        ]
 
     def test_char_ngrams(self):
         assert char_ngrams("abcd", 2) == ["ab", "bc", "cd"]

@@ -16,11 +16,107 @@ from language_identification_spark.oracle.kneser_ney import train_kn
 from language_identification_spark.oracle.quality import doc_stats
 from language_identification_spark.oracle.scrub import SCRUB_PATTERNS, scrub_text
 from language_identification_spark.oracle.tokenize import (
+    _APOSTROPHES,
+    CLOSING_PUNCTUATION,
+    SENTENCE_PASSTHROUGH,
+    UNICODE_SPACES,
     _unicode_tokenize_regex,
     char_ngrams,
     is_word_char,
+    sentence_split,
     unicode_tokenize,
 )
+
+
+# ---------------------------------------------------------------------------
+# direct transliterations of the reference generators (slow in-test oracles)
+# ---------------------------------------------------------------------------
+
+
+def _ref_tokenize(text):
+    """Line-for-line transliteration of tokenizer.py:181-308 (base stream +
+    _merge_apostrophes_into_words), words-only — the in-test oracle the
+    production scan is checked against."""
+    toks = []
+    buf = []
+    for ch in text:
+        if is_word_char(ch):
+            buf.append(ch)
+        else:
+            if buf:
+                toks.append(("W", "".join(buf)))
+                buf = []
+            toks.append(("P", ch))
+    if buf:
+        toks.append(("W", "".join(buf)))
+
+    out = []
+    wait = False
+    _1 = _2 = _3 = None
+    for cat, tx in toks:
+        if wait:
+            wait = (cat == "W") or tx in _APOSTROPHES
+            if cat == "W":
+                out.append(tx)
+        elif _1 is None:
+            if cat == "W":
+                _1 = tx
+            else:
+                wait = tx in _APOSTROPHES
+        elif _2 is None:
+            assert cat != "W"
+            if tx in _APOSTROPHES:
+                _2 = tx
+            else:
+                out.append(_1)
+                _1 = None
+        elif _3 is None:
+            if cat == "W":
+                _3 = tx
+            else:
+                wait = tx in _APOSTROPHES
+                out.append(_1)
+                _1 = _2 = None
+        else:
+            assert cat != "W"
+            if tx not in _APOSTROPHES:
+                out.append(_1 + _2 + _3)
+            else:
+                wait = True
+                out.append(_1)
+                out.append(_3)
+            _1 = _2 = _3 = None
+    if _3 is not None:
+        out.append(_1 + _2 + _3)
+    elif _1 is not None:
+        out.append(_1)
+    return out
+
+
+def _ref_sentence_split(text):
+    """Char-loop transliteration of tokenizer.py:398-466 sentence machine
+    (single chars are token-equivalent: a word run and its chars update
+    `closed` identically)."""
+    out = []
+    for para in text.split("\n"):
+        para = para.strip()
+        buf = []
+        closed = False
+        for ch in para:
+            buf.append(ch)
+            if closed and ch in UNICODE_SPACES:
+                s = "".join(buf).strip()
+                if s:
+                    out.append(s)
+                buf = []
+                closed = False
+                continue
+            if ch not in SENTENCE_PASSTHROUGH:
+                closed = ch in CLOSING_PUNCTUATION
+        s = "".join(buf).strip()
+        if s:
+            out.append(s)
+    return out
 
 text_strategy = st.text(max_size=300)
 # printable-ish multilingual text including spaces/punct/CJK/arabic
@@ -46,8 +142,12 @@ def test_tokenize_invariants(text):
     assert sum(1 for ch in joined if is_word_char(ch)) == n_word_chars
     # determinism
     assert unicode_tokenize(text) == tokens
-    # regex alternate == per-char scan (the reference's fast-vs-slow pattern)
-    assert tokens == _unicode_tokenize_regex(text)
+    # scan == reference-transliteration oracle, always
+    assert tokens == _ref_tokenize(text)
+    # the regex alternate is exact only away from apostrophes (it merges
+    # greedily where the reference state machine refuses)
+    if not any(ch in _APOSTROPHES for ch in text):
+        assert tokens == _unicode_tokenize_regex(text)
 
 
 @settings(max_examples=300, deadline=None)
@@ -57,10 +157,23 @@ def test_tokenize_invariants(text):
         max_size=60,
     )
 )
-def test_tokenize_fast_equals_scan_adversarial(text):
-    """Apostrophe/mark/private-use-dense inputs — the cases where the regex
-    and the scan could plausibly disagree."""
-    assert unicode_tokenize(text) == _unicode_tokenize_regex(text)
+def test_tokenize_scan_equals_reference_adversarial(text):
+    """Apostrophe/mark-dense inputs — the merge machine's wait-state and
+    multi-apostrophe branches get hammered here."""
+    assert unicode_tokenize(text) == _ref_tokenize(text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(list("ab .!?:)\"]…。1\n\t\xa0日") + ["192.168.1.1", ".) ", '." ']),
+        max_size=40,
+    ).map("".join)
+)
+def test_sentence_split_equals_reference(text):
+    """The production sentinel-regex splitter == the reference token-machine
+    transliteration, on boundary-dense inputs."""
+    assert sentence_split(text) == _ref_sentence_split(text)
 
 
 @settings(max_examples=200, deadline=None)
