@@ -191,10 +191,9 @@ def _q_word_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2; entries without
-    an oracle_sql() pair are rows-only (non-SQL-expressible ops — the
-    pipeline's pandas-UDF chain, fuzzy DL re-scoring, multimodal decode,
-    word-KN backoff), each covered instead by pytest parity/unit suites."""
+    """One entry per implemented operator from SURVEY.md §2. Every entry has
+    an oracle_sql() pair except emd_fuzzy_lookup (positional EMD is not
+    SQL-expressible; pytest parity covers it)."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
     # the gate canonicalizes results via pandas sort_values, which cannot sort
     # list cells — array columns are stringified for the GATE ENTRY ONLY (the
@@ -220,11 +219,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracles. The flagship quality_pipeline is fully
-    oracled (oracle/pipeline_sql.py: NB model inlined as a VALUES CTE,
-    tokenizer/stats replayed with RE2 classes, rules + scrub in plain SQL).
-    word_kn_ppl/emd_fuzzy_lookup stay rows-only (modified-KN backoff and
-    positional EMD are not SQL-expressible; pytest parity covers them)."""
+    """DuckDB-runnable oracles for every queries() entry except
+    emd_fuzzy_lookup. The flagship quality_pipeline is fully oracled
+    (oracle/pipeline_sql.py: NB model inlined as a VALUES CTE,
+    tokenizer/stats replayed with RE2 classes, rules + scrub in plain SQL);
+    word_kn_ppl re-trains and re-scores the order-2 KN model entirely in SQL
+    (oracle/kn_sql.py); the multimodal entries replay sha256 features over
+    the documents-derived media table."""
     from language_identification_spark.operators.multimodal import (
         SQL_MEDIA_FRAMES,
         SQL_MULTIMODAL_FEATURES,

@@ -38,6 +38,12 @@ from language_identification_spark.oracle.kneser_ney import (
     padded_chars,
 )
 
+# the exact character set Python str.split() treats as whitespace, as a
+# Java-regex class (raw chars are legal inside [...]); shared contract with
+# the Python-side encoder/scorer and the DuckDB oracle (oracle/kn_sql.py)
+PY_WHITESPACE = "".join(chr(c) for c in range(0x3001) if chr(c).isspace())
+PY_WS_SPLIT_RE = "[" + PY_WHITESPACE + "]+"
+
 
 def _top_grams_udf(order: int):
     @F.pandas_udf(ArrayType(StringType()))
@@ -172,11 +178,18 @@ def train_word_kn_spark(
     if max_vocab is None:
         max_vocab = MAX_WORD_VOCAB
     spark = corpus.sparkSession
+    # split on the PYTHON str.split() whitespace set, not Java \s+ (which is
+    # ASCII-only): vocab counting here must tokenize identically to the
+    # Python-side encoder below and the word_ppl scorer, or a \x0b/\xa0-
+    # bearing corpus trains a different vocabulary than it scores with
     counts = (
         corpus.select(
             F.col(lang_col).alias("lang"),
             F.explode(
-                F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+                F.filter(
+                    F.split(F.col(text_col), PY_WS_SPLIT_RE),
+                    lambda w: w != "",
+                )
             ).alias("raw_word"),
         )
         .select("lang", casefold_udf(F.col("raw_word")).alias("word"))

@@ -21,14 +21,31 @@ Exactness notes (mirroring oracle/kneser_ney.py line for line):
   (SQL SUM vs sequential Python) at ~1e-13 relative — absorbed by the 6-dp
   rounding both sides apply.
 - BOS/EOS are chr(2)/chr(3), same as kneser_ney.py padding; whitespace
-  tokenization is Python str.split() == regexp split on \\s+ with empties
-  dropped; casefold == lower on the ASCII corpus.
+  tokenization uses the exact Python str.split() whitespace set as an RE2
+  class (RE2 \\s is ASCII-only), empties dropped; casefold == lower on the
+  ASCII corpus.
 - Empty/whitespace-only texts: training still counts their (BOS, EOS)
   bigram (the encoder maps them to the empty symbol string); scoring maps
   NULL/'' to NULL ppl and whitespace-only to +inf, as the entry UDF does.
 """
 
 from __future__ import annotations
+
+
+def _re2_ws_class() -> str:
+    """Python str.split()'s whitespace set as an RE2 class (RE2 \\s is
+    ASCII-only and misses \\x0b, \\x1c-\\x1f, \\x85, \\xa0 and the Unicode
+    spaces Python splits on)."""
+    return (
+        "["
+        + "".join(
+            "\\x{%04X}" % c for c in range(0x3001) if chr(c).isspace()
+        )
+        + "]+"
+    )
+
+
+_WS_SPLIT_RE2 = _re2_ws_class()
 
 # Chen-Goodman discounts with the degenerate fallback and MIN_DISCOUNT
 # clamping of oracle/kneser_ney.py:_estimate_discounts. {t} is the
@@ -54,7 +71,7 @@ SQL_WORD_KN_PPL = f"""
 WITH docs AS (
   SELECT doc_id, lang, text,
          list_transform(
-           list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+           list_filter(regexp_split_to_array(coalesce(text, ''), '{_WS_SPLIT_RE2}'),
                        w -> w <> ''),
            w -> lower(w)) AS ws
   FROM documents

@@ -26,8 +26,12 @@ Float discipline: raw NB scores are ~1e4-magnitude sums whose engine-side
 summation order differs (numpy reduceat vs SQL SUM), so cross-engine raw
 scores agree only to ~1e-11; the gate entry therefore rounds ``lang_conf``
 to 6 dp on BOTH sides (same convention as every other float gate column).
-Stat/threshold comparisons are exact: each stat is a single division of the
-same two integers in both engines.
+Stat/threshold comparisons are exact — each stat is a single division of
+the same two integers in both engines — but the NB argmax (ORDER BY raw)
+and the conf < 0.5 rule compare UNROUNDED floats: a cross-engine flip
+requires two languages' raw scores (or conf and 0.5) within ~1e-11 of each
+other, a probabilistic residual accepted and documented here rather than
+hidden.
 """
 
 from __future__ import annotations
@@ -239,10 +243,14 @@ stats AS (
   FROM toks
 ),
 -- repeated-char runs >= 4 (the (.)\\1{{3,}} backreference regex, which RE2
--- cannot express) via gaps-and-islands over per-character rows
+-- cannot express) via gaps-and-islands over per-character rows. Newlines are
+-- excluded: Python's '.' never matches \\n, so a blank-line run must not
+-- count (dropping the rows cannot merge runs of other chars — their i gaps
+-- still break the islands)
 chars AS (
   SELECT url, i, substring(text, i, 1) AS ch
   FROM docs, unnest(range(1, length(text) + 1)) AS t(i)
+  WHERE substring(text, i, 1) <> chr(10)
 ),
 islands AS (
   SELECT url, count(*) AS run_len

@@ -58,13 +58,31 @@ def _spread(df: DataFrame) -> DataFrame:
     (measured: minhash 12-16 s single-task vs ~1 s spread). A real 100 TB
     table arrives in ~10^6 splits and skips this branch entirely — the
     repartition only fires when the scan is narrower than the cluster.
-    The width probe reads the scan's file list (driver-side metadata, ~free)
-    rather than df.rdd.getNumPartitions(), which forces a full
-    DataFrame->RDD plan conversion per query build (round-2 verdict: wasted
-    driver work, noise at 10^6-task scale)."""
-    p = df.sparkSession.sparkContext.defaultParallelism
+    The width probe estimates the scan's split count from driver-side file
+    metadata (paths + sizes vs maxPartitionBytes — the same packing rule
+    Spark's FilePartition planner applies) rather than
+    df.rdd.getNumPartitions(), which forces a full DataFrame->RDD plan
+    conversion per query build (round-2 verdict: wasted driver work, noise
+    at 10^6-task scale). File COUNT alone is wrong in both directions: many
+    tiny files pack into few partitions, one huge file splits into many."""
+    import os as _os
+
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    max_bytes = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        .removesuffix("b")
+    )
     try:
-        n_splits = len(df.inputFiles())
+        files = df.inputFiles()
+        local = [f.removeprefix("file:") for f in files if f.startswith("file:")]
+        if len(local) == len(files) and files:
+            total = sum(_os.path.getsize(f) for f in local)
+            # Spark packs small files together and splits large ones; both
+            # converge to ~total/maxPartitionBytes partitions
+            n_splits = max(1, -(-total // max_bytes))
+        else:  # remote or unlisted storage: fall back to file count
+            n_splits = len(files) or 1
     except Exception:  # non-file-backed plans: assume narrow
         n_splits = 1
     if n_splits < p:

@@ -37,15 +37,20 @@ ADVERSARIAL_TEXTS: list[str | None] = [
     "word aaaaaaaaaaaaaaaaaaaa word and the be to of that lines here",
     "same line here\nsame line here\nsame line here\nsame line here",
     "- item one\n- item two\n- item three\n- item four",
-    # NB: ascii '...' can never trigger the ellipsis rule ('.' is a sentence
-    # delimiter, so no split line ends with it) — the U+2026 form does
+    # both ellipsis forms trigger since the full sentence_split port keeps
+    # punctuation: lines can end with ascii '...' as well as U+2026
     "this trails off…\nand again it does…\nmore of that too…",
+    "it ends like this... and this... and even this... yes more... ok...",
     "click here copyright page link subscribe cookie privacy policy terms",
     "short",
     "wordwordwordword wordwordwordword wordwordwordword wordwordwordword",
     "don't can't won't it's o'clock the and of to be that have with them",
     "contact me a@b.example or https://x.example/page +1 555-123-4567 ok",
     "the quick brown fox jumps over the lazy dog with that have from it",
+    # blank-line run: Python's (.)\1{3,} never matches \n, so a 5-newline
+    # run must NOT count as a repeated-char run (review finding: the SQL
+    # gaps-and-islands rewrite counted it until newlines were excluded)
+    "the be to of and more\n\n\n\n\nthe and of it",
 ]
 
 
@@ -98,6 +103,7 @@ def test_flagship_oracle_matches_pipeline_on_adversarial_corpus(spark, model):
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns)
     s_rows, o_rows = _canon_frame(spark_pdf), _canon_frame(oracle_pdf)
     assert len(s_rows) == len(ADVERSARIAL_TEXTS)
+    assert len(o_rows) == len(s_rows)  # zip would silently drop extras
     for s, o in zip(s_rows, o_rows):
         assert s == o
 
@@ -110,6 +116,9 @@ KN_EDGE_DOCS = [
     (4, "en", "one"),  # single word: two predictions (word, EOS)
     (5, "xx", "solo language with its own tiny model"),
     (6, "en", "the cat sat on the mat"),
+    # \x0b is whitespace to Python str.split() but not to RE2 \s — the
+    # oracle must split on the exact Python set (review finding)
+    (7, "en", "the\x0bcat sat here"),
 ]
 
 
@@ -135,6 +144,7 @@ def test_word_kn_oracle_matches_spark_on_edge_docs(spark):
 
     s_rows, o_rows = _canon_frame(spark_pdf), _canon_frame(oracle_pdf)
     assert len(s_rows) == len(KN_EDGE_DOCS)
+    assert len(o_rows) == len(s_rows)  # zip would silently drop extras
     for s, o in zip(s_rows, o_rows):
         assert s == o
 
