@@ -65,3 +65,25 @@ def test_cli_end_to_end_and_resume(pages_parquet, tmp_path):
     )
     assert summary2["buckets_done"] == [0, 1, 2]
     assert summary2["rows"] == 60
+
+
+def test_spark_submit_py_files_launch(tmp_path):
+    """North-rule launch path: the SAME CLI through spark-submit --py-files
+    (package imported from the shipped zip, not the repo checkout)."""
+    import json
+    import shutil
+    import subprocess
+
+    if shutil.which("spark-submit") is None:
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+    script = os.path.join(os.path.dirname(__file__), "..", "tools", "spark_submit_demo.sh")
+    proc = subprocess.run(
+        ["bash", script, "local[4]", str(tmp_path)],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    manifest = json.loads((tmp_path / "out" / "_progress.json").read_text())
+    assert manifest["buckets_done"] == [0, 1, 2, 3]
+    assert sum(h["rows"] for h in manifest["run_history"]) == 120
