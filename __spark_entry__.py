@@ -31,7 +31,9 @@ def _model() -> NgramNBModel:
     return _MODEL
 
 
-def _pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pipeline(
+    spark: SparkSession, sf_dir: str, config: QualityConfig | None = None
+) -> DataFrame:
     """Full pipeline over the documents table (text already extracted, so the
     html-decode stage is skipped via text_col)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -46,7 +48,7 @@ def _pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter_plan(
         pages,
         _model(),
-        config=QualityConfig(),
+        config=config or QualityConfig(),
         text_col="text",
         repartition_to=spark.sparkContext.defaultParallelism,
     )
@@ -202,11 +204,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # log-prob sums whose summation order differs across engines (numpy
     # reduceat vs SQL SUM), so unrounded confs agree only to ~1e-11
     # (oracle/pipeline_sql.py docstring).
-    out["quality_pipeline"] = lambda spark, sf_dir: (
-        _pipeline(spark, sf_dir)
-        .drop("warc_ts")
-        .withColumn("drop_reasons", F.array_join("drop_reasons", "|"))
-        .withColumn("lang_conf", F.round("lang_conf", 6))
+    def _gate_pipeline(config=None):
+        def run(spark, sf_dir):
+            return (
+                _pipeline(spark, sf_dir, config)
+                .drop("warc_ts")
+                .withColumn("drop_reasons", F.array_join("drop_reasons", "|"))
+                .withColumn("lang_conf", F.round("lang_conf", 6))
+            )
+
+        return run
+
+    out["quality_pipeline"] = _gate_pipeline()
+    # same plan + oracle at the Gopher-paper production thresholds — pins the
+    # threshold plumbing (rules re-evaluate JVM-side without touching the
+    # Python stage) through the driver's hash gate as well
+    out["quality_pipeline_production"] = _gate_pipeline(
+        QualityConfig().production()
     )
     out["fuzzy_lookup"] = _q_fuzzy_lookup
     out["emd_fuzzy_lookup"] = _q_emd_fuzzy_lookup
@@ -238,6 +252,9 @@ def oracle_sql() -> dict[str, str]:
     out = dict(ORACLE_SQL)
     out["fuzzy_lookup"] = SQL_FUZZY_LOOKUP
     out["quality_pipeline"] = quality_pipeline_oracle_sql(_model())
+    out["quality_pipeline_production"] = quality_pipeline_oracle_sql(
+        _model(), QualityConfig().production()
+    )
     out["multimodal_features"] = SQL_MULTIMODAL_FEATURES
     out["media_frames"] = SQL_MEDIA_FRAMES
     out["word_kn_ppl"] = SQL_WORD_KN_PPL
