@@ -192,6 +192,27 @@ def _q_word_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", _ppl("lang", "text").alias("word_ppl"))
 
 
+def _q_char_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8 char-level modified-KN, trained distributively at order 2 and
+    scored under each document's own language LM — the order where the full
+    train+score loop is SQL-replayable (oracle/kn_sql.py SQL_CHAR_KN_PPL),
+    upgrading the char-KN evidence from pytest-only bit-parity to a driver
+    hash gate."""
+    from language_identification_spark.operators.perplexity import (
+        ppl_udf,
+        train_kn_spark,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    models = train_kn_spark(docs.select("lang", "text"), order=2)
+    score = ppl_udf(spark, models)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(score(F.col("text"), F.col("lang")), 6).alias("char_ppl"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2. Every entry has
     an oracle_sql() pair except emd_fuzzy_lookup (positional EMD is not
@@ -229,6 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).withColumn("features", _stringify_floats("features"))
     out["media_frames"] = _q_media_frames
     out["word_kn_ppl"] = _q_word_kn_ppl
+    out["char_kn_ppl"] = _q_char_kn_ppl
     return out
 
 
@@ -244,7 +266,10 @@ def oracle_sql() -> dict[str, str]:
         SQL_MEDIA_FRAMES,
         SQL_MULTIMODAL_FEATURES,
     )
-    from language_identification_spark.oracle.kn_sql import SQL_WORD_KN_PPL
+    from language_identification_spark.oracle.kn_sql import (
+        SQL_CHAR_KN_PPL,
+        SQL_WORD_KN_PPL,
+    )
     from language_identification_spark.oracle.pipeline_sql import (
         quality_pipeline_oracle_sql,
     )
@@ -258,4 +283,5 @@ def oracle_sql() -> dict[str, str]:
     out["multimodal_features"] = SQL_MULTIMODAL_FEATURES
     out["media_frames"] = SQL_MEDIA_FRAMES
     out["word_kn_ppl"] = SQL_WORD_KN_PPL
+    out["char_kn_ppl"] = SQL_CHAR_KN_PPL
     return out

@@ -67,7 +67,10 @@ _DISCOUNTS = """
        ELSE 1.5 END AS d3
 """
 
-SQL_WORD_KN_PPL = f"""
+# the two unit prefixes share one scoring tail: words (str.split tokens)
+# for word_kn_ppl, single casefolded characters for char_kn_ppl — the
+# WordKNModel reduction in reverse (one symbol == one unit either way)
+_WORD_PREFIX = f"""
 WITH docs AS (
   SELECT doc_id, lang, text,
          list_transform(
@@ -79,13 +82,30 @@ WITH docs AS (
 padded AS (
   SELECT doc_id, lang,
          list_concat(list_concat([chr(2)], ws), [chr(3)]) AS seq,
-         len(ws) AS n_words, text
+         len(ws) AS n_units, text
   FROM docs
 ),
 pairs AS (
   SELECT doc_id, lang, i AS pos, seq[i] AS prev, seq[i+1] AS cur
   FROM padded, unnest(range(1, len(seq))) AS t(i)
+),"""
+
+# char unit: padded string chr(2)||lower(text)||chr(3); KNModel.padded_chars
+# casefolds (== lower on this corpus) and appends ONE BOS at order 2
+_CHAR_PREFIX = """
+WITH padded AS (
+  SELECT doc_id, lang, text,
+         chr(2) || lower(coalesce(text, '')) || chr(3) AS seq,
+         length(coalesce(text, '')) AS n_units
+  FROM documents
 ),
+pairs AS (
+  SELECT doc_id, lang, i AS pos,
+         substring(seq, i, 1) AS prev, substring(seq, i + 1, 1) AS cur
+  FROM padded, unnest(range(1, length(seq))) AS t(i)
+),"""
+
+_SCORING_TAIL = f"""
 -- training tables (every doc contributes, including empty ones)
 c2 AS (SELECT lang, prev, cur, count(*) AS c FROM pairs GROUP BY lang, prev, cur),
 c1 AS (SELECT lang, cur, count(*) AS c FROM c2 GROUP BY lang, cur),
@@ -156,7 +176,10 @@ doc_ppl AS (
 )
 SELECT d.doc_id, d.lang,
        CASE WHEN d.text IS NULL OR d.text = '' THEN NULL
-            WHEN d.n_words = 0 THEN CAST('infinity' AS DOUBLE)
-            ELSE round(pp.ppl, 6) END AS word_ppl
+            WHEN d.n_units = 0 THEN CAST('infinity' AS DOUBLE)
+            ELSE round(pp.ppl, 6) END AS {{out_col}}
 FROM padded d LEFT JOIN doc_ppl pp ON pp.doc_id = d.doc_id
 """
+
+SQL_WORD_KN_PPL = _WORD_PREFIX + _SCORING_TAIL.format(out_col="word_ppl")
+SQL_CHAR_KN_PPL = _CHAR_PREFIX + _SCORING_TAIL.format(out_col="char_ppl")

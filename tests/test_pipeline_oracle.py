@@ -149,6 +149,34 @@ def test_word_kn_oracle_matches_spark_on_edge_docs(spark):
         assert s == o
 
 
+def test_char_kn_oracle_matches_spark_on_edge_docs(spark):
+    """SQL_CHAR_KN_PPL vs the Spark-trained order-2 char-KN scorer on the
+    same edge corpus (whitespace-only text scores FINITE here — chars exist
+    even when words do not)."""
+    import __spark_entry__ as entry
+    from language_identification_spark.oracle.kn_sql import SQL_CHAR_KN_PPL
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", KN_EDGE_DOCS)
+    oracle_pdf = con.execute(SQL_CHAR_KN_PPL).df()
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            KN_EDGE_DOCS, "doc_id bigint, lang string, text string"
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        spark_pdf = entry._q_char_kn_ppl(spark, d).toPandas()
+
+    s_rows, o_rows = _canon_frame(spark_pdf), _canon_frame(oracle_pdf)
+    assert len(s_rows) == len(KN_EDGE_DOCS)
+    assert len(o_rows) == len(s_rows)
+    for s, o in zip(s_rows, o_rows):
+        assert s == o
+
+
 ASTRAL_DOCS = [
     # CJK Ext B (U+20000+), Deseret (U+10400 — an 'en' script in the full
     # index), emoji outside every dim range, plus BMP controls
