@@ -21,8 +21,12 @@ Operator coverage map (reference file:line in each docstring):
   components) / dedup_keep_list (exact+near composition);
   similarity: cosine_topk / ivf_topk / kmeans_ivf_train /
   embedding_near_dup (LSH candidates + exact rerank, mirrored oracle);
-  quality: quality_stats_sql; scrub: scrub_sql; langid: script_langid_sql
+  quality: quality_stats_sql (+ the flagship quality_pipeline and its
+  production-threshold variant, oracled in __spark_entry__/oracle/
+  pipeline_sql.py); scrub: scrub_sql; langid: script_langid_sql
   + script_charset_join (full scripts.json-grade charset dim, J1/J2/J4/J12);
+  KN LMs: word_kn_ppl + char_kn_ppl (order-2 train+score replayed in SQL,
+  oracle/kn_sql.py); LSH skew defense: lsh_bucket_cap_audit;
   tokens: token_count / bpe_token_count; splits: deterministic_split;
   reporting: rollup_counts; windows/sessions: events_hourly /
   events_sessionize; TPC-H-style: pricing_summary / order_revenue_topk /
