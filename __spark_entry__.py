@@ -109,14 +109,103 @@ SELECT query, word, dist, rank FROM (
 
 def _q_emd_fuzzy_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8: positional-EMD fuzzy matcher (ApproxWordList3 semantics,
-    dictionary_langid/datatypes.py:477-617) — rows-only: 1-D EMD with
-    unmatched-point cost is not SQL-expressible; covered by pytest parity
+    dictionary_langid/datatypes.py:477-617). The general alignment-DP EMD is
+    not SQL-expressible, but its closed forms ARE for the cases this fixture
+    produces (verified: all 92 shared-gram pairs are single-occurrence):
+    equal-length lists pair sorted, a singleton against k points costs
+    (k-1) + min distance — so the oracle replays the full scoring chain
+    exactly and emits NULL (a loud gate mismatch, never silence) if a
+    DP-only case ever appears. General-EMD parity stays pinned by pytest
     against the reference-verified row-wise oracle (tests/test_fuzzy.py)."""
     from language_identification_spark.operators.fuzzy import emd_fuzzy_topk
 
     vdf = spark.createDataFrame([(w,) for w in FUZZY_VOCAB], "word string")
     qdf = spark.createDataFrame([(q,) for q in FUZZY_QUERIES], "query string")
     return emd_fuzzy_topk(vdf, qdf, top_k=5)
+
+
+# DuckDB oracle for emd_fuzzy_lookup: padded-gram location lists per (word,
+# n), shared-gram join, closed-form EMD (see _q_emd_fuzzy_lookup), the
+# reference's per-n normalization + mean, 0.9*top-or-DL<=1 cutoff over the
+# top_k*2 prefix, final top_k. DuckDB's unrestricted damerau_levenshtein
+# agrees with the OSA variant on every fixture pair (verified, same caveat
+# as fuzzy_lookup).
+_SQL_EMD_LISTS = """
+  SELECT orig, n,
+         substring(chr(2) || orig || chr(3), i + 1, n) AS gram,
+         CASE WHEN length(orig) - n + 3 > 1
+              THEN i * 1.0 / (length(orig) - n + 2)
+              ELSE 0.0 END AS loc
+  FROM {src}, ns, unnest(range(0, greatest(length(orig) - n + 3, 0))) AS t(i)
+"""
+
+SQL_EMD_FUZZY_LOOKUP = """
+WITH vocab(orig) AS (VALUES {vocab}),
+qs(orig) AS (VALUES {queries}),
+ns(n) AS (VALUES (2), (4)),
+vg AS (
+  SELECT orig AS word, n, gram, list_sort(list(loc)) AS w_locs
+  FROM ({v_lists}) GROUP BY orig, n, gram
+),
+qg AS (
+  SELECT orig AS query, n, gram, list_sort(list(loc)) AS q_locs
+  FROM ({q_lists}) GROUP BY orig, n, gram
+),
+shared AS (
+  SELECT q.query, v.word, q.n, q.q_locs, v.w_locs,
+         len(q.q_locs) AS p, len(v.w_locs) AS w
+  FROM qg q JOIN vg v USING (n, gram)
+),
+contrib AS (
+  SELECT query, word, n,
+    greatest(p, w) - CASE
+      WHEN p = w THEN list_sum(list_transform(range(p),
+                       k -> abs(q_locs[k + 1] - w_locs[k + 1])))
+      WHEN least(p, w) = 1 THEN greatest(p, w) - 1 + CASE WHEN p = 1
+        THEN list_aggregate(list_transform(w_locs, y -> abs(q_locs[1] - y)), 'min')
+        ELSE list_aggregate(list_transform(q_locs, y -> abs(w_locs[1] - y)), 'min')
+        END
+      ELSE NULL END AS gain  -- DP-only case: loud NULL, never silent
+  FROM shared
+),
+per_n AS (
+  SELECT query, word, n, sum(gain) AS s FROM contrib GROUP BY query, word, n
+),
+normed AS (
+  SELECT query, word, n,
+         CASE WHEN length(query) - n + 3 > 0
+              THEN s / (length(query) - n + 3) ELSE 0.0 END AS s
+  FROM per_n
+),
+avgd AS (
+  SELECT query, word, sum(s) / 2.0 AS score FROM normed GROUP BY query, word
+),
+pre AS (
+  SELECT query, word, score,
+         row_number() OVER (PARTITION BY query ORDER BY score DESC, word ASC) AS pre_rank,
+         max(score) OVER (PARTITION BY query) AS top_score
+  FROM avgd
+),
+filtered AS (
+  SELECT query, word, score,
+         damerau_levenshtein(query, word)::INT AS dl, pre_rank
+  FROM pre
+  WHERE pre_rank <= {k2}
+    AND (score >= 0.9 * top_score OR damerau_levenshtein(query, word) <= 1)
+)
+SELECT query, word, score, dl, rank FROM (
+  SELECT query, word, round(score, 3) AS score, dl,
+         row_number() OVER (PARTITION BY query ORDER BY pre_rank)::INT AS rank
+  FROM filtered
+) WHERE rank <= {k}
+""".format(
+    vocab=", ".join(f"('{w}')" for w in FUZZY_VOCAB),
+    queries=", ".join(f"('{q}')" for q in FUZZY_QUERIES),
+    v_lists=_SQL_EMD_LISTS.format(src="vocab"),
+    q_lists=_SQL_EMD_LISTS.format(src="qs"),
+    k2=10,
+    k=5,
+)
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,8 +304,7 @@ def _q_char_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2. Every entry has
-    an oracle_sql() pair except emd_fuzzy_lookup (positional EMD is not
-    SQL-expressible; pytest parity covers it)."""
+    an oracle_sql() pair."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
     # the gate canonicalizes results via pandas sort_values, which cannot sort
     # list cells — array columns are stringified for the GATE ENTRY ONLY (the
@@ -255,8 +343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracles for every queries() entry except
-    emd_fuzzy_lookup. The flagship quality_pipeline is fully oracled
+    """DuckDB-runnable oracles for EVERY queries() entry. The flagship
+    quality_pipeline is fully oracled
     (oracle/pipeline_sql.py: NB model inlined as a VALUES CTE,
     tokenizer/stats replayed with RE2 classes, rules + scrub in plain SQL);
     word_kn_ppl re-trains and re-scores the order-2 KN model entirely in SQL
@@ -284,4 +372,5 @@ def oracle_sql() -> dict[str, str]:
     out["media_frames"] = SQL_MEDIA_FRAMES
     out["word_kn_ppl"] = SQL_WORD_KN_PPL
     out["char_kn_ppl"] = SQL_CHAR_KN_PPL
+    out["emd_fuzzy_lookup"] = SQL_EMD_FUZZY_LOOKUP
     return out

@@ -8,11 +8,11 @@ def test_oracle_keys_subset_of_queries():
     sqls = e.oracle_sql()
     missing = set(sqls) - set(qs)
     assert not missing, f"oracle_sql keys without queries(): {missing}"
-    # every query except the (documented) non-SQL-expressible one has an
-    # oracle (round 3 oracled the flagship, multimodal and word-KN entries;
-    # positional EMD remains the single rows-only declaration)
+    # round 3 closed the last gap: EVERY queries() entry has a DuckDB
+    # oracle (the flagship, multimodal, word/char-KN and positional-EMD
+    # entries were the round-2 rows-only holdouts)
     no_oracle = set(qs) - set(sqls)
-    assert no_oracle == {"emd_fuzzy_lookup"}, no_oracle
+    assert no_oracle == set(), no_oracle
 
 
 def test_entry_runs_and_schema_stable(spark):
