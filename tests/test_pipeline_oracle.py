@@ -215,6 +215,97 @@ def test_script_charset_join_astral_parity(spark):
     assert _canon_frame(spark_pdf) == _canon_frame(oracle_pdf)
 
 
+def _random_latin_corpus(n_docs: int = 300, seed: int = 99) -> list[str]:
+    """Seeded random Basic-Latin corpus: words over a small letter alphabet
+    mixed with digits, punctuation, apostrophes, newlines, bullets, ellipses
+    and repeated-char runs — broad-spectrum input for the SQL oracles while
+    staying inside their documented Basic-Latin precondition."""
+    import random
+
+    rng = random.Random(seed)
+    pieces = [
+        "the", "be", "to", "of", "and", "that", "have", "with", "dan",
+        "yang", "untuk", "cat", "dog", "word", "don't", "it's", "a", "I",
+        "42", "3.14", "x1y2", "#tag", "@user", "...", "…", "- item",
+        "(so)", '"quote"', "aaaaaa", "zzzzz", "!!", "??", ";", ":",
+    ]
+    seps = [" ", " ", " ", " ", "\n", ". ", "! ", "? ", "  "]
+    docs = []
+    for _ in range(n_docs):
+        k = rng.randint(0, 40)
+        docs.append(
+            "".join(
+                rng.choice(pieces) + rng.choice(seps) for _ in range(k)
+            ).strip()
+        )
+    return docs
+
+
+def test_flagship_oracle_matches_pipeline_on_random_corpus(spark, model):
+    """Broad-spectrum hardening: 300 seeded random Basic-Latin docs through
+    BOTH engines — catches divergence classes no handpicked fixture covers
+    (e.g. the newline-run and whitespace-class bugs found in review)."""
+    texts = _random_latin_corpus()
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle_pdf = con.execute(quality_pipeline_oracle_sql(model)).df()
+
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        "text",
+    )
+    spark_pdf = (
+        quality_filter_plan(pages, model, config=QualityConfig(), text_col="text")
+        .drop("warc_ts")
+        .withColumn("drop_reasons", F.array_join("drop_reasons", "|"))
+        .withColumn("lang_conf", F.round("lang_conf", 6))
+        .toPandas()
+    )
+    s_rows, o_rows = _canon_frame(spark_pdf), _canon_frame(oracle_pdf)
+    assert len(s_rows) == len(o_rows) == len(texts)
+    for i, (s, o) in enumerate(zip(s_rows, o_rows)):
+        assert s == o, (i, s, o)
+
+
+def test_kn_oracles_match_spark_on_random_corpus(spark):
+    """Both KN oracles (word + char, order 2) over the random corpus split
+    across two 'languages' (per-language models trained AND replayed)."""
+    import os
+    import tempfile
+
+    import __spark_entry__ as entry
+    from language_identification_spark.oracle.kn_sql import (
+        SQL_CHAR_KN_PPL,
+        SQL_WORD_KN_PPL,
+    )
+
+    texts = _random_latin_corpus(150, seed=7)
+    rows = [(i, "aa" if i % 2 else "bb", t) for i, t in enumerate(texts)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id bigint, lang string, text string"
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        for sql, q in [
+            (SQL_WORD_KN_PPL, entry._q_word_kn_ppl),
+            (SQL_CHAR_KN_PPL, entry._q_char_kn_ppl),
+        ]:
+            oracle_pdf = con.execute(sql).df()
+            spark_pdf = q(spark, d).toPandas()
+            s_rows, o_rows = _canon_frame(spark_pdf), _canon_frame(oracle_pdf)
+            assert len(s_rows) == len(o_rows) == len(rows)
+            for s, o in zip(s_rows, o_rows):
+                assert s == o
+
+
 def test_every_rule_fires_somewhere(spark, model):
     """The adversarial corpus is only a good oracle test if it actually
     exercises the rules: assert the union of drop reasons covers every
