@@ -156,17 +156,26 @@ shared AS (
          len(q.q_locs) AS p, len(v.w_locs) AS w
   FROM qg q JOIN vg v USING (n, gram)
 ),
+-- any DP-only case (both lists repeated AND unequal) aborts the WHOLE
+-- query via error(): SUM would otherwise skip a NULL gain and silently
+-- understate the score (review finding)
+dp_guard AS (
+  SELECT CASE WHEN count(*) > 0
+              THEN error('EMD DP-only case: closed forms insufficient')
+              ELSE 0 END AS ok
+  FROM shared WHERE p <> w AND least(p, w) >= 2
+),
 contrib AS (
   SELECT query, word, n,
     greatest(p, w) - CASE
       WHEN p = w THEN list_sum(list_transform(range(p),
                        k -> abs(q_locs[k + 1] - w_locs[k + 1])))
-      WHEN least(p, w) = 1 THEN greatest(p, w) - 1 + CASE WHEN p = 1
+      ELSE greatest(p, w) - 1 + CASE WHEN p = 1
         THEN list_aggregate(list_transform(w_locs, y -> abs(q_locs[1] - y)), 'min')
         ELSE list_aggregate(list_transform(q_locs, y -> abs(w_locs[1] - y)), 'min')
         END
-      ELSE NULL END AS gain  -- DP-only case: loud NULL, never silent
-  FROM shared
+      END AS gain
+  FROM shared, dp_guard WHERE dp_guard.ok = 0
 ),
 per_n AS (
   SELECT query, word, n, sum(gain) AS s FROM contrib GROUP BY query, word, n
@@ -182,16 +191,15 @@ avgd AS (
 ),
 pre AS (
   SELECT query, word, score,
+         damerau_levenshtein(query, word)::INT AS dl,
          row_number() OVER (PARTITION BY query ORDER BY score DESC, word ASC) AS pre_rank,
          max(score) OVER (PARTITION BY query) AS top_score
   FROM avgd
 ),
 filtered AS (
-  SELECT query, word, score,
-         damerau_levenshtein(query, word)::INT AS dl, pre_rank
+  SELECT query, word, score, dl, pre_rank
   FROM pre
-  WHERE pre_rank <= {k2}
-    AND (score >= 0.9 * top_score OR damerau_levenshtein(query, word) <= 1)
+  WHERE pre_rank <= {k2} AND (score >= 0.9 * top_score OR dl <= 1)
 )
 SELECT query, word, score, dl, rank FROM (
   SELECT query, word, round(score, 3) AS score, dl,

@@ -271,10 +271,14 @@ def scaling_main() -> dict:
     """
     import subprocess
 
-    pairs = {  # (n_cores, 4n_cores) -> replicate
-        (2, 8): int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "40")),
-        (4, 16): 60,
-        (8, 32): 120,
+    # (n_cores, 4n_cores) -> replicate; the env knob scales ALL pairs
+    # proportionally (a smoke run with REPLICATE=5 must stay small on every
+    # pair, not just the first)
+    base = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "40"))
+    pairs = {
+        (2, 8): base,
+        (4, 16): base * 3 // 2,
+        (8, 32): base * 3,
     }
     reps = 2
     passes = 2

@@ -38,10 +38,11 @@ from language_identification_spark.oracle.kneser_ney import (
     padded_chars,
 )
 
-# the exact character set Python str.split() treats as whitespace, as a
-# Java-regex class (raw chars are legal inside [...]); shared contract with
-# the Python-side encoder/scorer and the DuckDB oracle (oracle/kn_sql.py)
-PY_WHITESPACE = "".join(chr(c) for c in range(0x3001) if chr(c).isspace())
+from language_identification_spark.oracle.tokenize import PY_WHITESPACE
+
+# PY_WHITESPACE as a Java-regex class (raw chars are legal inside [...]);
+# the shared tokenization contract with the Python-side encoder/scorer and
+# the DuckDB oracle (oracle/kn_sql.py) lives in oracle/tokenize.py
 PY_WS_SPLIT_RE = "[" + PY_WHITESPACE + "]+"
 
 

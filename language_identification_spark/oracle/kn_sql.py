@@ -31,21 +31,14 @@ Exactness notes (mirroring oracle/kneser_ney.py line for line):
 
 from __future__ import annotations
 
+from language_identification_spark.oracle.tokenize import (
+    py_whitespace_re2_class,
+)
 
-def _re2_ws_class() -> str:
-    """Python str.split()'s whitespace set as an RE2 class (RE2 \\s is
-    ASCII-only and misses \\x0b, \\x1c-\\x1f, \\x85, \\xa0 and the Unicode
-    spaces Python splits on)."""
-    return (
-        "["
-        + "".join(
-            "\\x{%04X}" % c for c in range(0x3001) if chr(c).isspace()
-        )
-        + "]+"
-    )
-
-
-_WS_SPLIT_RE2 = _re2_ws_class()
+# Python str.split()'s whitespace set as an RE2 class (RE2 \s is ASCII-only
+# and misses \x0b, \x1c-\x1f, \x85, \xa0 and the Unicode spaces Python
+# splits on) — single shared derivation, oracle/tokenize.py
+_WS_SPLIT_RE2 = py_whitespace_re2_class() + "+"
 
 # Chen-Goodman discounts with the degenerate fallback and MIN_DISCOUNT
 # clamping of oracle/kneser_ney.py:_estimate_discounts. {t} is the
@@ -91,7 +84,11 @@ pairs AS (
 ),"""
 
 # char unit: padded string chr(2)||lower(text)||chr(3); KNModel.padded_chars
-# casefolds (== lower on this corpus) and appends ONE BOS at order 2
+# casefolds (== lower on this corpus) and appends ONE BOS at order 2.
+# NULL-text docs contribute NO training pairs here: the Spark char trainer's
+# _top_grams_udf returns [] for None (unlike the WORD trainer, whose encoder
+# maps None to '' and so DOES count a (BOS, EOS) bigram — the word prefix
+# mirrors that via coalesce).
 _CHAR_PREFIX = """
 WITH padded AS (
   SELECT doc_id, lang, text,
@@ -103,10 +100,12 @@ pairs AS (
   SELECT doc_id, lang, i AS pos,
          substring(seq, i, 1) AS prev, substring(seq, i + 1, 1) AS cur
   FROM padded, unnest(range(1, length(seq))) AS t(i)
+  WHERE text IS NOT NULL
 ),"""
 
 _SCORING_TAIL = f"""
--- training tables (every doc contributes, including empty ones)
+-- training tables (word unit: every doc incl. empty/NULL contributes a
+-- (BOS,EOS) bigram; char unit: NULL-text docs excluded upstream)
 c2 AS (SELECT lang, prev, cur, count(*) AS c FROM pairs GROUP BY lang, prev, cur),
 c1 AS (SELECT lang, cur, count(*) AS c FROM c2 GROUP BY lang, cur),
 cc2 AS (

@@ -48,6 +48,7 @@ from language_identification_spark.oracle.scrub import (
 )
 from language_identification_spark.oracle.tokenize import (
     CLOSING_PUNCTUATION,
+    PY_WHITESPACE,
     SENTENCE_PASSTHROUGH,
     UNICODE_SPACES,
     _APOSTROPHES,
@@ -93,8 +94,9 @@ _SENT_BOUNDARY_RE2 = (
 )
 
 # the str.strip() character set (paragraphs/sentences strip with Python
-# semantics, which differ from UNICODE_SPACES on the ZWSP family)
-_PY_STRIP_CHARS = "".join(chr(c) for c in range(0x3001) if chr(c).isspace())
+# semantics, which differ from UNICODE_SPACES on the ZWSP family) — single
+# shared derivation, oracle/tokenize.py
+_PY_STRIP_CHARS = PY_WHITESPACE
 
 # (rule_name, SQL boolean expr) in ALPHABETICAL rule-name order — the Spark
 # side emits array_sort'ed reason names, so building drop_reasons with
@@ -222,14 +224,19 @@ toks AS (
   SELECT url, text,
          regexp_extract_all(text, '{_sql_quote(_TOK_RE)}') AS tokens,
          -- sentence_split full port: paragraphs on newline (stripped), then
-         -- a sentinel after every boundary match, split, strip, drop empties
-         flatten(list_transform(
+         -- a sentinel after every boundary match, split, strip, drop
+         -- empties. The sentinel is in-band (SQL has no split-with-capture),
+         -- so a text already containing chr(1) fails LOUDLY instead of
+         -- mis-splitting (the Python side needs no sentinel at all).
+         CASE WHEN contains(coalesce(text, ''), chr(1))
+              THEN error('sentinel byte 0x01 in document text')
+              ELSE flatten(list_transform(
            string_split(coalesce(text, ''), chr(10)),
            p -> string_split(
                   regexp_replace(trim(p, '{_sql_quote(_PY_STRIP_CHARS)}'),
                                  '{_sql_quote(_SENT_BOUNDARY_RE2)}',
                                  '\\1' || chr(1), 'g'),
-                  chr(1)))) AS segs
+                  chr(1)))) END AS segs
   FROM docs
 ),
 stats AS (

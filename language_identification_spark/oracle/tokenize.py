@@ -56,6 +56,18 @@ SENTENCE_PASSTHROUGH = frozenset(
     '")>]}' + "\uff02\uff09\uff1e\uff3d\uff5d\u201d"
 )
 
+# The exact character set Python str.split()/str.strip() treat as whitespace
+# \u2014 the SINGLE shared tokenization contract for the word-KN trainer
+# (operators/perplexity.py), the Python-side scorers, and the DuckDB oracles
+# (oracle/kn_sql.py, oracle/pipeline_sql.py). Derive it once here; deriving
+# it in three places risked silent desynchronization (review finding).
+PY_WHITESPACE = "".join(chr(c) for c in range(0x3001) if chr(c).isspace())
+
+
+def py_whitespace_re2_class() -> str:
+    """PY_WHITESPACE as an RE2 character class (RE2 \\s is ASCII-only)."""
+    return "[" + "".join("\\x{%04X}" % ord(ch) for ch in PY_WHITESPACE) + "]"
+
 
 @lru_cache(maxsize=None)
 def is_word_char(ch: str) -> bool:
@@ -227,7 +239,6 @@ SENTENCE_BOUNDARY_PATTERN = (
     f"{_char_class(UNICODE_SPACES)})"
 )
 _SENTENCE_BOUNDARY_RE = re.compile(SENTENCE_BOUNDARY_PATTERN)
-_SENTINEL = "\x00"
 
 
 def sentence_split(text: str) -> list[str]:
@@ -236,19 +247,24 @@ def sentence_split(text: str) -> list[str]:
     ends at the first whitespace after closing punctuation (closing
     brackets/quotes pass through; a word char un-closes, so "192.168.1.1"
     never splits); sentences keep their punctuation and are stripped, empties
-    dropped. Implemented as one boundary-regex sentinel pass per paragraph —
+    dropped. Implemented per paragraph as re.split WITH a capture group —
+    segments and their boundary separators interleave, so no in-band
+    sentinel byte is needed (a NUL-bearing web page must not mis-split) —
     property-tested equal to the token-machine transliteration."""
     out: list[str] = []
     for para in text.split("\n"):
         para = para.strip()
         if not para:
             continue
-        for seg in _SENTENCE_BOUNDARY_RE.sub(
-            "\\1" + _SENTINEL, para
-        ).split(_SENTINEL):
-            seg = seg.strip()
+        parts = _SENTENCE_BOUNDARY_RE.split(para)
+        # parts = [seg0, sep0, seg1, sep1, ..., segN]; sentence = seg + sep
+        for i in range(0, len(parts) - 1, 2):
+            seg = (parts[i] + parts[i + 1]).strip()
             if seg:
                 out.append(seg)
+        tail = parts[-1].strip()
+        if tail:
+            out.append(tail)
     return out
 
 

@@ -119,6 +119,10 @@ KN_EDGE_DOCS = [
     # \x0b is whitespace to Python str.split() but not to RE2 \s — the
     # oracle must split on the exact Python set (review finding)
     (7, "en", "the\x0bcat sat here"),
+    # NULL text: the word trainer counts a (BOS,EOS) bigram for it, the char
+    # trainer skips it entirely — both oracles must mirror their own side
+    # (review finding)
+    (8, "en", None),
 ]
 
 
