@@ -53,7 +53,9 @@ def rule_columns(
     """(rule_name, boolean Column) for every configured rule — native exprs
     mirroring oracle/quality.py:apply_rules."""
     s = F.col(stats_col)
-    lang_ok_for_wordlen = F.col(lang_col).isin(*WORD_LENGTH_RULE_LANGS)
+    # sorted(): frozenset iteration order varies per interpreter run, and an
+    # unstable IN-list order churns the physical plan text (PLANS.md diffs).
+    lang_ok_for_wordlen = F.col(lang_col).isin(*sorted(WORD_LENGTH_RULE_LANGS))
     cols: list[tuple[str, Column]] = [
         ("empty_text", F.col(text_col).isNull())
     ]
