@@ -1,3 +1,7 @@
+from language_identification_spark.functions.deseret import (
+    deseret_phonemes,
+    fix_deseret,
+)
 from language_identification_spark.functions.text import (
     casefold_udf,
     char_ngrams_expr,
@@ -12,6 +16,8 @@ from language_identification_spark.functions.text import (
 
 __all__ = [
     "casefold_udf",
+    "deseret_phonemes",
+    "fix_deseret",
     "char_ngrams_expr",
     "clamp_repeats_expr",
     "damerau_levenshtein_udf",

@@ -28,6 +28,7 @@ Operator coverage map (reference file:line in each docstring):
   KN LMs: word_kn_ppl + char_kn_ppl (order-2 train+score replayed in SQL,
   oracle/kn_sql.py); LSH skew defense: lsh_bucket_cap_audit;
   tokens: token_count / bpe_token_count; splits: deterministic_split;
+  F14 deseret_translit (weird-font -> Deseret -> phonemes, functions/deseret.py);
   reporting: rollup_counts; windows/sessions: events_hourly /
   events_sessionize; TPC-H-style: pricing_summary / order_revenue_topk /
   shipping_priority / regional_revenue / promo_revenue.
@@ -1961,6 +1962,78 @@ FROM assigned GROUP BY split, lang
 """
 
 
+def q_deseret_translit(spark, sf_dir):
+    """F14 Deseret transliteration (reference deseret/deseret_conversion.py:
+    1-81): legacy-font chars -> Deseret block (``fix_deseret``, a native
+    codepoint-aware translate) -> Latin phonemes (``deseret_phonemes``, a
+    literal-map transform). The sample text is derived deterministically from
+    the documents table (char codepoint mod 76 indexes the weird-char
+    alphabet) so both engines transliterate identical inputs. The whole
+    operator is one narrow projection — no shuffle, no Python — so it costs
+    a single codegen pass at any corpus size."""
+    from language_identification_spark.functions.deseret import (
+        deseret_phonemes,
+        fix_deseret,
+    )
+    from language_identification_spark.oracle._deseret import WEIRD_CHARS
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.length("text") > 0)
+        & (F.col("doc_id") <= 50)
+    )
+    weird_arr = F.array(*[F.lit(c) for c in WEIRD_CHARS])
+    chars = F.filter(F.split("text", ""), lambda c: c != F.lit(""))
+    weird_text = F.array_join(
+        F.transform(
+            chars,
+            lambda c: F.element_at(weird_arr, (F.ascii(c) % len(WEIRD_CHARS)) + 1),
+        ),
+        "",
+    )
+    des = fix_deseret(weird_text)
+    ph = deseret_phonemes(des)
+    return docs.select(
+        "doc_id",
+        F.size(chars).cast("bigint").alias("n_chars"),
+        F.substring(des, 1, 40).alias("deseret_prefix"),
+        F.substring(ph, 1, 60).alias("phoneme_prefix"),
+        F.length(ph).cast("bigint").alias("phoneme_len"),
+    )
+
+
+def _sql_deseret_translit() -> str:
+    from language_identification_spark.oracle._deseret import (
+        DESERET_CHARS,
+        PHONEMES,
+        WEIRD_CHARS,
+    )
+
+    rows = ", ".join(
+        f"({i}, '{w}', '{d}', '{p}')"
+        for i, (w, d, p) in enumerate(zip(WEIRD_CHARS, DESERET_CHARS, PHONEMES))
+    )
+    n = len(WEIRD_CHARS)
+    return f"""
+WITH alpha(i, wc, dc, ph) AS (VALUES {rows}),
+chars AS (
+  SELECT doc_id, i AS pos, unicode(substring(text, i, 1)) % {n} AS k
+  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+  WHERE text IS NOT NULL AND length(text) > 0 AND doc_id <= 50
+),
+m AS (SELECT doc_id, pos, dc, ph FROM chars JOIN alpha ON alpha.i = k)
+SELECT doc_id,
+       count(*) AS n_chars,
+       substring(string_agg(dc, '' ORDER BY pos), 1, 40) AS deseret_prefix,
+       substring(string_agg(ph, '' ORDER BY pos), 1, 60) AS phoneme_prefix,
+       length(string_agg(ph, '' ORDER BY pos))::BIGINT AS phoneme_len
+FROM m GROUP BY doc_id
+"""
+
+
+SQL_DESERET_TRANSLIT = _sql_deseret_translit()
+
+
 def q_rollup_counts(spark, sf_dir):
     """Grouping sets: ROLLUP(lang, source) doc/char totals — the reporting
     shape of the metrics tables (SURVEY.md §2.4 note: rollup(lang,
@@ -2207,6 +2280,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "charset_setops": q_charset_setops,
     "shipping_priority": q_shipping_priority,
     "deterministic_split": q_deterministic_split,
+    "deseret_translit": q_deseret_translit,
     "rollup_counts": q_rollup_counts,
     "pricing_summary": q_pricing_summary,
     "order_revenue_topk": q_order_revenue_topk,
@@ -2254,6 +2328,7 @@ ORACLE_SQL: dict[str, str] = {
     "charset_setops": SQL_CHARSET_SETOPS,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,
+    "deseret_translit": SQL_DESERET_TRANSLIT,
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
