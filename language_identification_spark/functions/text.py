@@ -107,6 +107,27 @@ def tokenize_approx_expr(col: Column | str) -> Column:
     )
 
 
+def find_words_expr(col: Column | str) -> Column:
+    """F7 as a native expression: maximal runs of letter/mark chars
+    (datasets/tmp.py:18-32 find_words; digits break words, no apostrophe
+    merge). Exact mirror of oracle/tokenize.py:find_words."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(r"[\p{L}\p{M}]+"), F.lit(0))
+
+
+def norm_text_expr(col: Column | str, exact_casefold: bool = True) -> Column:
+    """P8 companion ``norm_text`` (cleanup.ipynb cell 2): the dictionary
+    cleanup key — distinct find_words tokens, sorted (binary codepoint
+    order, matching Python ``sorted``), space-joined, then casefolded.
+    ``exact_casefold=False`` substitutes ``lower()`` for the casefold UDF —
+    the SQL-expressible gate variant (lower == casefold on the testdata;
+    diverges on ß/ǅ-class chars, which the exact path handles)."""
+    joined = F.array_join(
+        F.array_sort(F.array_distinct(find_words_expr(col))), " "
+    )
+    return casefold_udf(joined) if exact_casefold else F.lower(joined)
+
+
 def _sql(c: Column) -> str:
     # SQL-embed a column reference; only used with plain column refs
     return c._jc.toString()

@@ -29,6 +29,7 @@ Operator coverage map (reference file:line in each docstring):
   oracle/kn_sql.py); LSH skew defense: lsh_bucket_cap_audit;
   tokens: token_count / bpe_token_count; splits: deterministic_split;
   F14 deseret_translit (weird-font -> Deseret -> phonemes, functions/deseret.py);
+  P8 term_cleanup (has_text/has_digit quirks + norm_text key);
   reporting: rollup_counts; windows/sessions: events_hourly /
   events_sessionize; TPC-H-style: pricing_summary / order_revenue_topk /
   shipping_priority / regional_revenue / promo_revenue.
@@ -2034,6 +2035,57 @@ FROM m GROUP BY doc_id
 SQL_DESERET_TRANSLIT = _sql_deseret_translit()
 
 
+def q_term_cleanup(spark, sf_dir):
+    """P8 + cleanup.ipynb cell 2 as one relational flow: whitespace terms
+    from the documents table -> has_text (>=1 letter/mark char) AND NOT
+    has_digit (ASCII [0-9] only — the reference's literal '1234567890'
+    membership check) -> norm_text key (distinct find_words tokens, sorted,
+    space-joined; gate variant uses lower() — see functions/text.py:
+    norm_text_expr) -> per-key term/doc counts. Narrow scan -> explode ->
+    one groupBy: a single shuffle at any scale."""
+    from language_identification_spark.functions.text import norm_text_expr
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("doc_id") <= 100)
+    )
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    kept = terms.filter(
+        F.col("term").rlike(r"[\p{L}\p{M}]") & ~F.col("term").rlike(r"[0-9]")
+    )
+    return (
+        kept.select("doc_id", norm_text_expr("term", exact_casefold=False).alias("norm"))
+        .groupBy("norm")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_terms") >= 3)
+    )
+
+
+SQL_TERM_CLEANUP = r"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+  FROM documents WHERE text IS NOT NULL AND doc_id <= 100
+),
+kept AS (
+  SELECT doc_id, term FROM terms
+  WHERE term <> '' AND regexp_matches(term, '[\pL\pM]')
+    AND NOT regexp_matches(term, '[0-9]')
+),
+normed AS (
+  SELECT doc_id,
+         lower(array_to_string(list_sort(list_distinct(
+             regexp_extract_all(term, '[\pL\pM]+'))), ' ')) AS norm
+  FROM kept
+)
+SELECT norm, count(*) AS n_terms, count(DISTINCT doc_id) AS n_docs
+FROM normed GROUP BY norm HAVING count(*) >= 3
+"""
+
+
 def q_rollup_counts(spark, sf_dir):
     """Grouping sets: ROLLUP(lang, source) doc/char totals — the reporting
     shape of the metrics tables (SURVEY.md §2.4 note: rollup(lang,
@@ -2281,6 +2333,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "deterministic_split": q_deterministic_split,
     "deseret_translit": q_deseret_translit,
+    "term_cleanup": q_term_cleanup,
     "rollup_counts": q_rollup_counts,
     "pricing_summary": q_pricing_summary,
     "order_revenue_topk": q_order_revenue_topk,
@@ -2329,6 +2382,7 @@ ORACLE_SQL: dict[str, str] = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,
     "deseret_translit": SQL_DESERET_TRANSLIT,
+    "term_cleanup": SQL_TERM_CLEANUP,
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,

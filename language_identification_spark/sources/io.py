@@ -72,6 +72,85 @@ def read_scripts_json(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# categories the reference keeps when building script charsets
+# (CharSet.filter(['L*','S*']), script_langid/datatypes.py:17-64)
+_UCD_KEEP_GC = r"^(L.|S.)$"
+
+
+def read_ucd_xml(spark: SparkSession, path: str) -> DataFrame:
+    """S5: UCD ``ucd.all.flat.xml`` scan -> (cp_lo, cp_hi, gc, sc) rows.
+
+    The reference does this once, offline, with BeautifulSoup
+    (iso15924/parse-ucd.ipynb cells 2-5). Here it is a distributed line
+    scan: ``spark.read.text`` + native regexp attribute extraction — no XML
+    library, no Python in the loop, splittable across executors (the real
+    file is ~200 MB of one-element-per-line records; a DOM parse is
+    driver-bound and ~50x the memory). Handles both single-codepoint
+    (``cp="0041"``) and range (``first-cp="3400" last-cp="4DB5"``)
+    elements; attribute order doesn't matter because each attribute is
+    extracted independently."""
+    lines = spark.read.text(path).filter(F.col("value").contains("<char"))
+    # (?<![\w-]) so cp= does not match inside first-cp= / last-cp=
+    attr = lambda name: F.regexp_extract(  # noqa: E731
+        "value", rf'(?<![\w-]){name}="([0-9A-Fa-f]+)"', 1
+    )
+    sattr = lambda name: F.regexp_extract(  # noqa: E731
+        "value", rf'(?<![\w-]){name}="([^"]*)"', 1
+    )
+    hex2long = lambda c: F.conv(c, 16, 10).cast("long")  # noqa: E731
+    return (
+        lines.select(
+            F.coalesce(
+                F.nullif(attr("cp"), F.lit("")),
+                F.nullif(attr("first-cp"), F.lit("")),
+            ).alias("lo_hex"),
+            F.coalesce(
+                F.nullif(attr("cp"), F.lit("")),
+                F.nullif(attr("last-cp"), F.lit("")),
+            ).alias("hi_hex"),
+            F.nullif(sattr("gc"), F.lit("")).alias("gc"),
+            F.nullif(sattr("sc"), F.lit("")).alias("sc"),
+        )
+        .filter(F.col("lo_hex").isNotNull())
+        .select(
+            hex2long(F.col("lo_hex")).alias("cp_lo"),
+            hex2long(F.col("hi_hex")).alias("cp_hi"),
+            "gc",
+            "sc",
+        )
+    )
+
+
+def ucd_script_charsets(ucd: DataFrame) -> DataFrame:
+    """S5 downstream: per-script range-compressed charsets after the
+    letters+symbols category filter — the distributed form of the
+    scripts.json build (parse-ucd.ipynb cells 5-19). Adjacent/overlapping
+    ranges are coalesced with gaps-and-islands (running-max window keyed by
+    script): per-script data is tiny (<=few hundred ranges), so the window
+    partitions are small and the single shuffle is on the script key."""
+    from pyspark.sql import Window
+
+    kept = ucd.filter(
+        F.col("gc").rlike(_UCD_KEEP_GC) & F.col("sc").isNotNull()
+    )
+    w = Window.partitionBy("sc").orderBy("cp_lo", "cp_hi")
+    prev_max = F.max("cp_hi").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = (
+        prev_max.isNull() | (F.col("cp_lo") > prev_max + 1)
+    ).cast("int")
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        kept.withColumn("island", island)
+        .groupBy("sc", "island")
+        .agg(F.min("cp_lo").alias("cp_lo"), F.max("cp_hi").alias("cp_hi"))
+        .select("sc", "cp_lo", "cp_hi")
+    )
+
+
 def merge_wordlists(dfs: list[DataFrame]) -> DataFrame:
     """SO5: union word lists across sources then dedupe
     (merge_wordlists.ipynb cells 1-2) — the named operator form of
@@ -85,15 +164,18 @@ def merge_wordlists(dfs: list[DataFrame]) -> DataFrame:
 
 
 def has_text_filter(df: DataFrame, col: str = "term") -> DataFrame:
-    """P8: keep rows whose value contains at least one letter
-    (cleanup.ipynb cell 2 has_text)."""
-    return df.filter(F.col(col).rlike(r"\p{L}"))
+    """P8: keep rows with at least one find_words token, i.e. >=1
+    letter-or-mark char (cleanup.ipynb cell 2 has_text over tmp.py
+    find_words, whose char class is L* + M* — oracle/tokenize.py:201)."""
+    return df.filter(F.col(col).rlike(r"[\p{L}\p{M}]"))
 
 
 def has_digit_filter(df: DataFrame, col: str = "term") -> DataFrame:
-    """P8: keep rows whose value contains at least one digit
-    (cleanup.ipynb cell 2 has_digit)."""
-    return df.filter(F.col(col).rlike(r"\p{N}"))
+    """P8: keep rows containing an ASCII digit. The reference checks
+    membership in the literal string '1234567890' — the unicode isdigit
+    variant is commented out there (cleanup.ipynb cell 2 has_digit), so
+    [0-9], NOT \\p{N}, is the faithful class."""
+    return df.filter(F.col(col).rlike(r"[0-9]"))
 
 
 # ---------------------------------------------------------------------------

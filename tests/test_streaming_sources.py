@@ -146,6 +146,49 @@ def test_wordlist_reader(spark, tmp_path):
     assert words == ["apple", "banana", "cherry", "date"]
 
 
+def test_ucd_xml_scan(spark, tmp_path):
+    """S5: distributed UCD flat-XML scan — single-cp and first-cp/last-cp
+    range elements, attribute order independence, hex parse beyond the BMP
+    (parse-ucd.ipynb cells 2-5 semantics)."""
+    from language_identification_spark.sources.io import (
+        read_ucd_xml,
+        ucd_script_charsets,
+    )
+
+    p = tmp_path / "ucd.frag.xml"
+    p.write_text(
+        '<?xml version="1.0"?>\n<ucd>\n<repertoire>\n'
+        '<char cp="0041" na="LATIN CAPITAL LETTER A" gc="Lu" sc="Latn"/>\n'
+        '<char gc="Lu" sc="Latn" cp="0042"/>\n'  # attribute order shuffled
+        '<char cp="0043" gc="Lu" sc="Latn"/>\n'
+        '<char cp="0030" gc="Nd" sc="Zyyy"/>\n'  # digit: dropped by charset filter
+        '<char cp="20AC" gc="Sc" sc="Zyyy"/>\n'  # symbol: kept
+        '<char first-cp="3400" last-cp="4DB5" gc="Lo" sc="Hani"/>\n'
+        '<char cp="10400" gc="Lu" sc="Dsrt"/>\n'  # astral hex parse
+        '<reserved first-cp="0870" last-cp="089F"/>\n'
+        "</repertoire>\n</ucd>\n"
+    )
+    ucd = read_ucd_xml(spark, str(p))
+    rows = {(r.cp_lo, r.cp_hi, r.gc, r.sc) for r in ucd.collect()}
+    assert (0x41, 0x41, "Lu", "Latn") in rows
+    assert (0x42, 0x42, "Lu", "Latn") in rows
+    assert (0x3400, 0x4DB5, "Lo", "Hani") in rows
+    assert (0x10400, 0x10400, "Lu", "Dsrt") in rows
+    assert len(rows) == 7  # <reserved> line dropped
+
+    charsets = {
+        (r.sc, r.cp_lo, r.cp_hi)
+        for r in ucd_script_charsets(ucd).collect()
+    }
+    # A/B/C coalesce into one range; digit dropped; symbol kept
+    assert charsets == {
+        ("Latn", 0x41, 0x43),
+        ("Zyyy", 0x20AC, 0x20AC),
+        ("Hani", 0x3400, 0x4DB5),
+        ("Dsrt", 0x10400, 0x10400),
+    }
+
+
 def test_partitioned_sink_and_pruned_read(spark, tmp_path):
     docs = spark.createDataFrame(
         [("en", "hello"), ("en", "world"), ("ms", "rumah")],
@@ -225,8 +268,10 @@ def test_multimodal_is_narrow_map(spark):
 
 
 def test_merge_wordlists_and_filters(spark):
-    """SO5 + P8: wordlist union dedupes across sources; has_text/has_digit
-    keep rows with at least one letter / digit (unicode classes, not ASCII)."""
+    """SO5 + P8: wordlist union dedupes across sources; has_text keeps rows
+    with a letter-or-mark char (find_words char class), has_digit keeps rows
+    with an ASCII digit — the reference checks '1234567890' membership and
+    deliberately NOT unicode isdigit (cleanup.ipynb cell 2)."""
     from language_identification_spark.sources.io import (
         has_digit_filter,
         has_text_filter,
@@ -240,7 +285,10 @@ def test_merge_wordlists_and_filters(spark):
     with_text = sorted(r["term"] for r in has_text_filter(merged).collect())
     assert with_text == ["apple", "beta1", "čaj"]  # unicode letters count
     with_digit = sorted(r["term"] for r in has_digit_filter(merged).collect())
-    assert with_digit == ["42", "beta1", "٣٤"]  # arabic-indic digits count
+    assert with_digit == ["42", "beta1"]  # arabic-indic ٣٤ does NOT count
+    # a combining-mark-only term counts as text (category M qualifies)
+    marks = spark.createDataFrame([("́̂",), ("!!",)], "term string")
+    assert [r["term"] for r in has_text_filter(marks).collect()] == ["́̂"]
 
 
 def test_json_sink_roundtrip(spark, tmp_path):
