@@ -2042,17 +2042,26 @@ def q_term_cleanup(spark, sf_dir):
     membership check) -> norm_text key (distinct find_words tokens, sorted,
     space-joined; gate variant uses lower() — see functions/text.py:
     norm_text_expr) -> per-key term/doc counts. Narrow scan -> explode ->
-    one groupBy: a single shuffle at any scale."""
+    two map-side-combined shuffles (count_distinct keys on (norm, doc_id)
+    then (norm)); the explosion never reaches the driver."""
     from language_identification_spark.functions.text import norm_text_expr
+    from language_identification_spark.sources.io import (
+        HAS_DIGIT_CLASS,
+        HAS_TEXT_CLASS,
+    )
 
     docs = _t(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.col("doc_id") <= 100)
     )
+    # explicit ASCII-whitespace class, NOT \s: Java \s includes U+000B but
+    # RE2's (DuckDB's) \s does not, so \s-split segmentation would diverge
+    # on vertical-tab text. Same literal class in SQL_TERM_CLEANUP.
     terms = docs.select(
-        "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
+        "doc_id", F.explode(F.split("text", "[\t\n\x0b\f\r ]+")).alias("term")
     ).filter(F.col("term") != "")
     kept = terms.filter(
-        F.col("term").rlike(r"[\p{L}\p{M}]") & ~F.col("term").rlike(r"[0-9]")
+        F.col("term").rlike(HAS_TEXT_CLASS)
+        & ~F.col("term").rlike(HAS_DIGIT_CLASS)
     )
     return (
         kept.select("doc_id", norm_text_expr("term", exact_casefold=False).alias("norm"))
@@ -2067,7 +2076,7 @@ def q_term_cleanup(spark, sf_dir):
 
 SQL_TERM_CLEANUP = r"""
 WITH terms AS (
-  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+  SELECT doc_id, unnest(string_split_regex(text, '[\t\n\x0b\f\r ]+')) AS term
   FROM documents WHERE text IS NOT NULL AND doc_id <= 100
 ),
 kept AS (

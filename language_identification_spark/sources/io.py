@@ -163,11 +163,18 @@ def merge_wordlists(dfs: list[DataFrame]) -> DataFrame:
     return out.distinct()
 
 
+# P8 character classes — single source of truth, shared with the
+# term_cleanup gate query (queries.py). Java-regex dialect; the DuckDB
+# oracle states the same classes in RE2 dialect ([\pL\pM] / [0-9]).
+HAS_TEXT_CLASS = r"[\p{L}\p{M}]"
+HAS_DIGIT_CLASS = r"[0-9]"
+
+
 def has_text_filter(df: DataFrame, col: str = "term") -> DataFrame:
     """P8: keep rows with at least one find_words token, i.e. >=1
     letter-or-mark char (cleanup.ipynb cell 2 has_text over tmp.py
     find_words, whose char class is L* + M* — oracle/tokenize.py:201)."""
-    return df.filter(F.col(col).rlike(r"[\p{L}\p{M}]"))
+    return df.filter(F.col(col).rlike(HAS_TEXT_CLASS))
 
 
 def has_digit_filter(df: DataFrame, col: str = "term") -> DataFrame:
@@ -175,7 +182,7 @@ def has_digit_filter(df: DataFrame, col: str = "term") -> DataFrame:
     membership in the literal string '1234567890' — the unicode isdigit
     variant is commented out there (cleanup.ipynb cell 2 has_digit), so
     [0-9], NOT \\p{N}, is the faithful class."""
-    return df.filter(F.col(col).rlike(r"[0-9]"))
+    return df.filter(F.col(col).rlike(HAS_DIGIT_CLASS))
 
 
 # ---------------------------------------------------------------------------

@@ -310,6 +310,47 @@ def test_kn_oracles_match_spark_on_random_corpus(spark):
                 assert s == o
 
 
+def test_term_cleanup_oracle_matches_on_hostile_whitespace(spark):
+    """term_cleanup parity on a corpus salted with vertical tab, form feed
+    and CR — pins the explicit ASCII-whitespace split class (Java \\s
+    includes U+000B, RE2's does not, so a \\s-based split diverges; found
+    in review)."""
+    import os
+    import tempfile
+
+    from language_identification_spark.queries import (
+        SQL_TERM_CLEANUP,
+        q_term_cleanup,
+    )
+
+    texts = _random_latin_corpus(120, seed=13)
+    # splice hostile whitespace between words of every third doc
+    hostile = []
+    for i, t in enumerate(texts):
+        if i % 3 == 0:
+            t = t.replace(" ", "\x0b", 1).replace(" ", "\f", 2).replace(
+                " ", "\r\n", 1
+            )
+        hostile.append(t)
+    rows = [(i, t) for i, t in enumerate(hostile)]
+    assert any("\x0b" in t for t in hostile)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle_pdf = con.execute(SQL_TERM_CLEANUP).df()
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        spark_pdf = q_term_cleanup(spark, d).toPandas()
+    s_rows, o_rows = _canon_frame(spark_pdf), _canon_frame(oracle_pdf)
+    assert len(s_rows) == len(o_rows) > 0
+    for s, o in zip(s_rows, o_rows):
+        assert s == o
+
+
 def test_every_rule_fires_somewhere(spark, model):
     """The adversarial corpus is only a good oracle test if it actually
     exercises the rules: assert the union of drop reasons covers every
