@@ -166,3 +166,23 @@ def test_embedding_near_dup_no_collect_and_local_topn(spark):
     assert "MapInPandas" not in plan and "LocalTableScan" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_deseret_translit_is_pure_projection(spark):
+    """F14 is one narrow codegen pass: no shuffle exchange, no Python
+    evaluator of any kind — translate + map-lookup transform stay JVM-side."""
+    plan = plan_of(QUERIES["deseret_translit"](spark, SF))
+    assert n_exchanges(plan) == 0
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_term_cleanup_shuffles_only_aggregated_keys(spark):
+    """P8 cleanup: the exploded term rows must be absorbed by partial
+    aggregation before any exchange — exactly the two count_distinct
+    exchanges ((norm, doc_id) then (norm)), no Python, and a partial
+    HashAggregate below the first exchange."""
+    plan = plan_of(QUERIES["term_cleanup"](spark, SF))
+    assert n_exchanges(plan) == 2
+    assert "Python" not in plan
+    first_exchange = plan.index("Exchange hashpartitioning")
+    assert "HashAggregate" in plan[first_exchange:], "no partial agg below"
