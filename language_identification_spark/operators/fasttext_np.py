@@ -1,0 +1,374 @@
+"""Pure-numpy fastText supervised inference (S6/L1 real path).
+
+The reference wraps the native ``fasttext`` package around ``lid.176.bin``
+(fasttext_wrapper.py:17-45). That package is absent in this sandbox, which
+round 1/2 left the real model path import-gated and untested. This module
+removes the gate: a from-scratch reader of the public fastText binary model
+format plus the supervised prediction math, derived ONLY from the published
+format/algorithm of facebookresearch/fastText (BSD; format in
+``src/fasttext.cc saveModel/loadModel``, ``src/dictionary.cc save/load``,
+``src/args.cc save/load``; FNV-1a token hash and char-ngram walk in
+``src/dictionary.cc hash/computeSubwords``; word-ngram combine in
+``addWordNgrams``). No fastText code is vendored — the format is a public
+on-disk contract, like parquet.
+
+Supported: non-quantized ``.bin`` supervised models with softmax loss (what
+``lid.176.bin`` is) — ns/ova score via the same softmax-at-predict
+normalization the native CLI applies for top-k label output. NOT supported
+(loud ``NotImplementedError``): product-quantized ``.ftz`` models and
+pruned dictionaries — use the native package for those.
+
+Inference is vectorized: the hidden vector is a single ``np.mean`` over
+input-matrix rows, label scores one mat-vec; per-batch cost is dominated by
+tokenization. ``save_supervised_model`` writes the same format so the full
+path (file -> dictionary -> subwords -> prediction) is exercisable with a
+deterministic synthetic model — and asserts round-trip identity in tests.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+MAGIC = 793712314
+VERSION = 12
+
+# args.h enums
+LOSS_HS, LOSS_NS, LOSS_SOFTMAX, LOSS_OVA = 1, 2, 3, 4
+MODEL_CBOW, MODEL_SG, MODEL_SUP = 1, 2, 3
+
+EOS = "</s>"
+BOW, EOW = "<", ">"
+_WHITESPACE = " \t\n\v\f\r\0"
+
+
+def ft_hash(s: str | bytes) -> int:
+    """fastText's FNV-1a 32-bit over UTF-8 bytes with the C++ quirk that
+    each byte is sign-extended (``uint32_t(int8_t(c))``) before the xor."""
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    h = 2166136261
+    for c in s:
+        if c >= 128:
+            c -= 256  # int8_t sign extension
+        h = (h ^ (c & 0xFFFFFFFF)) & 0xFFFFFFFF
+        h = (h * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def compute_subwords(word: str, minn: int, maxn: int, bucket: int) -> list[int]:
+    """Char-ngram bucket ids of BOW+word+EOW, walking UTF-8 byte boundaries
+    exactly like ``Dictionary::computeSubwords`` (1-char ngrams that are the
+    bare BOW/EOW are skipped). Returns bucket-relative ids (no nwords
+    offset)."""
+    b = (BOW + word + EOW).encode("utf-8")
+    out: list[int] = []
+    size = len(b)
+    for i in range(size):
+        if (b[i] & 0xC0) == 0x80:
+            continue  # not a char start
+        j, n = i, 1
+        ngram = bytearray()
+        while j < size and n <= maxn:
+            ngram.append(b[j])
+            j += 1
+            while j < size and (b[j] & 0xC0) == 0x80:
+                ngram.append(b[j])
+                j += 1
+            if n >= minn and not (n == 1 and (i == 0 or j == size)):
+                out.append(ft_hash(bytes(ngram)) % bucket)
+            n += 1
+    return out
+
+
+def word_ngram_ids(
+    word_hashes: list[int], word_ngrams: int, bucket: int
+) -> list[int]:
+    """``Dictionary::addWordNgrams``: rolling combine h = h*116049371 + h2
+    over windows of 2..word_ngrams tokens; bucket-relative ids."""
+    out: list[int] = []
+    n = len(word_hashes)
+    for i in range(n):
+        h = word_hashes[i]
+        for j in range(i + 1, min(i + word_ngrams, n)):
+            h = (h * 116049371 + word_hashes[j]) & 0xFFFFFFFFFFFFFFFF
+            out.append(h % bucket)
+    return out
+
+
+@dataclass
+class FastTextArgs:
+    dim: int = 16
+    ws: int = 5
+    epoch: int = 5
+    min_count: int = 1
+    neg: int = 5
+    word_ngrams: int = 1
+    loss: int = LOSS_SOFTMAX
+    model: int = MODEL_SUP
+    bucket: int = 2_000_000
+    minn: int = 0
+    maxn: int = 0
+    lr_update_rate: int = 100
+    t: float = 1e-4
+
+
+class NumpyFastText:
+    """Loaded supervised model: dictionary + input/output matrices."""
+
+    def __init__(
+        self,
+        args: FastTextArgs,
+        words: list[str],
+        word_counts: list[int],
+        labels: list[str],
+        label_counts: list[int],
+        input_matrix: np.ndarray,
+        output_matrix: np.ndarray,
+    ):
+        self.args = args
+        self.words = words
+        self.labels = labels
+        self.word_counts = word_counts
+        self.label_counts = label_counts
+        self.word_id = {w: i for i, w in enumerate(words)}
+        self.input = input_matrix  # (nwords + bucket, dim)
+        self.output = output_matrix  # (nlabels, dim)
+        nwords, nlabels = len(words), len(labels)
+        if input_matrix.shape[1] != args.dim or output_matrix.shape != (
+            nlabels,
+            args.dim,
+        ):
+            raise ValueError(
+                f"matrix shapes {input_matrix.shape}/{output_matrix.shape} "
+                f"inconsistent with dim={args.dim} nlabels={nlabels}"
+            )
+        if input_matrix.shape[0] < nwords:
+            raise ValueError("input matrix smaller than vocabulary")
+        # precomputed per-word subword lists (Dictionary::initNgrams): the
+        # word id itself + its char ngrams (EOS gets no char ngrams)
+        self._subwords: list[list[int]] = []
+        for i, w in enumerate(words):
+            ids = [i]
+            if args.maxn > 0 and w != EOS:
+                ids += [
+                    nwords + h
+                    for h in compute_subwords(w, args.minn, args.maxn, args.bucket)
+                ]
+            self._subwords.append(ids)
+
+    # -- tokenization / id mapping ------------------------------------------
+
+    def line_ids(self, text: str) -> list[int]:
+        """Input-matrix row ids for one line: per-token dictionary ids +
+        subwords (OOV tokens contribute char ngrams only), then word-ngram
+        bucket ids over the token hash sequence (``Dictionary::getLine``).
+        A trailing EOS token mirrors the native binding's appended
+        newline."""
+        a = self.args
+        nwords = len(self.words)
+        ids: list[int] = []
+        hashes: list[int] = []
+        for token in _tokenize(text) + [EOS]:
+            if token.startswith("__label__"):
+                continue  # label-type tokens never contribute input ids
+            wid = self.word_id.get(token, -1)
+            if wid >= 0:
+                if a.maxn <= 0:
+                    ids.append(wid)
+                else:
+                    ids.extend(self._subwords[wid])
+            elif token != EOS and a.maxn > 0:
+                ids.extend(
+                    nwords + h
+                    for h in compute_subwords(token, a.minn, a.maxn, a.bucket)
+                )
+            # the native getLine pushes the token hash for EVERY word-type
+            # token — in-vocab, OOV, and EOS alike
+            hashes.append(ft_hash(token))
+        if a.word_ngrams > 1:
+            ids.extend(
+                nwords + h
+                for h in word_ngram_ids(hashes, a.word_ngrams, a.bucket)
+            )
+        return ids
+
+    # -- scoring -------------------------------------------------------------
+
+    def predict(self, text: str, k: int = 1) -> list[tuple[str, float]]:
+        """Top-k (label, prob) by softmax over output scores of the mean
+        input embedding; empty input -> []."""
+        ids = self.line_ids(text)
+        if not ids:
+            return []
+        hidden = self.input[np.asarray(ids, dtype=np.int64)].mean(
+            axis=0, dtype=np.float32
+        )
+        scores = self.output @ hidden
+        scores = scores - scores.max()
+        e = np.exp(scores, dtype=np.float64)
+        probs = e / e.sum()
+        top = np.argsort(-probs, kind="stable")[:k]
+        return [(self.labels[i], float(probs[i])) for i in top]
+
+    def predict_batch(
+        self, texts: list[str]
+    ) -> tuple[list[str | None], list[float]]:
+        """(label, prob) per text — the shape fasttext_lid_udf consumes."""
+        langs: list[str | None] = []
+        confs: list[float] = []
+        for t in texts:
+            r = self.predict(t or "", k=1)
+            if r:
+                langs.append(r[0][0].removeprefix("__label__"))
+                confs.append(r[0][1])
+            else:
+                langs.append(None)
+                confs.append(0.0)
+        return langs, confs
+
+
+class NativeApiShim:
+    """Adapts :class:`NumpyFastText` to the native package's call shape
+    (``model.predict(list[str], k) -> (labels, probs)``) so
+    ``operators/lid.py`` drives either engine through one code path.
+    Labels keep their ``__label__`` prefix exactly like the native API."""
+
+    def __init__(self, model: NumpyFastText):
+        self.model = model
+
+    def predict(self, texts: list[str], k: int = 1):
+        labels: list[list[str]] = []
+        probs: list[np.ndarray] = []
+        for t in texts:
+            r = self.model.predict(t, k=k)
+            labels.append([lab for lab, _ in r])
+            probs.append(np.asarray([p for _, p in r]))
+        return labels, probs
+
+
+def _tokenize(text: str) -> list[str]:
+    out, cur = [], []
+    for ch in text:
+        if ch in _WHITESPACE:
+            if cur:
+                out.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# binary format (little-endian throughout)
+# ---------------------------------------------------------------------------
+
+
+def load_model(path: str) -> NumpyFastText:
+    """Read a non-quantized supervised ``.bin`` (fasttext.cc loadModel)."""
+    with open(path, "rb") as f:
+        magic, version = struct.unpack("<ii", f.read(8))
+        if magic != MAGIC:
+            raise ValueError(f"not a fastText model (magic {magic})")
+        if version > VERSION:
+            raise ValueError(f"unsupported model version {version}")
+        (
+            dim, ws, epoch, min_count, neg, word_ngrams, loss, model_t,
+            bucket, minn, maxn, lr_update_rate,
+        ) = struct.unpack("<12i", f.read(48))
+        (t,) = struct.unpack("<d", f.read(8))
+        args = FastTextArgs(
+            dim, ws, epoch, min_count, neg, word_ngrams, loss, model_t,
+            bucket, minn, maxn, lr_update_rate, t,
+        )
+        if model_t != MODEL_SUP:
+            raise NotImplementedError("only supervised models supported")
+        size, nwords, nlabels = struct.unpack("<3i", f.read(12))
+        _ntokens, pruneidx_size = struct.unpack("<2q", f.read(16))
+        if pruneidx_size > 0:
+            raise NotImplementedError("pruned dictionaries not supported")
+        words: list[str] = []
+        word_counts: list[int] = []
+        labels: list[str] = []
+        label_counts: list[int] = []
+        for _ in range(size):
+            chars = bytearray()
+            while (c := f.read(1)) != b"\x00":
+                if not c:
+                    raise ValueError("truncated dictionary entry")
+                chars += c
+            (count,) = struct.unpack("<q", f.read(8))
+            (etype,) = struct.unpack("<b", f.read(1))
+            if etype == 0:
+                words.append(chars.decode("utf-8"))
+                word_counts.append(count)
+            else:
+                labels.append(chars.decode("utf-8"))
+                label_counts.append(count)
+        if len(words) != nwords or len(labels) != nlabels:
+            raise ValueError("dictionary counts disagree with header")
+        (quant,) = struct.unpack("<?", f.read(1))
+        if quant:
+            raise NotImplementedError(
+                "quantized (.ftz) input matrix not supported — use the "
+                "native fasttext package"
+            )
+        input_matrix = _read_dense(f)
+        (qout,) = struct.unpack("<?", f.read(1))
+        if qout:
+            raise NotImplementedError("quantized output matrix not supported")
+        output_matrix = _read_dense(f)
+    return NumpyFastText(
+        args, words, word_counts, labels, label_counts,
+        input_matrix, output_matrix,
+    )
+
+
+def _read_dense(f) -> np.ndarray:
+    m, n = struct.unpack("<2q", f.read(16))
+    data = np.frombuffer(f.read(m * n * 4), dtype="<f4", count=m * n)
+    return data.reshape(m, n).copy()
+
+
+def save_supervised_model(
+    path: str,
+    args: FastTextArgs,
+    words: list[tuple[str, int]],
+    labels: list[tuple[str, int]],
+    input_matrix: np.ndarray,
+    output_matrix: np.ndarray,
+) -> None:
+    """Write the same on-disk format (fixture/export utility; round-trip
+    asserted in tests). ``input_matrix`` must have nwords+bucket rows when
+    maxn>0 or word_ngrams>1, else >= nwords rows."""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", MAGIC, VERSION))
+        f.write(
+            struct.pack(
+                "<12i",
+                args.dim, args.ws, args.epoch, args.min_count, args.neg,
+                args.word_ngrams, args.loss, args.model, args.bucket,
+                args.minn, args.maxn, args.lr_update_rate,
+            )
+        )
+        f.write(struct.pack("<d", args.t))
+        ntokens = sum(c for _, c in words) + sum(c for _, c in labels)
+        f.write(struct.pack("<3i", len(words) + len(labels), len(words), len(labels)))
+        f.write(struct.pack("<2q", ntokens, 0))
+        for w, count in words:
+            f.write(w.encode("utf-8") + b"\x00" + struct.pack("<qb", count, 0))
+        for w, count in labels:
+            f.write(w.encode("utf-8") + b"\x00" + struct.pack("<qb", count, 1))
+        f.write(struct.pack("<?", False))
+        _write_dense(f, input_matrix)
+        f.write(struct.pack("<?", False))
+        _write_dense(f, output_matrix)
+
+
+def _write_dense(f, m: np.ndarray) -> None:
+    f.write(struct.pack("<2q", m.shape[0], m.shape[1]))
+    f.write(np.ascontiguousarray(m, dtype="<f4").tobytes())

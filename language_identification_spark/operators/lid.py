@@ -131,19 +131,38 @@ _FASTTEXT_SINGLETON = {}
 
 
 def _load_fasttext(model_path: str):
+    """Native package when installed; otherwise the from-scratch numpy
+    engine (operators/fasttext_np.py) reads the same ``.bin`` format — so
+    the real model path is exercisable even without the C++ lib."""
     if model_path not in _FASTTEXT_SINGLETON:
-        import fasttext  # gated import; unavailable in this sandbox
+        try:
+            import fasttext  # native path (preferred when installed)
 
-        _FASTTEXT_SINGLETON[model_path] = fasttext.load_model(model_path)
+            _FASTTEXT_SINGLETON[model_path] = fasttext.load_model(model_path)
+        except ImportError:
+            from language_identification_spark.operators.fasttext_np import (
+                NativeApiShim,
+                load_model,
+            )
+
+            _FASTTEXT_SINGLETON[model_path] = NativeApiShim(
+                load_model(model_path)
+            )
     return _FASTTEXT_SINGLETON[model_path]
 
 
 def fasttext_available() -> bool:
+    path = os.environ.get("FASTTEXT_MODEL_PATH")
+    if not path:
+        return False
     try:
         import fasttext  # noqa: F401
+
+        return True
     except ImportError:
-        return False
-    return bool(os.environ.get("FASTTEXT_MODEL_PATH"))
+        # the numpy engine reads non-quantized .bin models; quantized .ftz
+        # still needs the native package
+        return path.endswith(".bin")
 
 
 def fasttext_lid_udf(model_path: str | None = None):
