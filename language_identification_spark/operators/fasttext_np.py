@@ -13,10 +13,11 @@ format/algorithm of facebookresearch/fastText (BSD; format in
 on-disk contract, like parquet.
 
 Supported: non-quantized ``.bin`` supervised models with softmax loss (what
-``lid.176.bin`` is) — ns/ova score via the same softmax-at-predict
-normalization the native CLI applies for top-k label output. NOT supported
-(loud ``NotImplementedError``): product-quantized ``.ftz`` models and
-pruned dictionaries — use the native package for those.
+``lid.176.bin`` is) and ns/ova loss (scored with the native per-label
+sigmoid of ``BinaryLogisticLoss::computeOutput``). NOT supported (loud
+``NotImplementedError``): hierarchical-softmax prediction (needs the
+Huffman tree), product-quantized ``.ftz`` models, and pruned dictionaries
+— use the native package for those.
 
 Inference is vectorized: the hidden vector is a single ``np.mean`` over
 input-matrix rows, label scores one mat-vec; per-batch cost is dominated by
@@ -83,17 +84,27 @@ def compute_subwords(word: str, minn: int, maxn: int, bucket: int) -> list[int]:
     return out
 
 
+def _i32(h: int) -> int:
+    """Reinterpret a uint32 as int32 — the native dictionary stores token
+    hashes in ``vector<int32_t>``, so values >= 2^31 wrap negative."""
+    return h - 2**32 if h >= 2**31 else h
+
+
 def word_ngram_ids(
     word_hashes: list[int], word_ngrams: int, bucket: int
 ) -> list[int]:
     """``Dictionary::addWordNgrams``: rolling combine h = h*116049371 + h2
-    over windows of 2..word_ngrams tokens; bucket-relative ids."""
+    over windows of 2..word_ngrams tokens; bucket-relative ids. Both the
+    seed and each addend are int32-SIGN-EXTENDED to uint64 first (native:
+    ``uint64_t h = hashes[i]`` where hashes is ``vector<int32_t>``) —
+    without this, every window containing a hash >= 2^31 lands in a wrong
+    bucket."""
     out: list[int] = []
     n = len(word_hashes)
     for i in range(n):
-        h = word_hashes[i]
+        h = _i32(word_hashes[i]) & 0xFFFFFFFFFFFFFFFF
         for j in range(i + 1, min(i + word_ngrams, n)):
-            h = (h * 116049371 + word_hashes[j]) & 0xFFFFFFFFFFFFFFFF
+            h = (h * 116049371 + _i32(word_hashes[j])) & 0xFFFFFFFFFFFFFFFF
             out.append(h % bucket)
     return out
 
@@ -147,17 +158,26 @@ class NumpyFastText:
             )
         if input_matrix.shape[0] < nwords:
             raise ValueError("input matrix smaller than vocabulary")
-        # precomputed per-word subword lists (Dictionary::initNgrams): the
-        # word id itself + its char ngrams (EOS gets no char ngrams)
-        self._subwords: list[list[int]] = []
-        for i, w in enumerate(words):
-            ids = [i]
-            if args.maxn > 0 and w != EOS:
+        # per-word subword lists (Dictionary::initNgrams semantics: the word
+        # id itself + its char ngrams; EOS gets no char ngrams). Computed
+        # LAZILY with a cache — eager precompute over a lid.176-sized vocab
+        # (~10^5 words x ~15 pure-Python FNV ngrams) would cost tens of
+        # seconds of per-executor startup for rows most batches never touch.
+        self._subword_cache: dict[int, list[int]] = {}
+
+    def _word_subwords(self, wid: int) -> list[int]:
+        ids = self._subword_cache.get(wid)
+        if ids is None:
+            a = self.args
+            w = self.words[wid]
+            ids = [wid]
+            if a.maxn > 0 and w != EOS:
                 ids += [
-                    nwords + h
-                    for h in compute_subwords(w, args.minn, args.maxn, args.bucket)
+                    len(self.words) + h
+                    for h in compute_subwords(w, a.minn, a.maxn, a.bucket)
                 ]
-            self._subwords.append(ids)
+            self._subword_cache[wid] = ids
+        return ids
 
     # -- tokenization / id mapping ------------------------------------------
 
@@ -179,7 +199,7 @@ class NumpyFastText:
                 if a.maxn <= 0:
                     ids.append(wid)
                 else:
-                    ids.extend(self._subwords[wid])
+                    ids.extend(self._word_subwords(wid))
             elif token != EOS and a.maxn > 0:
                 ids.extend(
                     nwords + h
@@ -198,36 +218,33 @@ class NumpyFastText:
     # -- scoring -------------------------------------------------------------
 
     def predict(self, text: str, k: int = 1) -> list[tuple[str, float]]:
-        """Top-k (label, prob) by softmax over output scores of the mean
-        input embedding; empty input -> []."""
-        ids = self.line_ids(text)
+        """Top-k (label, prob) over output scores of the mean input
+        embedding. Normalization follows the native predict path per loss:
+        softmax loss -> softmax; ns/ova -> per-label sigmoid
+        (BinaryLogisticLoss::computeOutput — unnormalized); hierarchical
+        softmax needs the Huffman tree and raises. Like native ``getLine``,
+        scoring stops at the first newline (the native python binding
+        rejects multi-line input outright); empty input -> []."""
+        ids = self.line_ids(text.split("\n", 1)[0])
         if not ids:
             return []
         hidden = self.input[np.asarray(ids, dtype=np.int64)].mean(
             axis=0, dtype=np.float32
         )
-        scores = self.output @ hidden
-        scores = scores - scores.max()
-        e = np.exp(scores, dtype=np.float64)
-        probs = e / e.sum()
+        scores = (self.output @ hidden).astype(np.float64)
+        loss = self.args.loss
+        if loss == LOSS_SOFTMAX:
+            e = np.exp(scores - scores.max())
+            probs = e / e.sum()
+        elif loss in (LOSS_NS, LOSS_OVA):
+            probs = 1.0 / (1.0 + np.exp(-scores))
+        else:
+            raise NotImplementedError(
+                "hierarchical-softmax prediction not supported — use the "
+                "native fasttext package"
+            )
         top = np.argsort(-probs, kind="stable")[:k]
         return [(self.labels[i], float(probs[i])) for i in top]
-
-    def predict_batch(
-        self, texts: list[str]
-    ) -> tuple[list[str | None], list[float]]:
-        """(label, prob) per text — the shape fasttext_lid_udf consumes."""
-        langs: list[str | None] = []
-        confs: list[float] = []
-        for t in texts:
-            r = self.predict(t or "", k=1)
-            if r:
-                langs.append(r[0][0].removeprefix("__label__"))
-                confs.append(r[0][1])
-            else:
-                langs.append(None)
-                confs.append(0.0)
-        return langs, confs
 
 
 class NativeApiShim:
@@ -287,9 +304,15 @@ def load_model(path: str) -> NumpyFastText:
         )
         if model_t != MODEL_SUP:
             raise NotImplementedError("only supervised models supported")
+        if version == 11:
+            # native backward-compat quirk: v11 supervised models stored a
+            # nonzero maxn they never used (fasttext.cc loadModel)
+            args.maxn = 0
         size, nwords, nlabels = struct.unpack("<3i", f.read(12))
         _ntokens, pruneidx_size = struct.unpack("<2q", f.read(16))
-        if pruneidx_size > 0:
+        # native Dictionary::isPruned() is pruneidx_size_ >= 0 (unpruned
+        # dictionaries store -1, NOT 0)
+        if pruneidx_size >= 0:
             raise NotImplementedError("pruned dictionaries not supported")
         words: list[str] = []
         word_counts: list[int] = []
@@ -358,7 +381,9 @@ def save_supervised_model(
         f.write(struct.pack("<d", args.t))
         ntokens = sum(c for _, c in words) + sum(c for _, c in labels)
         f.write(struct.pack("<3i", len(words) + len(labels), len(words), len(labels)))
-        f.write(struct.pack("<2q", ntokens, 0))
+        # pruneidx_size = -1: the UNPRUNED sentinel. Writing 0 here would
+        # make native fastText reject the file as an invalid pruned model.
+        f.write(struct.pack("<2q", ntokens, -1))
         for w, count in words:
             f.write(w.encode("utf-8") + b"\x00" + struct.pack("<qb", count, 0))
         for w, count in labels:

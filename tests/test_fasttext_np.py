@@ -148,6 +148,105 @@ def test_word_ngrams_change_ids(tmp_path):
     assert len(ids_bi) > len(ids_uni)
 
 
+def test_word_ngram_sign_extension():
+    """Native addWordNgrams stores hashes as int32 and sign-extends to
+    uint64; hashes >= 2^31 (e.g. hash('</s>') = 3617362777) must combine
+    via their negative int32 reinterpretation — pinned after review found
+    the unsigned variant diverges on virtually every line."""
+    from language_identification_spark.operators.fasttext_np import (
+        word_ngram_ids,
+    )
+
+    hashes = [ft_hash("hello"), ft_hash("world"), ft_hash(EOS)]
+    assert hashes[2] == 3617362777 >= 2**31
+    ids = word_ngram_ids(hashes, 2, 2_000_000)
+    # manual native-semantics recompute
+    h01 = (
+        (hashes[0] - (2**32 if hashes[0] >= 2**31 else 0)) * 116049371
+        + (hashes[1] - (2**32 if hashes[1] >= 2**31 else 0))
+    ) & 0xFFFFFFFFFFFFFFFF
+    h12 = (
+        (hashes[1] - (2**32 if hashes[1] >= 2**31 else 0)) * 116049371
+        + (hashes[2] - 2**32)
+    ) & 0xFFFFFFFFFFFFFFFF
+    assert ids == [h01 % 2_000_000, h12 % 2_000_000]
+    assert ids[1] == 1298458  # golden: unsigned combine gives 265754
+
+
+def test_pruneidx_sentinel_is_minus_one(tmp_path):
+    """Unpruned dictionaries store pruneidx_size = -1; 0 means PRUNED and
+    native fastText rejects such files (issue-#332 class)."""
+    import struct as _s
+
+    path, *_ = _build_model(tmp_path)
+    raw = open(path, "rb").read()
+    # dict header sits right after 8B magic/version + 48B int args + 8B t:
+    # 3 int32 (size, nwords, nlabels) then int64 ntokens, int64 pruneidx
+    off = 8 + 48 + 8 + 12 + 8
+    (pruneidx_size,) = _s.unpack_from("<q", raw, off)
+    assert pruneidx_size == -1
+    # and a file claiming pruneidx_size >= 0 is refused
+    patched = bytearray(raw)
+    _s.pack_into("<q", patched, off, 0)
+    p2 = tmp_path / "pruned.bin"
+    p2.write_bytes(bytes(patched))
+    with pytest.raises(NotImplementedError, match="pruned"):
+        load_model(str(p2))
+
+
+def test_version11_supervised_forces_maxn_zero(tmp_path):
+    """fasttext.cc loadModel: v11 supervised models stored an unused
+    nonzero maxn — the loader must zero it like native does."""
+    import struct as _s
+
+    path, *_ = _build_model(tmp_path)  # maxn=4
+    raw = bytearray(open(path, "rb").read())
+    _s.pack_into("<i", raw, 4, 11)  # version field
+    p2 = tmp_path / "v11.bin"
+    p2.write_bytes(bytes(raw))
+    m = load_model(str(p2))
+    assert m.args.maxn == 0
+    ids = m.line_ids("hello world")
+    # maxn=0: the 3 tokens (incl. EOS) contribute one word id each — no
+    # char ngrams; word_ngrams=2 appends exactly 2 bucket ids
+    assert len(ids) == 5
+    assert all(i < len(m.words) for i in ids[:3])
+    assert all(i >= len(m.words) for i in ids[3:])
+
+
+def test_sigmoid_losses_and_hs_rejected(tmp_path):
+    from language_identification_spark.operators.fasttext_np import (
+        LOSS_HS,
+        LOSS_NS,
+        LOSS_OVA,
+    )
+
+    path, args, words, inp, out = _build_model(tmp_path)
+    m = load_model(path)
+    for loss in (LOSS_NS, LOSS_OVA):
+        m.args.loss = loss
+        r = dict(m.predict("hello world", k=3))
+        # per-label sigmoid: unnormalized, each in (0,1), ranking preserved
+        assert not abs(sum(r.values()) - 1.0) < 1e-6
+        assert all(0.0 < p < 1.0 for p in r.values())
+        assert max(r, key=r.get) == "__label__en"
+    m.args.loss = LOSS_HS
+    with pytest.raises(NotImplementedError, match="hierarchical"):
+        m.predict("hello", k=1)
+    m.args.loss = args.loss
+
+
+def test_newline_stops_the_line(tmp_path):
+    """Native getLine stops at the first newline (EOS); scoring must not
+    leak tokens from subsequent lines."""
+    path, *_ = _build_model(tmp_path)
+    m = load_model(path)
+    assert (
+        m.predict("hello world\nbonjour le monde bonjour le monde", k=1)
+        == m.predict("hello world", k=1)
+    )
+
+
 def test_bad_magic_rejected(tmp_path):
     p = tmp_path / "junk.bin"
     p.write_bytes(b"\x00" * 64)
