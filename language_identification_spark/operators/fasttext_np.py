@@ -12,12 +12,20 @@ format/algorithm of facebookresearch/fastText (BSD; format in
 ``addWordNgrams``). No fastText code is vendored — the format is a public
 on-disk contract, like parquet.
 
-Supported: non-quantized ``.bin`` supervised models with softmax loss (what
-``lid.176.bin`` is) and ns/ova loss (scored with the native per-label
-sigmoid of ``BinaryLogisticLoss::computeOutput``). NOT supported (loud
-``NotImplementedError``): hierarchical-softmax prediction (needs the
-Huffman tree), product-quantized ``.ftz`` models, and pruned dictionaries
-— use the native package for those.
+Supported: supervised models with softmax loss (what ``lid.176.bin`` is)
+and ns/ova loss (scored with the native per-label sigmoid of
+``BinaryLogisticLoss::computeOutput``); BOTH dense ``.bin`` matrices and
+product-quantized ``.ftz`` matrices (``src/quantmatrix.cc`` /
+``src/productquantizer.cc`` load format: uint8 codes + 256-centroid
+subquantizer tables + optional separately-quantized row norms), including
+the pruned dictionaries ``quantize -cutoff`` produces
+(``Dictionary::pushHash`` remap semantics — kept ngram buckets are
+re-indexed via pruneidx, dropped ones contribute nothing). Quantized
+matrices are decoded to dense float32 once at load: a PQ model is small by
+construction (lid.176.ftz reconstructs to ~12 MB), so decode cost is a
+one-time per-executor startup step and the hot scoring path stays a dense
+mat-vec. NOT supported (loud ``NotImplementedError``):
+hierarchical-softmax prediction (needs the Huffman tree).
 
 Inference is vectorized: the hidden vector is a single ``np.mean`` over
 input-matrix rows, label scores one mat-vec; per-batch cost is dominated by
@@ -138,6 +146,7 @@ class NumpyFastText:
         label_counts: list[int],
         input_matrix: np.ndarray,
         output_matrix: np.ndarray,
+        pruneidx: dict[int, int] | None = None,
     ):
         self.args = args
         self.words = words
@@ -145,9 +154,20 @@ class NumpyFastText:
         self.word_counts = word_counts
         self.label_counts = label_counts
         self.word_id = {w: i for i, w in enumerate(words)}
-        self.input = input_matrix  # (nwords + bucket, dim)
+        self.input = input_matrix  # (nwords + bucket, dim); pruned: compacted
         self.output = output_matrix  # (nlabels, dim)
+        # None = unpruned (every bucket id maps to itself). A dict — even an
+        # EMPTY one (``pruneidx_size_ == 0``) — means pruned: bucket ids not
+        # in the map are DROPPED, matching ``Dictionary::pushHash``.
+        self.pruneidx = pruneidx
         nwords, nlabels = len(words), len(labels)
+        if pruneidx is not None and pruneidx:
+            need = nwords + max(pruneidx.values()) + 1
+            if input_matrix.shape[0] < need:
+                raise ValueError(
+                    f"pruned input matrix has {input_matrix.shape[0]} rows, "
+                    f"pruneidx references row {need - 1}"
+                )
         if input_matrix.shape[1] != args.dim or output_matrix.shape != (
             nlabels,
             args.dim,
@@ -165,6 +185,17 @@ class NumpyFastText:
         # seconds of per-executor startup for rows most batches never touch.
         self._subword_cache: dict[int, list[int]] = {}
 
+    def _bucket_rows(self, hs: list[int]) -> list[int]:
+        """Bucket-relative ngram ids -> input-matrix row ids, applying the
+        pruned-dictionary remap exactly like ``Dictionary::pushHash``:
+        unpruned -> nwords + h; pruned -> nwords + pruneidx[h] when kept,
+        dropped otherwise."""
+        nwords = len(self.words)
+        if self.pruneidx is None:
+            return [nwords + h for h in hs]
+        idx = self.pruneidx
+        return [nwords + idx[h] for h in hs if h in idx]
+
     def _word_subwords(self, wid: int) -> list[int]:
         ids = self._subword_cache.get(wid)
         if ids is None:
@@ -172,10 +203,9 @@ class NumpyFastText:
             w = self.words[wid]
             ids = [wid]
             if a.maxn > 0 and w != EOS:
-                ids += [
-                    len(self.words) + h
-                    for h in compute_subwords(w, a.minn, a.maxn, a.bucket)
-                ]
+                ids += self._bucket_rows(
+                    compute_subwords(w, a.minn, a.maxn, a.bucket)
+                )
             self._subword_cache[wid] = ids
         return ids
 
@@ -188,7 +218,6 @@ class NumpyFastText:
         A trailing EOS token mirrors the native binding's appended
         newline."""
         a = self.args
-        nwords = len(self.words)
         ids: list[int] = []
         hashes: list[int] = []
         for token in _tokenize(text) + [EOS]:
@@ -202,16 +231,16 @@ class NumpyFastText:
                     ids.extend(self._word_subwords(wid))
             elif token != EOS and a.maxn > 0:
                 ids.extend(
-                    nwords + h
-                    for h in compute_subwords(token, a.minn, a.maxn, a.bucket)
+                    self._bucket_rows(
+                        compute_subwords(token, a.minn, a.maxn, a.bucket)
+                    )
                 )
             # the native getLine pushes the token hash for EVERY word-type
             # token — in-vocab, OOV, and EOS alike
             hashes.append(ft_hash(token))
         if a.word_ngrams > 1:
             ids.extend(
-                nwords + h
-                for h in word_ngram_ids(hashes, a.word_ngrams, a.bucket)
+                self._bucket_rows(word_ngram_ids(hashes, a.word_ngrams, a.bucket))
             )
         return ids
 
@@ -286,7 +315,9 @@ def _tokenize(text: str) -> list[str]:
 
 
 def load_model(path: str) -> NumpyFastText:
-    """Read a non-quantized supervised ``.bin`` (fasttext.cc loadModel)."""
+    """Read a supervised ``.bin`` or product-quantized ``.ftz``
+    (fasttext.cc loadModel; the file self-describes which via the quant
+    bools, so one loader covers both)."""
     with open(path, "rb") as f:
         magic, version = struct.unpack("<ii", f.read(8))
         if magic != MAGIC:
@@ -310,10 +341,6 @@ def load_model(path: str) -> NumpyFastText:
             args.maxn = 0
         size, nwords, nlabels = struct.unpack("<3i", f.read(12))
         _ntokens, pruneidx_size = struct.unpack("<2q", f.read(16))
-        # native Dictionary::isPruned() is pruneidx_size_ >= 0 (unpruned
-        # dictionaries store -1, NOT 0)
-        if pruneidx_size >= 0:
-            raise NotImplementedError("pruned dictionaries not supported")
         words: list[str] = []
         word_counts: list[int] = []
         labels: list[str] = []
@@ -334,20 +361,24 @@ def load_model(path: str) -> NumpyFastText:
                 label_counts.append(count)
         if len(words) != nwords or len(labels) != nlabels:
             raise ValueError("dictionary counts disagree with header")
+        # native Dictionary::isPruned() is pruneidx_size_ >= 0 (unpruned
+        # dictionaries store -1, NOT 0 — an empty map still means "pruned,
+        # drop every ngram"). Pairs follow the entries: (old bucket id ->
+        # compacted matrix row - nwords), int32 each.
+        pruneidx: dict[int, int] | None = None
+        if pruneidx_size >= 0:
+            pruneidx = {}
+            for _ in range(pruneidx_size):
+                old, new = struct.unpack("<2i", f.read(8))
+                pruneidx[old] = new
         (quant,) = struct.unpack("<?", f.read(1))
-        if quant:
-            raise NotImplementedError(
-                "quantized (.ftz) input matrix not supported — use the "
-                "native fasttext package"
-            )
-        input_matrix = _read_dense(f)
+        input_matrix = _read_quant(f) if quant else _read_dense(f)
         (qout,) = struct.unpack("<?", f.read(1))
-        if qout:
-            raise NotImplementedError("quantized output matrix not supported")
-        output_matrix = _read_dense(f)
+        # native loadModel only honors qout when the input was quantized
+        output_matrix = _read_quant(f) if (quant and qout) else _read_dense(f)
     return NumpyFastText(
         args, words, word_counts, labels, label_counts,
-        input_matrix, output_matrix,
+        input_matrix, output_matrix, pruneidx,
     )
 
 
@@ -355,6 +386,63 @@ def _read_dense(f) -> np.ndarray:
     m, n = struct.unpack("<2q", f.read(16))
     data = np.frombuffer(f.read(m * n * 4), dtype="<f4", count=m * n)
     return data.reshape(m, n).copy()
+
+
+KSUB = 256  # ProductQuantizer ksub_ = 1 << nbits, nbits = 8
+
+
+def _read_pq(f) -> tuple[int, int, int, int, np.ndarray]:
+    """``ProductQuantizer::load``: dim/nsubq/dsub/lastdsub (int32) then
+    dim * 256 float32 centroids."""
+    dim, nsubq, dsub, lastdsub = struct.unpack("<4i", f.read(16))
+    centroids = np.frombuffer(
+        f.read(dim * KSUB * 4), dtype="<f4", count=dim * KSUB
+    ).copy()
+    return dim, nsubq, dsub, lastdsub, centroids
+
+
+def _pq_decode(
+    codes: np.ndarray, dim: int, nsubq: int, dsub: int, lastdsub: int,
+    centroids: np.ndarray,
+) -> np.ndarray:
+    """Vectorized ``ProductQuantizer::addcode`` over all rows: per
+    subquantizer j, centroid c for code i lives at
+    ``centroids[(j*256 + i)*dsub]`` — except the LAST subquantizer, offset
+    ``(nsubq-1)*256*dsub + i*lastdsub`` (get_centroids)."""
+    m = codes.shape[0]
+    out = np.empty((m, dim), dtype=np.float32)
+    for j in range(nsubq):
+        d = lastdsub if j == nsubq - 1 else dsub
+        base = j * KSUB * dsub
+        table = centroids[base : base + KSUB * d].reshape(KSUB, d)
+        out[:, j * dsub : j * dsub + d] = table[codes[:, j]]
+    return out
+
+
+def _read_quant(f) -> np.ndarray:
+    """``QuantMatrix::load``, decoded straight to a dense float32 matrix:
+    qnorm (bool), m/n (int64), codesize (int32), uint8 codes, the data
+    ProductQuantizer, and when qnorm: per-row uint8 norm codes + the
+    1-dim norm ProductQuantizer (rows were l2-normalized before
+    quantization; reconstruction = norm * decoded_unit_row, matching
+    ``QuantMatrix::addRowToVector``)."""
+    (qnorm,) = struct.unpack("<?", f.read(1))
+    m, n = struct.unpack("<2q", f.read(16))
+    (codesize,) = struct.unpack("<i", f.read(4))
+    codes = np.frombuffer(f.read(codesize), dtype=np.uint8, count=codesize)
+    dim, nsubq, dsub, lastdsub, centroids = _read_pq(f)
+    if dim != n:
+        raise ValueError(f"quantizer dim {dim} != matrix cols {n}")
+    if codesize != m * nsubq:
+        raise ValueError(f"codesize {codesize} != m*nsubq {m * nsubq}")
+    out = _pq_decode(codes.reshape(m, nsubq), dim, nsubq, dsub, lastdsub, centroids)
+    if qnorm:
+        norm_codes = np.frombuffer(f.read(m), dtype=np.uint8, count=m)
+        ndim, _nsubq, _dsub, _lastdsub, ncent = _read_pq(f)
+        if ndim != 1:
+            raise ValueError(f"norm quantizer dim {ndim} != 1")
+        out *= ncent[norm_codes][:, None]
+    return out
 
 
 def save_supervised_model(
@@ -369,31 +457,122 @@ def save_supervised_model(
     asserted in tests). ``input_matrix`` must have nwords+bucket rows when
     maxn>0 or word_ngrams>1, else >= nwords rows."""
     with open(path, "wb") as f:
-        f.write(struct.pack("<ii", MAGIC, VERSION))
-        f.write(
-            struct.pack(
-                "<12i",
-                args.dim, args.ws, args.epoch, args.min_count, args.neg,
-                args.word_ngrams, args.loss, args.model, args.bucket,
-                args.minn, args.maxn, args.lr_update_rate,
-            )
-        )
-        f.write(struct.pack("<d", args.t))
-        ntokens = sum(c for _, c in words) + sum(c for _, c in labels)
-        f.write(struct.pack("<3i", len(words) + len(labels), len(words), len(labels)))
-        # pruneidx_size = -1: the UNPRUNED sentinel. Writing 0 here would
-        # make native fastText reject the file as an invalid pruned model.
-        f.write(struct.pack("<2q", ntokens, -1))
-        for w, count in words:
-            f.write(w.encode("utf-8") + b"\x00" + struct.pack("<qb", count, 0))
-        for w, count in labels:
-            f.write(w.encode("utf-8") + b"\x00" + struct.pack("<qb", count, 1))
+        _write_header_and_dict(f, args, words, labels, None)
         f.write(struct.pack("<?", False))
         _write_dense(f, input_matrix)
         f.write(struct.pack("<?", False))
         _write_dense(f, output_matrix)
 
 
+def save_quantized_model(
+    path: str,
+    args: FastTextArgs,
+    words: list[tuple[str, int]],
+    labels: list[tuple[str, int]],
+    input_matrix: np.ndarray,
+    output_matrix: np.ndarray,
+    *,
+    dsub: int = 2,
+    qnorm: bool = False,
+    qout: bool = False,
+    pruneidx: dict[int, int] | None = None,
+) -> None:
+    """Write a ``.ftz``-format model (fixture/export utility). Matrices are
+    encoded with an EXACT product quantizer — one centroid per row, code =
+    row index — which requires <= 256 rows but reconstructs verbatim, so
+    reader tests can assert against the dense source matrices. When
+    ``pruneidx`` is given, ``input_matrix`` must already be the compacted
+    (nwords + len(pruneidx))-row matrix."""
+    with open(path, "wb") as f:
+        _write_header_and_dict(f, args, words, labels, pruneidx)
+        f.write(struct.pack("<?", True))
+        _write_quant(f, input_matrix, dsub, qnorm)
+        f.write(struct.pack("<?", qout))
+        if qout:
+            _write_quant(f, output_matrix, dsub, qnorm)
+        else:
+            _write_dense(f, output_matrix)
+
+
+def _write_header_and_dict(
+    f,
+    args: FastTextArgs,
+    words: list[tuple[str, int]],
+    labels: list[tuple[str, int]],
+    pruneidx: dict[int, int] | None,
+) -> None:
+    f.write(struct.pack("<ii", MAGIC, VERSION))
+    f.write(
+        struct.pack(
+            "<12i",
+            args.dim, args.ws, args.epoch, args.min_count, args.neg,
+            args.word_ngrams, args.loss, args.model, args.bucket,
+            args.minn, args.maxn, args.lr_update_rate,
+        )
+    )
+    f.write(struct.pack("<d", args.t))
+    ntokens = sum(c for _, c in words) + sum(c for _, c in labels)
+    f.write(struct.pack("<3i", len(words) + len(labels), len(words), len(labels)))
+    # pruneidx_size = -1: the UNPRUNED sentinel. Writing 0 here would
+    # make native fastText treat the file as pruned-with-no-kept-ngrams.
+    f.write(struct.pack("<2q", ntokens, -1 if pruneidx is None else len(pruneidx)))
+    for w, count in words:
+        f.write(w.encode("utf-8") + b"\x00" + struct.pack("<qb", count, 0))
+    for w, count in labels:
+        f.write(w.encode("utf-8") + b"\x00" + struct.pack("<qb", count, 1))
+    if pruneidx is not None:
+        # native writes std::map order = sorted by old bucket id
+        for old in sorted(pruneidx):
+            f.write(struct.pack("<2i", old, pruneidx[old]))
+
+
 def _write_dense(f, m: np.ndarray) -> None:
     f.write(struct.pack("<2q", m.shape[0], m.shape[1]))
     f.write(np.ascontiguousarray(m, dtype="<f4").tobytes())
+
+
+def _exact_pq(matrix: np.ndarray, dsub: int):
+    """Exact PQ encoding (row i -> code i in every subquantizer)."""
+    m, dim = matrix.shape
+    if m > KSUB:
+        raise ValueError(f"exact PQ encoding needs <= {KSUB} rows, got {m}")
+    nsubq = (dim + dsub - 1) // dsub
+    lastdsub = dim % dsub or dsub
+    centroids = np.zeros(dim * KSUB, dtype=np.float32)
+    codes = np.zeros((m, nsubq), dtype=np.uint8)
+    for j in range(nsubq):
+        d = lastdsub if j == nsubq - 1 else dsub
+        base = j * KSUB * dsub
+        table = np.zeros((KSUB, d), dtype=np.float32)
+        table[:m] = matrix[:, j * dsub : j * dsub + d]
+        centroids[base : base + KSUB * d] = table.ravel()
+        codes[:, j] = np.arange(m, dtype=np.uint8)
+    return codes, centroids, nsubq, lastdsub
+
+
+def _write_pq(f, dim: int, nsubq: int, dsub: int, lastdsub: int,
+              centroids: np.ndarray) -> None:
+    f.write(struct.pack("<4i", dim, nsubq, dsub, lastdsub))
+    f.write(np.ascontiguousarray(centroids, dtype="<f4").tobytes())
+
+
+def _write_quant(f, matrix: np.ndarray, dsub: int, qnorm: bool) -> None:
+    matrix = np.ascontiguousarray(matrix, dtype=np.float32)
+    m, dim = matrix.shape
+    if qnorm:
+        norms = np.linalg.norm(matrix, axis=1).astype(np.float32)
+        safe = np.where(norms == 0.0, 1.0, norms)
+        body = (matrix / safe[:, None]).astype(np.float32)
+    else:
+        body = matrix
+    codes, centroids, nsubq, lastdsub = _exact_pq(body, dsub)
+    f.write(struct.pack("<?", qnorm))
+    f.write(struct.pack("<2q", m, dim))
+    f.write(struct.pack("<i", codes.size))
+    f.write(codes.tobytes())
+    _write_pq(f, dim, nsubq, dsub, lastdsub, centroids)
+    if qnorm:
+        norm_centroids = np.zeros(KSUB, dtype=np.float32)
+        norm_centroids[:m] = norms
+        f.write(np.arange(m, dtype=np.uint8).tobytes())
+        _write_pq(f, 1, 1, 1, 1, norm_centroids)

@@ -132,8 +132,9 @@ _FASTTEXT_SINGLETON = {}
 
 def _load_fasttext(model_path: str):
     """Native package when installed; otherwise the from-scratch numpy
-    engine (operators/fasttext_np.py) reads the same ``.bin`` format — so
-    the real model path is exercisable even without the C++ lib."""
+    engine (operators/fasttext_np.py) reads the same ``.bin``/``.ftz``
+    formats — so the real model path is exercisable even without the C++
+    lib."""
     if model_path not in _FASTTEXT_SINGLETON:
         try:
             import fasttext  # native path (preferred when installed)
@@ -160,9 +161,9 @@ def fasttext_available() -> bool:
 
         return True
     except ImportError:
-        # the numpy engine reads non-quantized .bin models; quantized .ftz
-        # still needs the native package
-        return path.endswith(".bin")
+        # the numpy engine reads both dense .bin and product-quantized
+        # .ftz supervised models
+        return path.endswith((".bin", ".ftz"))
 
 
 def fasttext_lid_udf(model_path: str | None = None):

@@ -174,8 +174,9 @@ def test_word_ngram_sign_extension():
 
 
 def test_pruneidx_sentinel_is_minus_one(tmp_path):
-    """Unpruned dictionaries store pruneidx_size = -1; 0 means PRUNED and
-    native fastText rejects such files (issue-#332 class)."""
+    """Unpruned dictionaries store pruneidx_size = -1, NOT 0: native
+    ``Dictionary::isPruned()`` is ``pruneidx_size_ >= 0``, so 0 means
+    pruned-with-an-EMPTY-map — every ngram bucket is dropped by pushHash."""
     import struct as _s
 
     path, *_ = _build_model(tmp_path)
@@ -185,13 +186,19 @@ def test_pruneidx_sentinel_is_minus_one(tmp_path):
     off = 8 + 48 + 8 + 12 + 8
     (pruneidx_size,) = _s.unpack_from("<q", raw, off)
     assert pruneidx_size == -1
-    # and a file claiming pruneidx_size >= 0 is refused
+    unpruned = load_model(path)
+    assert unpruned.pruneidx is None
+    # a file claiming pruneidx_size == 0 loads as pruned: in-vocab words
+    # keep only their word id, word-ngram/OOV bucket ids all vanish
     patched = bytearray(raw)
     _s.pack_into("<q", patched, off, 0)
     p2 = tmp_path / "pruned.bin"
     p2.write_bytes(bytes(patched))
-    with pytest.raises(NotImplementedError, match="pruned"):
-        load_model(str(p2))
+    m = load_model(str(p2))
+    assert m.pruneidx == {}
+    wid = m.word_id["hello"]
+    eos = m.word_id[EOS]
+    assert m.line_ids("hello zzz-oov") == [wid, eos]
 
 
 def test_version11_supervised_forces_maxn_zero(tmp_path):
@@ -282,3 +289,191 @@ def test_real_udf_path_without_native_lib(spark, tmp_path, monkeypatch):
     assert got["bonjour le monde"][0] == "fr"
     assert got["hallo welt"][0] == "de"
     assert all(1 / 3 < conf <= 1.0 for _, conf in got.values())
+
+
+# ---------------------------------------------------------------------------
+# product-quantized .ftz path
+# ---------------------------------------------------------------------------
+
+
+def test_quantized_roundtrip_exact(tmp_path):
+    """dsub=3 with dim=8 exercises the last-subquantizer offset quirk
+    (nsubq=3, lastdsub=2, centroid base = (nsubq-1)*256*dsub). The exact
+    PQ encoding reconstructs verbatim, so predictions must EQUAL the dense
+    model's bit for bit."""
+    from language_identification_spark.operators.fasttext_np import (
+        save_quantized_model,
+    )
+
+    path, args, words, inp, out = _build_model(tmp_path)
+    dense = load_model(path)
+    qpath = str(tmp_path / "synthetic.ftz")
+    save_quantized_model(
+        qpath, args, words, [(l, 10) for l in LABELS], inp, out, dsub=3
+    )
+    m = load_model(qpath)
+    assert m.args == args
+    assert np.array_equal(m.input, inp)
+    assert np.array_equal(m.output, out)
+    for text in ["hello world", "bonjour le monde", "hallo welt", "zzz oov"]:
+        assert m.predict(text, k=3) == dense.predict(text, k=3)
+
+
+def test_quantized_qnorm_and_qout(tmp_path):
+    """qnorm stores l2-normalized rows + separately-quantized norms
+    (reconstruction = norm * unit row, one f32 divide+multiply of rounding);
+    qout quantizes the output matrix too."""
+    from language_identification_spark.operators.fasttext_np import (
+        save_quantized_model,
+    )
+
+    path, args, words, inp, out = _build_model(tmp_path)
+    dense = load_model(path)
+    qpath = str(tmp_path / "qnorm.ftz")
+    save_quantized_model(
+        qpath, args, words, [(l, 10) for l in LABELS], inp, out,
+        dsub=2, qnorm=True, qout=True,
+    )
+    m = load_model(qpath)
+    assert np.allclose(m.input, inp, rtol=1e-5, atol=1e-7)
+    assert np.allclose(m.output, out, rtol=1e-5, atol=1e-7)
+    for text in ["hello world and", "bonjour le monde", "hallo welt der"]:
+        (ql, qp), (dl, dp) = m.predict(text, k=1)[0], dense.predict(text, k=1)[0]
+        assert ql == dl
+        assert qp == pytest.approx(dp, rel=1e-4)
+
+
+def test_quantized_zero_norm_row(tmp_path):
+    """A zero row survives qnorm quantization (norm centroid 0, unit row 0)
+    instead of dividing by zero."""
+    from language_identification_spark.operators.fasttext_np import (
+        _read_quant,
+        _write_quant,
+    )
+    import io
+
+    mat = np.array(
+        [[0.0] * 6, [1.0, -2.0, 3.0, 0.5, 0.25, -0.125]], dtype=np.float32
+    )
+    buf = io.BytesIO()
+    _write_quant(buf, mat, 2, True)
+    buf.seek(0)
+    got = _read_quant(buf)
+    assert np.allclose(got, mat, rtol=1e-6, atol=0.0)
+    assert np.array_equal(got[0], np.zeros(6, dtype=np.float32))
+
+
+def test_pruned_quantized_model(tmp_path):
+    """quantize -cutoff semantics: kept ngram buckets are re-indexed into a
+    compacted input matrix via pruneidx; everything else is dropped. The
+    pruned model's line_ids must be the order-preserving remap-or-drop of
+    the dense model's ids, and every surviving id must dereference to the
+    SAME embedding row."""
+    from language_identification_spark.operators.fasttext_np import (
+        save_quantized_model,
+    )
+
+    path, args, words, inp, out = _build_model(tmp_path)
+    dense = load_model(path)
+    nwords = len(words)
+    kept = sorted(
+        set(compute_subwords("hello", args.minn, args.maxn, BUCKET))
+        | set(compute_subwords("bonjour", args.minn, args.maxn, BUCKET))
+    )
+    assert kept  # fixture sanity
+    pruneidx = {h: i for i, h in enumerate(kept)}
+    pruned_inp = np.vstack([inp[:nwords], inp[nwords + np.asarray(kept)]])
+    qpath = str(tmp_path / "pruned.ftz")
+    save_quantized_model(
+        qpath, args, words, [(l, 10) for l in LABELS], pruned_inp, out,
+        dsub=2, pruneidx=pruneidx,
+    )
+    m = load_model(qpath)
+    assert m.pruneidx == pruneidx
+
+    def remap(ids):
+        outl = []
+        for i in ids:
+            if i < nwords:
+                outl.append(i)
+            elif (i - nwords) in pruneidx:
+                outl.append(nwords + pruneidx[i - nwords])
+        return outl
+
+    for text in ["hello wrld-oov bonjour", "hallo welt", "bonjour"]:
+        dense_ids = dense.line_ids(text)
+        pruned_ids = m.line_ids(text)
+        assert pruned_ids == remap(dense_ids)
+        # surviving ids point at identical vectors in both matrices
+        if pruned_ids:
+            assert np.array_equal(
+                m.input[np.asarray(pruned_ids)],
+                inp[np.asarray([d for d in dense_ids
+                                if d < nwords or (d - nwords) in pruneidx])],
+            )
+    # something was actually dropped (word-ngram buckets of non-kept pairs)
+    assert len(m.line_ids("hallo welt")) < len(dense.line_ids("hallo welt"))
+
+
+def test_ftz_udf_path_without_native_lib(spark, tmp_path, monkeypatch):
+    """The executor-side UDF path accepts a .ftz: fasttext_available()
+    passes and the numpy engine scores it in real workers."""
+    import sys
+
+    from language_identification_spark.operators.fasttext_np import (
+        save_quantized_model,
+    )
+
+    assert "fasttext" not in sys.modules
+    path, args, words, inp, out = _build_model(tmp_path)
+    qpath = str(tmp_path / "model.ftz")
+    save_quantized_model(
+        qpath, args, words, [(l, 10) for l in LABELS], inp, out,
+        dsub=2, qnorm=True,
+    )
+    monkeypatch.setenv("FASTTEXT_MODEL_PATH", qpath)
+    from language_identification_spark.operators import lid
+
+    monkeypatch.setattr(lid, "_FASTTEXT_SINGLETON", {})
+    assert lid.fasttext_available() is True
+    df = spark.createDataFrame(
+        [("hello world and the",), ("bonjour le monde",)], "text string"
+    )
+    rows = (
+        df.repartition(2)
+        .select("text", lid.fasttext_lid_udf()(F.col("text")).alias("r"))
+        .collect()
+    )
+    got = {r["text"]: r["r"]["lang"] for r in rows}
+    assert got == {"hello world and the": "en", "bonjour le monde": "fr"}
+
+
+def test_pq_decode_random_codes_vs_rowwise_reference():
+    """_pq_decode with ARBITRARY codes (not the exact-identity encoding)
+    against a direct per-row transliteration of ProductQuantizer::addcode +
+    get_centroids — catches centroid-offset bugs identity codes can't."""
+    from language_identification_spark.operators.fasttext_np import (
+        KSUB,
+        _pq_decode,
+    )
+
+    rng = np.random.default_rng(11)
+    for dim, dsub in [(8, 3), (7, 2), (5, 5), (4, 1)]:
+        nsubq = (dim + dsub - 1) // dsub
+        lastdsub = dim % dsub or dsub
+        centroids = rng.normal(size=dim * KSUB).astype(np.float32)
+        m = 40
+        codes = rng.integers(0, KSUB, size=(m, nsubq), dtype=np.uint8)
+        got = _pq_decode(codes, dim, nsubq, dsub, lastdsub, centroids)
+        for t in range(m):
+            row = np.zeros(dim, dtype=np.float32)
+            for sq in range(nsubq):
+                i = codes[t, sq]
+                if sq == nsubq - 1:
+                    c = centroids[sq * KSUB * dsub + i * lastdsub:]
+                    d = lastdsub
+                else:
+                    c = centroids[(sq * KSUB + i) * dsub:]
+                    d = dsub
+                row[sq * dsub : sq * dsub + d] = c[:d]
+            assert np.array_equal(got[t], row), (dim, dsub, t)
