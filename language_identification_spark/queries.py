@@ -26,7 +26,8 @@ Operator coverage map (reference file:line in each docstring):
   pipeline_sql.py); scrub: scrub_sql; langid: script_langid_sql
   + script_charset_join (full scripts.json-grade charset dim, J1/J2/J4/J12);
   KN LMs: word_kn_ppl + char_kn_ppl (order-2 train+score replayed in SQL,
-  oracle/kn_sql.py); LSH skew defense: lsh_bucket_cap_audit;
+  oracle/kn_sql.py); L5 textcat_langid (Cavnar-Trenkle out-of-place rank
+  distance, corpus-trained profiles, operators/textcat.py); LSH skew defense: lsh_bucket_cap_audit;
   tokens: token_count / bpe_token_count; splits: deterministic_split;
   F14 deseret_translit (weird-font -> Deseret -> phonemes, functions/deseret.py);
   P8 term_cleanup (has_text/has_digit quirks + norm_text key);
@@ -2298,6 +2299,99 @@ FROM events GROUP BY 1, 2
 """
 
 
+TEXTCAT_TOP_K = 200  # profile length; 200 keeps the gate cheap (C&T use 300)
+
+
+def q_textcat_langid(spark, sf_dir):
+    """L5 Cavnar-Trenkle TextCat language ID (operators/textcat.py; reference
+    nltk_wrapper.py:431-453 wraps nltk's TextCat over Crubadan profiles).
+    Profiles are TRAINED from the corpus (doc_id % 5 != 0) with one Spark
+    aggregation, then every held-out doc (doc_id % 5 == 0) is scored against
+    every language: out-of-place rank distance, 1/dist scores normalized to
+    probabilities, ranked. Scale shape: profile table is |langs| x K rows
+    (broadcast); the doc-side profile shares one doc_id-keyed shuffle between
+    its count and rank; the corpus never shuffles onto a language key."""
+    from language_identification_spark.operators.textcat import (
+        textcat_distances,
+        textcat_rank,
+        train_textcat_profiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    train = docs.filter(F.col("doc_id") % 5 != 0).select("lang", "text")
+    test = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    profiles = train_textcat_profiles(train, top_k=TEXTCAT_TOP_K)
+    dists = textcat_distances(test, profiles, top_k=TEXTCAT_TOP_K)
+    ranked = textcat_rank(dists)
+    return ranked.select(
+        "doc_id",
+        "lang",
+        F.col("dist").cast("bigint").alias("dist"),
+        F.round("prob", 6).alias("prob"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )
+
+
+SQL_TEXTCAT_LANGID = r"""
+WITH base AS (
+  SELECT doc_id, lang, lower(text) AS lt FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+),
+tr_words AS (
+  SELECT lang, '_' || w || '_' AS pw
+  FROM base, unnest(string_split_regex(lt, '[\t\n\x0b\f\r ]+')) AS t(w)
+  WHERE doc_id % 5 <> 0 AND w <> ''
+),
+tr_grams AS (
+  SELECT lang, substring(pw, i, 3) AS gram
+  FROM tr_words, unnest(range(1, greatest(length(pw) - 2, 0) + 1)) AS t(i)
+),
+tr_counts AS (SELECT lang, gram, count(*) AS c FROM tr_grams GROUP BY 1, 2),
+profiles AS (
+  SELECT lang, gram,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram ASC) AS lang_rank
+  FROM tr_counts
+  QUALIFY lang_rank <= {K}
+),
+te_words AS (
+  SELECT doc_id, '_' || w || '_' AS pw
+  FROM base, unnest(string_split_regex(lt, '[\t\n\x0b\f\r ]+')) AS t(w)
+  WHERE doc_id % 5 = 0 AND w <> ''
+),
+te_grams AS (
+  SELECT doc_id, substring(pw, i, 3) AS gram
+  FROM te_words, unnest(range(1, greatest(length(pw) - 2, 0) + 1)) AS t(i)
+),
+te_counts AS (SELECT doc_id, gram, count(*) AS c FROM te_grams GROUP BY 1, 2),
+doc_prof AS (
+  SELECT doc_id, gram,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS doc_rank
+  FROM te_counts
+  QUALIFY doc_rank <= {K}
+),
+langs AS (SELECT DISTINCT lang FROM profiles),
+dists AS (
+  SELECT dp.doc_id, l.lang,
+         sum(coalesce(abs(dp.doc_rank - p.lang_rank), {K}))::BIGINT AS dist
+  FROM doc_prof dp
+  CROSS JOIN langs l
+  LEFT JOIN profiles p ON p.lang = l.lang AND p.gram = dp.gram
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id, lang, dist,
+         1.0::DOUBLE / greatest(dist, 1) AS score
+  FROM dists
+)
+SELECT doc_id, lang, dist,
+       round(score / sum(score) OVER (PARTITION BY doc_id), 6) AS prob,
+       row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, lang ASC)::BIGINT AS rnk
+FROM scored
+""".format(K=TEXTCAT_TOP_K)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2349,6 +2443,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regional_revenue": q_regional_revenue,
     "promo_revenue": q_promo_revenue,
     "events_hourly": q_events_hourly,
+    "textcat_langid": q_textcat_langid,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2398,4 +2493,5 @@ ORACLE_SQL: dict[str, str] = {
     "regional_revenue": SQL_REGIONAL_REVENUE,
     "promo_revenue": SQL_PROMO_REVENUE,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "textcat_langid": SQL_TEXTCAT_LANGID,
 }

@@ -186,3 +186,14 @@ def test_term_cleanup_shuffles_only_aggregated_keys(spark):
     assert "Python" not in plan
     first_exchange = plan.index("Exchange hashpartitioning")
     assert "HashAggregate" in plan[first_exchange:], "no partial agg below"
+
+
+def test_textcat_distance_join_broadcasts_profiles(spark):
+    """L5 TextCat: the (doc x lang) distance join must broadcast BOTH small
+    sides (lang list + profile table) — the corpus-derived doc profile must
+    never shuffle onto a |langs|-cardinality key, and the whole query stays
+    Python-free (native exprs only)."""
+    plan = plan_of(QUERIES["textcat_langid"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
