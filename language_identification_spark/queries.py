@@ -27,7 +27,9 @@ Operator coverage map (reference file:line in each docstring):
   + script_charset_join (full scripts.json-grade charset dim, J1/J2/J4/J12);
   KN LMs: word_kn_ppl + char_kn_ppl (order-2 train+score replayed in SQL,
   oracle/kn_sql.py); L5 textcat_langid (Cavnar-Trenkle out-of-place rank
-  distance, corpus-trained profiles, operators/textcat.py); LSH skew defense: lsh_bucket_cap_audit;
+  distance, corpus-trained profiles, operators/textcat.py); L2
+  langid_nb_rank (byte-ngram NB, langid.py rank/set_languages semantics) +
+  L4 cld2_postprocess (wrapper rules), operators/langid_bytes.py; LSH skew defense: lsh_bucket_cap_audit;
   tokens: token_count / bpe_token_count; splits: deterministic_split;
   F14 deseret_translit (weird-font -> Deseret -> phonemes, functions/deseret.py);
   P8 term_cleanup (has_text/has_digit quirks + norm_text key);
@@ -2392,6 +2394,177 @@ FROM scored
 """.format(K=TEXTCAT_TOP_K)
 
 
+LANGID_MAX_FEATURES = 800  # byte-gram feature budget for the gate
+
+
+def q_langid_nb_rank(spark, sf_dir):
+    """L2 langid.py-style rank (operators/langid_bytes.py; reference
+    langid_wrapper.py:21-27): byte 1-4-gram multinomial NB trained from the
+    train split (doc_id % 5 != 0) with add-1 smoothing + doc-count priors,
+    held-out docs scored and normalized with langid.py's norm_probs softmax.
+    clean_text applied natively on both sides (the wrapper's
+    rank(clean_text(text))). Scale shape: model is |langs| x K rows
+    broadcast; corpus shuffles once on doc_id; |langs|-way fan-out is
+    partial-aggregated map-side."""
+    from language_identification_spark.operators.langid_bytes import (
+        langid_nb_rank,
+        train_langid_nb,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select("lang", "text")
+    test = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    model, priors = train_langid_nb(corpus, max_features=LANGID_MAX_FEATURES)
+    ranked = langid_nb_rank(test, model, priors)
+    return ranked.select(
+        "doc_id",
+        "lang",
+        F.round("ll", 4).alias("ll"),
+        F.round("prob", 6).alias("prob"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )
+
+
+SQL_LANGID_NB_RANK = r"""
+WITH cleaned AS (
+  SELECT doc_id, lang,
+         nullif(trim(regexp_replace(regexp_replace(text,
+             '\b\d+\b', ' ', 'g'), '[\t\n\x0b\f\r ]+', ' ', 'g')), '') AS ct
+  FROM documents WHERE text IS NOT NULL
+),
+base AS (
+  SELECT doc_id, lang, hex(encode(ct)) AS hx
+  FROM cleaned WHERE ct IS NOT NULL
+),
+ns(n) AS (VALUES (1), (2), (3), (4)),
+tr_grams AS (
+  SELECT lang, substring(hx, 2 * (i - 1) + 1, 2 * n) AS gram
+  FROM base, ns, unnest(range(1, length(hx) // 2 - n + 2)) AS t(i)
+  WHERE doc_id % 5 <> 0
+),
+feat AS (
+  SELECT gram FROM (
+    SELECT gram, row_number() OVER (ORDER BY count(*) DESC, gram ASC) AS r
+    FROM tr_grams GROUP BY gram
+  ) WHERE r <= {MF}
+),
+lang_counts AS (
+  SELECT lang, gram, count(*) AS c
+  FROM tr_grams JOIN feat USING (gram) GROUP BY 1, 2
+),
+langs AS (
+  SELECT DISTINCT lang FROM documents
+  WHERE text IS NOT NULL AND doc_id % 5 <> 0
+),
+tot AS (SELECT lang, sum(c) AS tot FROM lang_counts GROUP BY 1),
+kk AS (SELECT count(*)::DOUBLE AS k FROM feat),
+model AS (
+  SELECT f.gram, l.lang,
+         ln(coalesce(lc.c, 0) + 1.0) - ln(coalesce(tot.tot, 0) + kk.k) AS logp
+  FROM feat f
+  CROSS JOIN langs l
+  LEFT JOIN lang_counts lc ON lc.lang = l.lang AND lc.gram = f.gram
+  LEFT JOIN tot ON tot.lang = l.lang
+  CROSS JOIN kk
+),
+nd AS (SELECT count(*)::DOUBLE AS n FROM base WHERE doc_id % 5 <> 0),
+pri AS (
+  SELECT lang, ln(count(*)) - ln(any_value(nd.n)) AS logprior
+  FROM base, nd WHERE doc_id % 5 <> 0 GROUP BY lang
+),
+te_grams AS (
+  SELECT doc_id, substring(hx, 2 * (i - 1) + 1, 2 * n) AS gram
+  FROM base, ns, unnest(range(1, length(hx) // 2 - n + 2)) AS t(i)
+  WHERE doc_id % 5 = 0
+),
+dgc AS (SELECT doc_id, gram, count(*) AS dc FROM te_grams GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id, lang, sum(dc * logp) AS s
+  FROM dgc JOIN model USING (gram) GROUP BY 1, 2
+),
+alld AS (SELECT DISTINCT doc_id FROM base WHERE doc_id % 5 = 0),
+ll AS (
+  SELECT a.doc_id, p.lang, coalesce(sc.s, 0.0) + p.logprior AS ll
+  FROM alld a
+  CROSS JOIN pri p
+  LEFT JOIN scored sc ON sc.doc_id = a.doc_id AND sc.lang = p.lang
+),
+exed AS (
+  SELECT doc_id, lang, ll,
+         exp(ll - max(ll) OVER (PARTITION BY doc_id)) AS ex
+  FROM ll
+)
+SELECT doc_id, lang, round(ll, 4) AS ll,
+       round(ex / sum(ex) OVER (PARTITION BY doc_id), 6) AS prob,
+       row_number() OVER (PARTITION BY doc_id ORDER BY ll DESC, lang ASC)::BIGINT AS rnk
+FROM exed
+""".format(MF=LANGID_MAX_FEATURES)
+
+
+CLD2_SUPPORTED = ["de", "en", "es", "fr", "zh"]
+
+
+def q_cld2_postprocess(spark, sf_dir):
+    """L4 cld2-wrapper post-processing (operators/langid_bytes.py; reference
+    cld2_wrapper.py:22-38) over a deterministic backend-detail table derived
+    from the documents parquet (same trick as the multimodal oracles): per
+    (doc, candidate-code) percent/score from doc_id arithmetic, reliability
+    from doc_id % 7. Exercises every wrapper rule: unreliable docs emit no
+    rows, 'zh-Hant' folds to 'zh', unsupported 'xx' drops, score < 1 and
+    percent < 50 drop, /1000 scaling, scaled-desc rank."""
+    from language_identification_spark.operators.langid_bytes import (
+        cld2_style_postprocess,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    codes = F.array(
+        F.lit("en"), F.lit("zh-Hant"), F.lit("fr"), F.lit("xx"),
+        F.lit("de"), F.lit("es"),
+    )
+    details = docs.select(
+        "doc_id",
+        F.posexplode(codes).alias("i", "language_code"),
+    ).select(
+        "doc_id",
+        (F.col("doc_id") % 7 != 0).alias("is_reliable"),
+        "language_code",
+        ((F.col("doc_id") * 7 + F.col("i") * 13) % 101).cast("int").alias("percent"),
+        (((F.col("doc_id") * 11 + F.col("i") * 17) % 3000) / 2.0).alias("score"),
+    )
+    return cld2_style_postprocess(details, CLD2_SUPPORTED).select(
+        "doc_id",
+        "lang",
+        F.round("scaled", 6).alias("scaled"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )
+
+
+SQL_CLD2_POSTPROCESS = """
+WITH codes(i, language_code) AS (
+  VALUES (0, 'en'), (1, 'zh-Hant'), (2, 'fr'), (3, 'xx'), (4, 'de'), (5, 'es')
+),
+details AS (
+  SELECT doc_id,
+         doc_id % 7 <> 0 AS is_reliable,
+         language_code,
+         (doc_id * 7 + i * 13) % 101 AS percent,
+         ((doc_id * 11 + i * 17) % 3000) / 2.0 AS score
+  FROM documents CROSS JOIN codes WHERE doc_id <= 200
+),
+kept AS (
+  SELECT doc_id, string_split(language_code, '-')[1] AS lang,
+         score / 1000.0 AS scaled
+  FROM details
+  WHERE is_reliable
+    AND string_split(language_code, '-')[1] IN ({supported})
+    AND score >= 1 AND percent >= 50
+)
+SELECT doc_id, lang, round(scaled, 6) AS scaled,
+       row_number() OVER (PARTITION BY doc_id ORDER BY scaled DESC, lang ASC)::BIGINT AS rnk
+FROM kept
+""".format(supported=", ".join(f"'{c}'" for c in CLD2_SUPPORTED))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2444,6 +2617,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue": q_promo_revenue,
     "events_hourly": q_events_hourly,
     "textcat_langid": q_textcat_langid,
+    "langid_nb_rank": q_langid_nb_rank,
+    "cld2_postprocess": q_cld2_postprocess,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2494,4 +2669,6 @@ ORACLE_SQL: dict[str, str] = {
     "promo_revenue": SQL_PROMO_REVENUE,
     "events_hourly": SQL_EVENTS_HOURLY,
     "textcat_langid": SQL_TEXTCAT_LANGID,
+    "langid_nb_rank": SQL_LANGID_NB_RANK,
+    "cld2_postprocess": SQL_CLD2_POSTPROCESS,
 }

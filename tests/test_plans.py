@@ -197,3 +197,12 @@ def test_textcat_distance_join_broadcasts_profiles(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
+
+
+def test_langid_nb_model_join_is_broadcast(spark):
+    """L2 byte-ngram NB: the scoring join must broadcast the |langs| x K
+    model (never shuffle the corpus onto a gram key via SortMergeJoin) and
+    the whole rank query stays Python-free."""
+    plan = plan_of(QUERIES["langid_nb_rank"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
