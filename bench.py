@@ -50,6 +50,8 @@ HEADLINE = [
     # round comparisons honest when the battery widens)
     "word_kn_ppl",
     "lsh_bucket_cap_audit",
+    "textcat_langid",
+    "langid_nb_rank",
 ]
 
 

@@ -118,18 +118,25 @@ def train_langid_nb(
         "lang",
         ns=ns,
     )
-    counts = grams.groupBy("gram").agg(F.count("*").alias("c_all"))
+    # ONE explode pass over the corpus: aggregate straight to (lang, gram)
+    # counts and CACHE the result — it is vocabulary-shaped (|langs| x
+    # observed grams), and every downstream frame (global counts, feature
+    # window, dense model, k) derives from it. Without the cache each
+    # reference replays the corpus explode, which at 100 TB is the whole
+    # job several times over.
+    all_lang_counts = (
+        grams.groupBy("lang", "gram").agg(F.count("*").alias("c")).cache()
+    )
+    counts = all_lang_counts.groupBy("gram").agg(F.sum("c").alias("c_all"))
+    # global top-K window: input is the vocabulary-shaped count table, so
+    # the single-partition ranking sees ~10^5 rows, never the corpus
     w = Window.orderBy(F.desc("c_all"), F.asc("gram"))
     features = (
         counts.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= max_features)
         .select("gram")
     )
-    lang_counts = (
-        grams.join(F.broadcast(features), "gram")
-        .groupBy("lang", "gram")
-        .agg(F.count("*").alias("c"))
-    )
+    lang_counts = all_lang_counts.join(F.broadcast(features), "gram")
     langs = corpus.select("lang").distinct()
     totals = lang_counts.groupBy("lang").agg(F.sum("c").alias("tot"))
     # feature / doc counts enter as 1-row broadcast joins, NOT .count()
@@ -190,7 +197,11 @@ def langid_nb_rank(
         .groupBy("doc_id", "lang")
         .agg(F.sum(F.col("dc") * F.col("logp")).alias("s"))
     )
-    base = cleaned.select("doc_id").crossJoin(F.broadcast(priors))
+    # doc list from dg, not from a second corpus scan: any non-null cleaned
+    # text has >= 1 byte, so every scored doc appears in dg (and the
+    # distinct reuses dg's doc_id shuffle instead of re-running the regex
+    # clean over the corpus)
+    base = dg.select("doc_id").distinct().crossJoin(F.broadcast(priors))
     ll = base.join(scored, ["doc_id", "lang"], "left").select(
         "doc_id",
         "lang",

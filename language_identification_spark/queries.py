@@ -2411,7 +2411,9 @@ def q_langid_nb_rank(spark, sf_dir):
         train_langid_nb,
     )
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = _spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     corpus = docs.filter(F.col("doc_id") % 5 != 0).select("lang", "text")
     test = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
     model, priors = train_langid_nb(corpus, max_features=LANGID_MAX_FEATURES)
