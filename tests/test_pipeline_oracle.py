@@ -381,3 +381,47 @@ def test_every_rule_fires_somewhere(spark, model):
     }
     assert expected <= fired, expected - fired
     assert out["keep"].any()
+
+
+def test_langid_model_oracles_match_on_hostile_random_corpus(spark):
+    """textcat_langid + langid_nb_rank SQL oracles over a seeded random
+    corpus salted with hostile whitespace (VT/FF/CR — the Java-vs-RE2 \\s
+    divergence class), multi-byte Latin/CJK and astral chars — pins the
+    explicit whitespace split class, the hex byte-gram framing, and the
+    rounding conventions of both new langid gates."""
+    import os
+    import tempfile
+
+    from language_identification_spark.queries import (
+        SQL_LANGID_NB_RANK,
+        SQL_TEXTCAT_LANGID,
+        q_langid_nb_rank,
+        q_textcat_langid,
+    )
+
+    texts = _random_latin_corpus(150, seed=21)
+    salts = ["café", "猫狗", "\U00020000\U00010440", "\x0bx\fy\rz"]
+    rows = []
+    for i, t in enumerate(texts):
+        if i % 3 == 0:
+            t = f"{t} {salts[i % len(salts)]} {t}"
+        rows.append((i, "aa" if i % 2 else "bb", t))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id bigint, lang string, text string"
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        for sql, q in [
+            (SQL_TEXTCAT_LANGID, q_textcat_langid),
+            (SQL_LANGID_NB_RANK, q_langid_nb_rank),
+        ]:
+            oracle_pdf = con.execute(sql).df()
+            spark_pdf = q(spark, d).toPandas()
+            s_rows, o_rows = _canon_frame(spark_pdf), _canon_frame(oracle_pdf)
+            assert len(s_rows) == len(o_rows) > 0
+            for s, o in zip(s_rows, o_rows):
+                assert s == o
