@@ -2,7 +2,7 @@
 
 The reference wraps ``nltk.classify.textcat.TextCat`` — Crubadan char-trigram
 profiles scored by the classic Cavnar & Trenkle (1994) out-of-place rank
-distance — and post-processes in ``nltk_wrapper.py:445-453``: score =
+distance — and post-processes in ``nltk_wrapper.py:58-66``: score =
 ``1/dist``, map iso639-2 codes to iso639-1 (dropping unmapped), normalize to
 sum 1, sort descending, filter to the requested codes. We re-express the
 ALGORITHM from the published description (n-gram profile = frequency-ranked
@@ -128,9 +128,9 @@ def textcat_rank(
     language_codes: list[str] | None = None,
     iso_map: dict[str, str] | None = None,
 ) -> DataFrame:
-    """The wrapper post-processing (nltk_wrapper.py:445-453) relationally:
+    """The wrapper post-processing (nltk_wrapper.py:58-66) relationally:
     score = 1/greatest(dist,1), optional iso639-2→1 code mapping (unmapped
-    codes DROPPED, reference line 450), per-doc normalization to sum 1,
+    codes DROPPED, nltk_wrapper.py:61), per-doc normalization to sum 1,
     ranked descending (ties: lang asc), optional filter to allowed codes.
 
     Returns (doc_id, lang, dist, prob, rnk) — rnk = 1 is the prediction."""
@@ -162,5 +162,5 @@ def textcat_rank(
 
 def iso639_2_to_1() -> dict[str, str]:
     """The reference's iso639_2_1 dim (iso639_3.py), as used at
-    nltk_wrapper.py:450 to fold Crubadan's 3-letter codes."""
+    nltk_wrapper.py:61 to fold Crubadan's 3-letter codes."""
     return dict(ISO639_2_1)

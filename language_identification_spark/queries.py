@@ -2306,7 +2306,7 @@ TEXTCAT_TOP_K = 200  # profile length; 200 keeps the gate cheap (C&T use 300)
 
 def q_textcat_langid(spark, sf_dir):
     """L5 Cavnar-Trenkle TextCat language ID (operators/textcat.py; reference
-    nltk_wrapper.py:431-453 wraps nltk's TextCat over Crubadan profiles).
+    nltk_wrapper.py:55-66 wraps nltk's TextCat over Crubadan profiles).
     Profiles are TRAINED from the corpus (doc_id % 5 != 0) with one Spark
     aggregation, then every held-out doc (doc_id % 5 == 0) is scored against
     every language: out-of-place rank distance, 1/dist scores normalized to

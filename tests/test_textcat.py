@@ -1,6 +1,6 @@
 """L5 Cavnar-Trenkle TextCat (operators/textcat.py) vs a row-wise Python
 oracle implementing the published algorithm directly, plus the wrapper
-post-processing semantics from the reference (nltk_wrapper.py:445-453):
+post-processing semantics from the reference (nltk_wrapper.py:58-66):
 1/dist scores, iso639-2->1 fold with unmapped codes DROPPED, normalize,
 rank. The gate entry (queries.q_textcat_langid) covers the DuckDB side;
 these tests cover the algorithm and the wrapper paths the gate projects out
@@ -127,7 +127,7 @@ def test_rank_probs_normalize_and_order(spark_results):
 
 def test_iso_map_folds_and_drops(spark):
     """The wrapper maps iso639-2 -> iso639-1 and DROPS unmapped codes
-    (nltk_wrapper.py:450) before normalizing — so probs re-normalize over
+    (nltk_wrapper.py:61) before normalizing — so probs re-normalize over
     the survivors only."""
     dists = spark.createDataFrame(
         [(0, "eng", 10), (0, "deu", 20), (0, "zzz", 5)],
