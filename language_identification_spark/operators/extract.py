@@ -47,9 +47,17 @@ def with_extracted_text(df, html_col: str = "html", out_col: str = "extracted_te
 
 def clean_text_expr(col: Column) -> Column:
     """Spark-native approximation of oracle clean_text (preprocessing.py:16-27)
-    for stats-only paths where byte parity is not required: strip standalone
-    digits, collapse whitespace, empty -> null. Stays in whole-stage codegen."""
+    for paths where full Unicode parity is not required: strip standalone
+    digit runs (EMPTY replacement, like the reference's re.sub(..., '')),
+    collapse whitespace, empty -> null. Stays in whole-stage codegen.
+
+    Documented divergence from the Python port (oracle/extract.py:169-185,
+    the byte-exact path): Java's default ``\\d``/``\\b``/``\\s`` are ASCII
+    classes while the port's are Unicode — Arabic-Indic digits and NBSP-class
+    whitespace pass through here untouched. Java ``\\s`` equals the literal
+    class [ \\t\\n\\x0b\\f\\r], which is also what the DuckDB oracles spell
+    out (RE2's \\s lacks \\x0b)."""
     cleaned = F.trim(
-        F.regexp_replace(F.regexp_replace(col, r"\b\d+\b", " "), r"\s+", " ")
+        F.regexp_replace(F.regexp_replace(col, r"\b\d+\b", ""), r"\s+", " ")
     )
     return F.when(F.length(cleaned) > 0, cleaned)

@@ -56,23 +56,13 @@ __all__ = [
 BYTE_NS = (1, 2, 3, 4)  # langid.py's byte n-gram orders
 DEFAULT_MAX_FEATURES = 1000
 
-# clean_text (preprocessing.py:16-27) as native regex: strip standalone
-# digit runs, collapse whitespace, trim; empty -> NULL. Explicit ASCII
-# whitespace class (not \s) for Java-vs-RE2 parity; \b\d+\b is ASCII-\w
-# based in both engines. The Python port (oracle/extract.py:169-180) is the
-# byte-identical pipeline path; this expr exists so L2 scoring — like the
-# reference's rank(clean_text(text)) — stays JVM-side end to end.
-_CLEAN_WS = "[\t\n\x0b\f\r ]+"
-
-
-def clean_text_expr(col) -> F.Column:
-    c = F.col(col) if isinstance(col, str) else col
-    cleaned = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(c, r"\b\d+\b", " "), _CLEAN_WS, " "
-        )
-    )
-    return F.when(cleaned != "", cleaned)
+# clean_text for the L2 hot path is the shared native expr (ASCII-class
+# approximation of preprocessing.py:16-27 — divergences documented there).
+# The byte-exact Unicode port lives in oracle/extract.py:169-185; keeping
+# ONE native implementation means a fidelity fix cannot miss a copy. Java's
+# \s equals the literal [ \t\n\x0b\f\r] class the DuckDB oracle spells out,
+# so the two engines split identically.
+from language_identification_spark.operators.extract import clean_text_expr
 
 
 def byte_ngrams(
@@ -111,7 +101,17 @@ def train_langid_nb(
     model: DENSE (gram, lang, logp) — every selected gram x every lang, add-1
     smoothed: ln(c + 1) - ln(tot_lang + K); priors: (lang, logprior) from
     document counts (langid.py's nb_pc). Feature selection = top
-    ``max_features`` grams by corpus count, ties by gram ascending."""
+    ``max_features`` grams by corpus count, ties by gram ascending.
+
+    Cache ownership: the intermediate (lang, gram) count table is ``.cache``d
+    and NOT unpersisted here — the returned model/priors are lazy frames that
+    re-read it on every downstream action (scoring join broadcast, oracle
+    checks, bench reps), and Spark's CacheManager dedupes identical plans so
+    repeated calls over the SAME corpus share one entry. Long-lived sessions
+    training over MANY distinct corpora should call
+    ``spark.catalog.clearCache()`` between models (or materialize the small
+    model and drop the lineage); the table itself is vocabulary-shaped
+    (|langs| x observed grams), not corpus-shaped."""
     grams = byte_ngrams(
         corpus.select("lang", clean_text_expr("text").alias("text"))
         .filter(F.col("text").isNotNull()),

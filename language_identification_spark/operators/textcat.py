@@ -20,6 +20,11 @@ hot path. Trigram extraction, ranking, distance, and the wrapper's
 normalization are all SQL-expressible, so the gate entry
 (queries.py:q_textcat_langid) has a full DuckDB oracle.
 
+Like the reference — where TextCat itself never cleans and the WRAPPER
+scores ``lang_dists(clean_text(text))`` (nltk_wrapper.py:63) — these
+operators take text as-is; the caller applies clean_text (the gate query
+does, natively on both engines: queries.q_textcat_langid).
+
 Determinism contract (shared with the oracle): grams are trigrams of
 ``'_' + word + '_'`` over lowercased whitespace-split words; rank ties
 break by gram ascending; distance ties break by lang ascending; the

@@ -169,13 +169,18 @@ def strip_html(text: str | None) -> str | None:
 def clean_text(text: str | None) -> str | None:
     """Strip standalone digits, collapse whitespace; empty -> None.
 
-    preprocessing.py:16-27 semantics. The reference raises ValueError on empty
-    input; relationally we return None and the pipeline emits the
-    ``empty_text`` drop reason instead.
+    preprocessing.py:16-27 semantics, exactly: the digit sub replaces with
+    the EMPTY string (reference ``re.sub(r'\\b\\d+\\b', '', ...)``) — so
+    'a(1)b' -> 'a()b', NOT 'a( )b'; the later whitespace collapse only
+    merges the space runs digit removal exposes between words. Python's
+    ``\\d``/``\\s``/``\\b`` are Unicode-aware like the reference's
+    re.UNICODE. The reference raises ValueError on empty input; relationally
+    we return None and the pipeline emits the ``empty_text`` drop reason
+    instead.
     """
     if text is None:
         return None
-    text = _RE_STANDALONE_DIGITS.sub(" ", text)
+    text = _RE_STANDALONE_DIGITS.sub("", text)
     text = _RE_WHITESPACE.sub(" ", text).strip()
     return text if text else None
 

@@ -2310,17 +2310,25 @@ def q_textcat_langid(spark, sf_dir):
     Profiles are TRAINED from the corpus (doc_id % 5 != 0) with one Spark
     aggregation, then every held-out doc (doc_id % 5 == 0) is scored against
     every language: out-of-place rank distance, 1/dist scores normalized to
-    probabilities, ranked. Scale shape: profile table is |langs| x K rows
+    probabilities, ranked. clean_text is applied natively to both splits
+    (the wrapper scores rank(clean_text(text)), nltk_wrapper.py:63). Scale shape: profile table is |langs| x K rows
     (broadcast); the doc-side profile shares one doc_id-keyed shuffle between
     its count and rank; the corpus never shuffles onto a language key."""
+    from language_identification_spark.operators.langid_bytes import (
+        clean_text_expr,
+    )
     from language_identification_spark.operators.textcat import (
         textcat_distances,
         textcat_rank,
         train_textcat_profiles,
     )
 
-    docs = _t(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length("text") > 0)
+    # the wrapper scores rank(clean_text(text)) — clean BOTH splits so the
+    # trained profiles see the same distribution as the scored docs
+    docs = (
+        _spread(_t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
+        .select("doc_id", "lang", clean_text_expr("text").alias("text"))
+        .filter(F.col("text").isNotNull())
     )
     train = docs.filter(F.col("doc_id") % 5 != 0).select("lang", "text")
     test = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
@@ -2337,9 +2345,14 @@ def q_textcat_langid(spark, sf_dir):
 
 
 SQL_TEXTCAT_LANGID = r"""
-WITH base AS (
-  SELECT doc_id, lang, lower(text) AS lt FROM documents
-  WHERE text IS NOT NULL AND length(text) > 0
+WITH cleaned AS (
+  SELECT doc_id, lang,
+         nullif(trim(regexp_replace(regexp_replace(text,
+             '\b\d+\b', '', 'g'), '[\t\n\x0b\f\r ]+', ' ', 'g')), '') AS ct
+  FROM documents WHERE text IS NOT NULL
+),
+base AS (
+  SELECT doc_id, lang, lower(ct) AS lt FROM cleaned WHERE ct IS NOT NULL
 ),
 tr_words AS (
   SELECT lang, '_' || w || '_' AS pw
@@ -2431,7 +2444,7 @@ SQL_LANGID_NB_RANK = r"""
 WITH cleaned AS (
   SELECT doc_id, lang,
          nullif(trim(regexp_replace(regexp_replace(text,
-             '\b\d+\b', ' ', 'g'), '[\t\n\x0b\f\r ]+', ' ', 'g')), '') AS ct
+             '\b\d+\b', '', 'g'), '[\t\n\x0b\f\r ]+', ' ', 'g')), '') AS ct
   FROM documents WHERE text IS NOT NULL
 ),
 base AS (

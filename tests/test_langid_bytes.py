@@ -27,7 +27,7 @@ _WS = re.compile("[\t\n\x0b\f\r ]+")
 
 
 def py_clean(text: str) -> str | None:
-    t = _WS.sub(" ", _DIGITS.sub(" ", text)).strip()
+    t = _WS.sub(" ", _DIGITS.sub("", text)).strip()
     return t or None
 
 

@@ -54,6 +54,15 @@ class TestExtract:
         # (preprocessing.py:16-27)
         assert clean_text("a 123 b4c 5") == "a b4c"
 
+    def test_clean_text_digit_adjacent_punct(self):
+        # reference re.sub(r'\b\d+\b', '', ...) replaces with EMPTY, so no
+        # space appears between the exposed brackets (found in review)
+        assert clean_text("a(1)b") == "a()b"
+        # '.' is a \b boundary: the standalone 2 and 3 go, 1 stays (b4c-style
+        # digits inside a word have no boundary around them)
+        assert clean_text("v1.2.3") == "v1.."
+        assert clean_text("price: 42, ok") == "price: , ok"
+
     def test_clean_text_empty_none(self):
         assert clean_text("  42  ") is None
         assert clean_text("") is None
