@@ -195,3 +195,31 @@ def test_langdetect_filter(spark):
         ("en", 0.05),
         ("zh", 0.9),
     ]
+
+
+def test_byte_ngrams_random_unicode_sweep(spark):
+    """200 seeded random strings over a hostile char pool (controls, ASCII,
+    Latin-1 supplement, CJK, astral, lone spaces) -> Spark byte_ngrams ==
+    Python reference in ONE job. Pins the hex framing (2*(i-1)+1 arithmetic)
+    and the short-input guard against Spark's descending sequence(1,0)."""
+    import random
+
+    rng = random.Random(404)
+    pool = (
+        "ab z09.'-\t\n\x0b\f\r "
+        + "éüñßæçŷ"
+        + "中文字猫狗"
+        + "\U00020000\U00010440\U0001F600"
+    )
+    rows = [
+        (i, "".join(rng.choice(pool) for _ in range(rng.randint(0, 12))))
+        for i in range(200)
+    ]
+    got: dict[int, Counter] = {}
+    for r in byte_ngrams(
+        spark.createDataFrame(rows, "doc_id bigint, text string"), "doc_id"
+    ).collect():
+        got.setdefault(r.doc_id, Counter())[r.gram] += 1
+    for doc_id, text in rows:
+        want = py_grams(text)
+        assert got.get(doc_id, Counter()) == want, (doc_id, repr(text))

@@ -167,3 +167,39 @@ def test_zero_distance_guard(spark):
     rows = {r.lang: r for r in textcat_rank(dists).collect()}
     assert rows["en"].rnk == 1
     assert rows["en"].prob > rows["de"].prob
+
+
+def test_textcat_grams_random_unicode_sweep(spark):
+    """200 seeded random strings (hostile whitespace, CJK, astral, mixed
+    case) -> Spark textcat_grams == the Python reference in ONE job: pins
+    lowercasing order, the explicit whitespace split class, per-word '_'
+    padding, and codepoint-based trigram slicing (astral chars count as ONE
+    char on both engines)."""
+    import random
+    from language_identification_spark.operators.textcat import textcat_grams
+
+    rng = random.Random(505)
+    pool = (
+        "AbZ o.'-\t\n\x0b\f\r "
+        + "ÉüÑß"
+        + "中文猫"
+        + "\U00020000\U00010440"
+    )
+    rows = [
+        (i, "".join(rng.choice(pool) for _ in range(rng.randint(0, 15))))
+        for i in range(200)
+    ]
+    got: dict[int, Counter] = {}
+    for r in textcat_grams(
+        spark.createDataFrame(rows, "doc_id bigint, text string"), "doc_id"
+    ).collect():
+        got.setdefault(r.doc_id, Counter())[r.gram] += 1
+    for doc_id, text in rows:
+        want: Counter[str] = Counter()
+        for w in WS.split(text.lower()):
+            if not w:
+                continue
+            pw = f"_{w}_"
+            for i in range(len(pw) - 2):
+                want[pw[i : i + 3]] += 1
+        assert got.get(doc_id, Counter()) == want, (doc_id, repr(text))
