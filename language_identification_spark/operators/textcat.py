@@ -26,7 +26,14 @@ operators take text as-is; the caller applies clean_text (the gate query
 does, natively on both engines: queries.q_textcat_langid).
 
 Determinism contract (shared with the oracle): grams are trigrams of
-``'_' + word + '_'`` over lowercased whitespace-split words; rank ties
+``'_' + word + '_'`` over lowercased whitespace-split words. The ``lower``
+step is engine-identical on the gate corpus but NOT universally: Java's
+full casemap emits i+U+0307 for 'İ' and the context-sensitive final sigma
+'ς', where DuckDB's simple map gives 'i'/'σ' (measured) — the same
+testdata-scoped equivalence already documented for norm_text's
+``exact_casefold=False`` gate variant (functions/text.py:118-128). Turkish/
+Greek corpora need a casefold UDF on the Spark side or a pre-normalization
+both engines share. Rank ties
 break by gram ascending; distance ties break by lang ascending; the
 ``1/dist`` of the wrapper is guarded as ``1/greatest(dist, 1)`` — dist = 0
 means the document profile IS the language profile, where the reference
