@@ -2554,6 +2554,52 @@ def q_cld2_postprocess(spark, sf_dir):
     )
 
 
+LANGDETECT_SUPPORTED = ["de", "en", "fr", "zh"]
+
+
+def q_langdetect_filter(spark, sf_dir):
+    """L3 langdetect-wrapper post-processing (operators/langid_bytes.py;
+    reference langdetect_wrapper.py:17-21) over a deterministic backend
+    ranking derived from the documents parquet: region-suffixed codes fold
+    to the base ('zh-cn' -> 'zh'), unsupported codes drop ('pt-BR' -> 'pt'
+    not in the supported set, 'qq' never was), backend probs pass through
+    untouched (the wrapper preserves detect_langs order; here prob itself
+    is emitted so the hash pins it)."""
+    from language_identification_spark.operators.langid_bytes import (
+        langdetect_style_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    codes = F.array(
+        F.lit("en"), F.lit("zh-cn"), F.lit("pt-BR"), F.lit("qq"),
+        F.lit("fr"), F.lit("de"),
+    )
+    ranking = docs.select(
+        "doc_id", F.posexplode(codes).alias("i", "lang")
+    ).select(
+        "doc_id",
+        "lang",
+        (((F.col("doc_id") * 13 + F.col("i") * 7) % 97) / 100.0).alias("prob"),
+    )
+    return langdetect_style_filter(ranking, LANGDETECT_SUPPORTED).select(
+        "doc_id", "lang", F.round("prob", 6).alias("prob")
+    )
+
+
+SQL_LANGDETECT_FILTER = """
+WITH codes(i, code) AS (
+  VALUES (0, 'en'), (1, 'zh-cn'), (2, 'pt-BR'), (3, 'qq'), (4, 'fr'), (5, 'de')
+),
+ranking AS (
+  SELECT doc_id, string_split(code, '-')[1] AS lang,
+         ((doc_id * 13 + i * 7) % 97) / 100.0 AS prob
+  FROM documents CROSS JOIN codes WHERE doc_id <= 200
+)
+SELECT doc_id, lang, round(prob, 6) AS prob
+FROM ranking WHERE lang IN ({supported})
+""".format(supported=", ".join(f"'{c}'" for c in LANGDETECT_SUPPORTED))
+
+
 SQL_CLD2_POSTPROCESS = """
 WITH codes(i, language_code) AS (
   VALUES (0, 'en'), (1, 'zh-Hant'), (2, 'fr'), (3, 'xx'), (4, 'de'), (5, 'es')
@@ -2634,6 +2680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "textcat_langid": q_textcat_langid,
     "langid_nb_rank": q_langid_nb_rank,
     "cld2_postprocess": q_cld2_postprocess,
+    "langdetect_filter": q_langdetect_filter,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2686,4 +2733,5 @@ ORACLE_SQL: dict[str, str] = {
     "textcat_langid": SQL_TEXTCAT_LANGID,
     "langid_nb_rank": SQL_LANGID_NB_RANK,
     "cld2_postprocess": SQL_CLD2_POSTPROCESS,
+    "langdetect_filter": SQL_LANGDETECT_FILTER,
 }
