@@ -95,6 +95,7 @@ def train_langid_nb(
     corpus: DataFrame,
     max_features: int = DEFAULT_MAX_FEATURES,
     ns: tuple[int, ...] = BYTE_NS,
+    min_gram_count: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """corpus(lang, text) -> (model, priors).
 
@@ -103,40 +104,53 @@ def train_langid_nb(
     document counts (langid.py's nb_pc). Feature selection = top
     ``max_features`` grams by corpus count, ties by gram ascending.
 
-    Cache ownership: the intermediate (lang, gram) count table is ``.cache``d
-    and NOT unpersisted here — the returned model/priors are lazy frames that
-    re-read it on every downstream action (scoring join broadcast, oracle
-    checks, bench reps), and Spark's CacheManager dedupes identical plans so
-    repeated calls over the SAME corpus share one entry. Long-lived sessions
+    ``min_gram_count`` is the web-scale knob: > 1 prunes the heavy-tail
+    vocabulary before the global top-K ranking (at 10^12 docs the distinct
+    byte 4-gram count is billions; any gram that can make a top-1000 profile
+    dwarfs any sane threshold, so pruning is selection-neutral in practice
+    while keeping the rank window's input bounded).
+
+    Cache ownership: only K-BOUNDED frames are ``.cache``d (``features``:
+    K rows; ``lang_counts``: K x |langs|) and NOT unpersisted here — the
+    returned model/priors are lazy frames that re-read them on every
+    downstream action, and Spark's CacheManager dedupes identical plans so
+    repeated calls over the SAME corpus share entries. Long-lived sessions
     training over MANY distinct corpora should call
     ``spark.catalog.clearCache()`` between models (or materialize the small
-    model and drop the lineage); the table itself is vocabulary-shaped
-    (|langs| x observed grams), not corpus-shaped."""
+    model and drop the lineage). Nothing corpus-shaped or vocabulary-shaped
+    is ever cached, collected, or broadcast."""
     grams = byte_ngrams(
         corpus.select("lang", clean_text_expr("text").alias("text"))
         .filter(F.col("text").isNotNull()),
         "lang",
         ns=ns,
     )
-    # ONE explode pass over the corpus: aggregate straight to (lang, gram)
-    # counts and CACHE the result — it is vocabulary-shaped (|langs| x
-    # observed grams), and every downstream frame (global counts, feature
-    # window, dense model, k) derives from it. Without the cache each
-    # reference replays the corpus explode, which at 100 TB is the whole
-    # job several times over.
-    all_lang_counts = (
-        grams.groupBy("lang", "gram").agg(F.count("*").alias("c")).cache()
-    )
-    counts = all_lang_counts.groupBy("gram").agg(F.sum("c").alias("c_all"))
-    # global top-K window: input is the vocabulary-shaped count table, so
-    # the single-partition ranking sees ~10^5 rows, never the corpus
+    # TWO corpus passes, K-BOUNDED caches. A single-pass variant that caches
+    # the full (lang, gram) count table is faster at test scale but
+    # memory-unbounded at 100 TB (distinct byte 4-grams over web text run
+    # into the billions x |langs|); here only feature-filtered frames —
+    # `features` (K rows) and `lang_counts` (K x |langs| rows) — are cached,
+    # so every downstream reference (dense model, k, scoring broadcast)
+    # replays tiny cached tables, and the corpus explode runs exactly twice
+    # (global counts, then per-lang counts over the broadcast feature set).
+    counts = grams.groupBy("gram").agg(F.count("*").alias("c_all"))
+    if min_gram_count > 1:
+        # web-scale knob: threshold the heavy-tail vocabulary BEFORE the
+        # global top-K window so its single-partition input stays bounded
+        counts = counts.filter(F.col("c_all") >= min_gram_count)
     w = Window.orderBy(F.desc("c_all"), F.asc("gram"))
     features = (
         counts.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= max_features)
         .select("gram")
+        .cache()
     )
-    lang_counts = all_lang_counts.join(F.broadcast(features), "gram")
+    lang_counts = (
+        grams.join(F.broadcast(features), "gram")
+        .groupBy("lang", "gram")
+        .agg(F.count("*").alias("c"))
+        .cache()
+    )
     langs = corpus.select("lang").distinct()
     totals = lang_counts.groupBy("lang").agg(F.sum("c").alias("tot"))
     # feature / doc counts enter as 1-row broadcast joins, NOT .count()
@@ -156,16 +170,18 @@ def train_langid_nb(
             ).alias("logp"),
         )
     )
-    n_docs = corpus.filter(clean_text_expr("text").isNotNull())
-    ndf = n_docs.agg(F.count("*").alias("n"))
-    priors = (
-        n_docs.groupBy("lang")
+    # one corpus pass for priors: per-lang doc counts, total derived from
+    # the |langs|-row grouped result rather than a second scan
+    per_lang_docs = (
+        corpus.filter(clean_text_expr("text").isNotNull())
+        .groupBy("lang")
         .agg(F.count("*").alias("nl"))
-        .crossJoin(F.broadcast(ndf))
-        .select(
-            "lang",
-            (F.log("nl") - F.log("n")).alias("logprior"),
-        )
+        .cache()  # |langs| rows; referenced by both the total and the ratio
+    )
+    ndf = per_lang_docs.agg(F.sum("nl").alias("n"))
+    priors = per_lang_docs.crossJoin(F.broadcast(ndf)).select(
+        "lang",
+        (F.log("nl") - F.log("n")).alias("logprior"),
     )
     return dense, priors
 

@@ -29,7 +29,8 @@ Operator coverage map (reference file:line in each docstring):
   oracle/kn_sql.py); L5 textcat_langid (Cavnar-Trenkle out-of-place rank
   distance, corpus-trained profiles, operators/textcat.py); L2
   langid_nb_rank (byte-ngram NB, langid.py rank/set_languages semantics) +
-  L4 cld2_postprocess (wrapper rules), operators/langid_bytes.py; LSH skew defense: lsh_bucket_cap_audit;
+  L4 cld2_postprocess + L3 langdetect_filter (wrapper rules),
+  operators/langid_bytes.py; LSH skew defense: lsh_bucket_cap_audit;
   tokens: token_count / bpe_token_count; splits: deterministic_split;
   F14 deseret_translit (weird-font -> Deseret -> phonemes, functions/deseret.py);
   P8 term_cleanup (has_text/has_digit quirks + norm_text key);
