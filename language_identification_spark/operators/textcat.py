@@ -12,11 +12,17 @@ from the corpus with one Spark aggregation, which is what a 100 TB pipeline
 wants anyway (profiles from your own traffic, not a fixed 2010 crawl).
 
 Shapes for scale: the profile table is ``|langs| x K`` rows (tiny —
-broadcast); a document's own profile needs one shuffle keyed by doc_id
-(groupBy count + rank window share the key); the distance join is
-fact x broadcast(langs) x broadcast(profiles) so the corpus never shuffles
-onto a language key. Everything is native expressions — no Python in the
-hot path. Trigram extraction, ranking, distance, and the wrapper's
+broadcast); a document's own profile costs TWO count-shaped exchanges —
+(doc_id, gram) for the count (instance rows are partial-aggregated
+map-side first) then doc_id for the rank window; the alternative (one
+up-front repartition(doc_id) reused by both) would shuffle RAW gram
+instances instead of counts, which is larger whenever the per-doc gram
+distribution has repeats, so the two-count-shuffle form is kept. The
+distance aggregation reuses the window's doc_id partitioning (a
+(doc_id, lang) grouping is satisfied by hashpartitioning(doc_id) — subset
+clustering), and the distance join is fact x broadcast(langs) x
+broadcast(profiles), so the corpus never shuffles onto a language key.
+Everything is native expressions — no Python in the hot path. Trigram extraction, ranking, distance, and the wrapper's
 normalization are all SQL-expressible, so the gate entry
 (queries.py:q_textcat_langid) has a full DuckDB oracle.
 

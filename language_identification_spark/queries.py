@@ -2312,9 +2312,12 @@ def q_textcat_langid(spark, sf_dir):
     aggregation, then every held-out doc (doc_id % 5 == 0) is scored against
     every language: out-of-place rank distance, 1/dist scores normalized to
     probabilities, ranked. clean_text is applied natively to both splits
-    (the wrapper scores rank(clean_text(text)), nltk_wrapper.py:63). Scale shape: profile table is |langs| x K rows
-    (broadcast); the doc-side profile shares one doc_id-keyed shuffle between
-    its count and rank; the corpus never shuffles onto a language key."""
+    (the wrapper scores rank(clean_text(text)), nltk_wrapper.py:63). Scale
+    shape: profile table is |langs| x K rows (broadcast); the doc-side
+    profile costs two COUNT-shaped exchanges ((doc_id, gram) agg, then the
+    doc_id rank window — the distance agg reuses that partitioning); the
+    corpus never shuffles onto a language key. Trade-off analysis in
+    operators/textcat.py."""
     from language_identification_spark.operators.langid_bytes import (
         clean_text_expr,
     )
