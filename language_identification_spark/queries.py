@@ -2421,8 +2421,9 @@ def q_langid_nb_rank(spark, sf_dir):
     held-out docs scored and normalized with langid.py's norm_probs softmax.
     clean_text applied natively on both sides (the wrapper's
     rank(clean_text(text))). Scale shape: model is |langs| x K rows
-    broadcast; corpus shuffles once on doc_id; |langs|-way fan-out is
-    partial-aggregated map-side."""
+    broadcast; the corpus crosses the wire once, as (doc_id, gram) COUNTS
+    (instances partial-aggregated map-side); every later exchange is
+    docs x |langs|-scale."""
     from language_identification_spark.operators.langid_bytes import (
         langid_nb_rank,
         train_langid_nb,
