@@ -203,3 +203,28 @@ def test_textcat_grams_random_unicode_sweep(spark):
             for i in range(len(pw) - 2):
                 want[pw[i : i + 3]] += 1
         assert got.get(doc_id, Counter()) == want, (doc_id, repr(text))
+
+
+def test_iso_fold_with_real_dim_keeps_bibliographic_duplicates(spark):
+    """The REAL ISO 639-2 dim has bibliographic/terminological pairs that
+    fold to one 639-1 code (fra/fre -> fr, deu/ger -> de). The reference's
+    list comprehension (nltk_wrapper.py:61) keeps BOTH entries as separate
+    rows and normalizes over all of them — the relational form must
+    preserve that multiplicity, not dedupe."""
+    from language_identification_spark.operators.textcat import iso639_2_to_1
+
+    iso = iso639_2_to_1()
+    assert iso["fra"] == iso["fre"] == "fr"
+    dists = spark.createDataFrame(
+        [(0, "fra", 10), (0, "fre", 40), (0, "eng", 20), (0, "zzz", 5)],
+        ["doc_id", "lang", "dist"],
+    )
+    rows = textcat_rank(dists, iso_map=iso).collect()
+    langs = sorted(r.lang for r in rows)
+    assert langs == ["en", "fr", "fr"]  # two fr rows survive, zzz dropped
+    # probs normalize over ALL THREE surviving entries: 1/10+1/40+1/20
+    z = 1 / 10 + 1 / 40 + 1 / 20
+    by = sorted((r.lang, r.dist, r.prob) for r in rows)
+    assert abs(by[1][2] - (1 / 10) / z) < 1e-12  # fr (dist 10)
+    assert abs(by[2][2] - (1 / 40) / z) < 1e-12  # fr (dist 40)
+    assert abs(by[0][2] - (1 / 20) / z) < 1e-12  # en
