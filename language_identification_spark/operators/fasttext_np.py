@@ -238,6 +238,11 @@ class NumpyFastText:
             # the native getLine pushes the token hash for EVERY word-type
             # token — in-vocab, OOV, and EOS alike
             hashes.append(ft_hash(token))
+            if token == EOS:
+                # Dictionary::getLine breaks at the first EOS token — a
+                # literal "</s>" in web text ends the line for scoring;
+                # everything after it is ignored, like the native engine
+                break
         if a.word_ngrams > 1:
             ids.extend(
                 self._bucket_rows(word_ngram_ids(hashes, a.word_ngrams, a.bucket))
@@ -312,6 +317,30 @@ def _tokenize(text: str) -> list[str]:
 # ---------------------------------------------------------------------------
 # binary format (little-endian throughout)
 # ---------------------------------------------------------------------------
+
+
+def numpy_engine_supports(path: str) -> bool:
+    """Cheap driver-side probe (64 header bytes): True iff this file is a
+    fastText model the numpy engine can actually score — right magic,
+    known version, supervised, non-hierarchical loss. Lets callers decide
+    availability truthfully instead of by file extension (an unsupervised
+    ``cc.*.300.bin`` shares the extension but would throw inside every
+    executor task)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(64)
+        if len(head) < 64:
+            return False
+        magic, version = struct.unpack_from("<ii", head, 0)
+        loss, model_t = struct.unpack_from("<2i", head, 8 + 6 * 4)
+        return (
+            magic == MAGIC
+            and version <= VERSION
+            and model_t == MODEL_SUP
+            and loss != LOSS_HS
+        )
+    except OSError:
+        return False
 
 
 def load_model(path: str) -> NumpyFastText:

@@ -161,9 +161,15 @@ def fasttext_available() -> bool:
 
         return True
     except ImportError:
-        # the numpy engine reads both dense .bin and product-quantized
-        # .ftz supervised models
-        return path.endswith((".bin", ".ftz"))
+        # the numpy engine reads dense .bin and product-quantized .ftz
+        # supervised models; probe the header so an unsupported file (e.g.
+        # an unsupervised cc.*.300.bin) reports unavailable HERE instead of
+        # throwing inside every executor task
+        from language_identification_spark.operators.fasttext_np import (
+            numpy_engine_supports,
+        )
+
+        return numpy_engine_supports(path)
 
 
 def fasttext_lid_udf(model_path: str | None = None):

@@ -95,7 +95,12 @@ def ensure_model(
     if url is not None:
         try:
             return fetch_file(url, big_path, sha256=sha256)
-        except (OSError, ValueError):
+        except OSError:
+            # unavailability (network/disk) is the reference's fallback
+            # case; an integrity failure (ValueError from the sha256 pin)
+            # stays FATAL even with a tiny fallback — silently running the
+            # low-quality model on a corrupted mirror is exactly what the
+            # pin exists to prevent
             if tiny_path is None:
                 raise
     if tiny_path is not None and Path(tiny_path).exists():

@@ -254,6 +254,50 @@ def test_newline_stops_the_line(tmp_path):
     )
 
 
+def test_literal_eos_stops_the_line(tmp_path):
+    """Dictionary::getLine breaks at the first EOS token — a literal
+    '</s>' in web text (scraped markup) ends the line exactly like a
+    newline does, and everything after it is ignored."""
+    path, *_ = _build_model(tmp_path)
+    m = load_model(path)
+    assert m.line_ids("hello </s> bonjour le monde") == m.line_ids("hello")
+    assert (
+        m.predict("hello world </s> bonjour le monde bonjour", k=1)
+        == m.predict("hello world", k=1)
+    )
+
+
+def test_numpy_engine_supports_header_probe(tmp_path):
+    """numpy_engine_supports answers from 64 header bytes: True only for
+    supervised non-hs models the engine can actually score — an
+    unsupervised .bin (cc.*.300-style) or hs-loss model reports False at
+    the driver instead of throwing inside every executor task."""
+    import struct
+
+    from language_identification_spark.operators.fasttext_np import (
+        LOSS_HS,
+        MODEL_CBOW,
+        numpy_engine_supports,
+    )
+
+    path, *_ = _build_model(tmp_path)
+    assert numpy_engine_supports(path) is True
+    raw = bytearray(open(path, "rb").read())
+    struct.pack_into("<i", raw, 8 + 7 * 4, MODEL_CBOW)  # model field
+    bad = tmp_path / "cc.300.bin"
+    bad.write_bytes(bytes(raw))
+    assert numpy_engine_supports(str(bad)) is False
+    raw = bytearray(open(path, "rb").read())
+    struct.pack_into("<i", raw, 8 + 6 * 4, LOSS_HS)  # loss field
+    hs = tmp_path / "hs.bin"
+    hs.write_bytes(bytes(raw))
+    assert numpy_engine_supports(str(hs)) is False
+    junk = tmp_path / "junk.bin"
+    junk.write_bytes(b"\x00" * 10)
+    assert numpy_engine_supports(str(junk)) is False
+    assert numpy_engine_supports(str(tmp_path / "absent.bin")) is False
+
+
 def test_bad_magic_rejected(tmp_path):
     p = tmp_path / "junk.bin"
     p.write_bytes(b"\x00" * 64)

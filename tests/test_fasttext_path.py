@@ -65,6 +65,24 @@ def test_fasttext_available_with_fake(fake_fasttext):
     assert fasttext_available() is True
 
 
+def test_availability_probes_header_without_native_lib(monkeypatch, tmp_path):
+    """With no native lib, availability is decided by the 64-byte header
+    probe, not the file extension: a real supervised model is available, a
+    same-extension junk file is not (it would throw in every task)."""
+    from test_fasttext_np import _build_model
+
+    from language_identification_spark.operators.lid import fasttext_available
+
+    monkeypatch.setitem(sys.modules, "fasttext", None)  # import -> ImportError
+    path, *_ = _build_model(tmp_path)
+    monkeypatch.setenv("FASTTEXT_MODEL_PATH", path)
+    assert fasttext_available() is True
+    junk = tmp_path / "lid.176.ftz"
+    junk.write_bytes(b"not a model")
+    monkeypatch.setenv("FASTTEXT_MODEL_PATH", str(junk))
+    assert fasttext_available() is False
+
+
 FAKE_FASTTEXT_SRC = '''\
 """Deterministic stand-in for the fasttext package (test-only), implementing
 the public API shape the engine uses: load_model(path).predict(texts, k)."""

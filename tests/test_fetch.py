@@ -123,3 +123,22 @@ def test_ensure_model_fetches_then_falls_back(http_root, tmp_path, model_file):
     # bad url + no tiny -> raise
     with pytest.raises(OSError):
         ensure_model(tmp_path / "other.bin", url=f"{base}/absent.bin")
+
+
+def test_pin_failure_stays_fatal_even_with_tiny(http_root, tmp_path):
+    """A sha256 pin mismatch on a fresh download is an INTEGRITY failure —
+    it must raise even when a tiny fallback exists (only unavailability
+    falls back); silently running the low-quality model against a
+    corrupted mirror is exactly what the pin exists to prevent."""
+    base, _ = http_root
+    tiny = tmp_path / "tiny.ftz"
+    tiny.write_bytes(b"tiny")
+    big = tmp_path / "big.bin"
+    with pytest.raises(ValueError, match="sha256"):
+        ensure_model(
+            big,
+            url=f"{base}/lid.synthetic.bin",
+            sha256="0" * 64,
+            tiny_path=tiny,
+        )
+    assert not big.exists()  # nothing cached from the failed fetch
