@@ -289,6 +289,35 @@ def _q_word_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", _ppl("lang", "text").alias("word_ppl"))
 
 
+def _q_ensemble_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 ensemble cascade (oracle/langid.py:ensemble_detect_batch — the
+    reference's language_identification_test.py:30-68 chain: clean ->
+    hardcode -> unique-script pin -> NB*0.8 vs script-index fold with the
+    3/4 margin) over a deterministic multi-script mutation of the documents
+    table, so every stage fires at the gate. Fully SQL-oracled via the
+    fold's order-independent closed form (oracle/ensemble_sql.py)."""
+    from language_identification_spark.oracle.ensemble_sql import (
+        mutated_text_col,
+    )
+    from language_identification_spark.oracle.langid import ensemble_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    det = ensemble_udf(spark, _model())
+    return (
+        docs.select(
+            "doc_id",
+            mutated_text_col(F.col("doc_id"), F.col("text")).alias("text"),
+        )
+        .select("doc_id", det("text").alias("d"))
+        .select(
+            "doc_id",
+            F.col("d.lang").alias("lang"),
+            F.round("d.conf", 6).alias("conf"),
+        )
+    )
+
+
 def _q_char_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L8 char-level modified-KN, trained distributively at order 2 and
     scored under each document's own language LM — the order where the full
@@ -347,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_frames"] = _q_media_frames
     out["word_kn_ppl"] = _q_word_kn_ppl
     out["char_kn_ppl"] = _q_char_kn_ppl
+    out["ensemble_langid"] = _q_ensemble_langid
     return out
 
 
@@ -381,4 +411,9 @@ def oracle_sql() -> dict[str, str]:
     out["word_kn_ppl"] = SQL_WORD_KN_PPL
     out["char_kn_ppl"] = SQL_CHAR_KN_PPL
     out["emd_fuzzy_lookup"] = SQL_EMD_FUZZY_LOOKUP
+    from language_identification_spark.oracle.ensemble_sql import (
+        ensemble_oracle_sql,
+    )
+
+    out["ensemble_langid"] = ensemble_oracle_sql(_model())
     return out

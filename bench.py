@@ -52,6 +52,7 @@ HEADLINE = [
     "lsh_bucket_cap_audit",
     "textcat_langid",
     "langid_nb_rank",
+    "ensemble_langid",
 ]
 
 
