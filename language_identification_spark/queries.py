@@ -1400,6 +1400,122 @@ FROM base
 """
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition rules (Rae et al. 2021 Table A1) — the duplicate
+    line/paragraph (count + character) fractions, top-n-gram character
+    fractions (n=2..4) and duplicate-n-gram character fractions (n=5..10),
+    plus the combined keep flag, all JVM-native (operators/repetition.py).
+    Scale shape: one explode partial-aggregated into (doc, n, gram) counts
+    before the single instance-sized exchange; window + per-n + per-doc
+    aggs all run on counts."""
+    from language_identification_spark.operators.repetition import (
+        repetition_stats,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return repetition_stats(docs)
+
+
+def _sql_gopher_repetition() -> str:
+    from language_identification_spark.operators.repetition import (
+        GOPHER_REPETITION_THRESHOLDS,
+    )
+
+    def frac(cond_n: int, num: str, den: str, alias: str) -> str:
+        return (
+            f"round(coalesce(max(CASE WHEN n = {cond_n} AND {den} > 0 "
+            f"THEN ({num}) * 1.0 / {den} END), 0.0), 6) AS {alias}"
+        )
+
+    stat_cols = [
+        frac(0, "n_inst - n_distinct", "n_inst", "dup_line_frac"),
+        frac(1, "n_inst - n_distinct", "n_inst", "dup_para_frac"),
+        frac(0, "dup_mass", "denom", "dup_line_char_frac"),
+        frac(1, "dup_mass", "denom", "dup_para_char_frac"),
+    ]
+    stat_cols += [
+        frac(k, "top_mass", "denom", f"top_{k}gram_char_frac")
+        for k in (2, 3, 4)
+    ]
+    stat_cols += [
+        frac(k, "dup_mass", "denom", f"dup_{k}gram_char_frac")
+        for k in range(5, 11)
+    ]
+    out_cols = ",\n       ".join(
+        f"coalesce(w.{name}, 0.0) AS {name}"
+        for name, _ in GOPHER_REPETITION_THRESHOLDS
+    )
+    keep = " AND ".join(
+        f"coalesce(w.{name}, 0.0) <= {thr!r}"
+        for name, thr in GOPHER_REPETITION_THRESHOLDS
+    )
+    stats = ",\n    ".join(stat_cols)
+    return rf"""
+WITH ns(n) AS (VALUES (2), (3), (4), (5), (6), (7), (8), (9), (10)),
+base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[\t\n\x0b\f\r ]+'),
+                     w -> w <> '') AS toks,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    s -> trim(s)), s -> s <> '') AS lines,
+         list_filter(list_transform(string_split_regex(text, '\n{{2,}}'),
+                                    s -> trim(s)), s -> s <> '') AS paras
+  FROM documents WHERE text IS NOT NULL
+),
+sums AS (
+  SELECT doc_id, toks, lines, paras,
+         list_sum(list_transform(toks, w -> length(w))) AS tchars,
+         list_sum(list_transform(lines, s -> length(s))) AS lchars,
+         list_sum(list_transform(paras, s -> length(s))) AS pchars
+  FROM base
+),
+rows_ AS (
+  SELECT doc_id, 0 AS n, l AS gram, lchars AS denom
+  FROM sums, unnest(lines) AS u(l)
+  UNION ALL
+  SELECT doc_id, 1 AS n, p AS gram, pchars AS denom
+  FROM sums, unnest(paras) AS u(p)
+  UNION ALL
+  SELECT doc_id, ns.n,
+         array_to_string(list_slice(toks, i, i + ns.n - 1), ' ') AS gram,
+         tchars AS denom
+  FROM sums, ns, unnest(range(1, len(toks) - ns.n + 2)) AS t(i)
+  WHERE len(toks) >= ns.n
+),
+counts AS (
+  SELECT doc_id, n, denom, gram, count(*) AS cnt,
+         length(gram) - greatest(0, n - 1) AS mass
+  FROM rows_ GROUP BY doc_id, n, denom, gram
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                               ORDER BY cnt DESC, gram ASC) AS rn
+  FROM counts
+),
+per_n AS (
+  SELECT doc_id, n,
+         max(CASE WHEN rn = 1 THEN cnt * mass END) AS top_mass,
+         coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * mass END), 0) AS dup_mass,
+         max(denom) AS denom,
+         sum(cnt) AS n_inst,
+         count(*) AS n_distinct
+  FROM ranked GROUP BY doc_id, n
+),
+wide AS (
+  SELECT doc_id,
+    {stats}
+  FROM per_n GROUP BY doc_id
+)
+SELECT d.doc_id,
+       {out_cols},
+       ({keep}) AS keep_repetition
+FROM documents d LEFT JOIN wide w USING (doc_id)
+"""
+
+
+SQL_GOPHER_REPETITION = _sql_gopher_repetition()
+
+
 def q_scrub_sql(spark, sf_dir):
     """PII scrub as portable regex chain (oracle/scrub.py patterns): PII is
     injected deterministically per doc_id, then scrubbed — verifies the chain
@@ -2664,6 +2780,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "lsh_bucket_cap_audit": q_lsh_bucket_cap_audit,
     "quality_stats_sql": q_quality_stats_sql,
+    "gopher_repetition": q_gopher_repetition,
     "scrub_sql": q_scrub_sql,
     "script_langid_sql": q_script_langid_sql,
     "script_charset_join": q_script_charset_join,
@@ -2717,6 +2834,7 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "lsh_bucket_cap_audit": SQL_LSH_BUCKET_CAP_AUDIT,
     "quality_stats_sql": SQL_QUALITY_STATS,
+    "gopher_repetition": SQL_GOPHER_REPETITION,
     "scrub_sql": SQL_SCRUB,
     "script_langid_sql": SQL_SCRIPT_LANGID,
     "script_charset_join": SQL_SCRIPT_CHARSET_JOIN,
