@@ -1516,6 +1516,106 @@ FROM documents d LEFT JOIN wide w USING (doc_id)
 SQL_GOPHER_REPETITION = _sql_gopher_repetition()
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontaminate.py): flag corpus
+    docs sharing any word 8-gram with a benchmark set. Benchmark = the
+    doc_id % 97 == 0 slice; to guarantee the positive path at every sf, a
+    deterministic injection appends one benchmark doc's text to every
+    corpus doc with doc_id % 31 == 0 (rk = doc_id % |bench|, replayed
+    identically by the oracle). Scale shape: the benchmark gram set is
+    broadcast; corpus grams are per-row deduped and filtered by the
+    map-side broadcast hash join — nothing corpus-sized crosses the wire;
+    only matched rows reach the per-doc count exchange. The tiny-side
+    global row_number window is |bench|-sized, never corpus-sized."""
+    from language_identification_spark.operators.decontaminate import (
+        benchmark_grams,
+        contaminated_docs,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    bench_raw = docs.filter(
+        (did % 97 == 0) & F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    w = Window.orderBy("doc_id")
+    bench = bench_raw.select(
+        (F.row_number().over(w) - 1).alias("rk"),
+        F.col("text").alias("btext"),
+    )
+    nb = bench.agg(F.count("*").alias("nb"))
+    corpus = (
+        docs.filter(did % 97 != 0)
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "pick",
+            F.when(did % 31 == 0, did % F.nullif(F.col("nb"), F.lit(0))),
+        )
+        .join(F.broadcast(bench), F.col("pick") == F.col("rk"), "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("btext").isNotNull(),
+                F.concat(F.col("text"), F.lit(" "), F.col("btext")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    out = contaminated_docs(corpus, benchmark_grams(bench_raw))
+    return out.select(
+        "doc_id",
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        "first_gram",
+    )
+
+
+SQL_DECONTAMINATE = r"""
+WITH bench_raw AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 97 = 0 AND text IS NOT NULL
+),
+bench AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rk, text AS btext
+  FROM bench_raw
+),
+nb AS (SELECT count(*) AS nb FROM bench),
+corpus AS (
+  SELECT d.doc_id,
+         CASE WHEN b.btext IS NOT NULL
+              THEN d.text || ' ' || b.btext ELSE d.text END AS text
+  FROM documents d
+  CROSS JOIN nb
+  LEFT JOIN bench b
+    ON d.doc_id % 31 = 0 AND b.rk = d.doc_id % nullif(nb.nb, 0)
+  WHERE d.doc_id % 97 <> 0
+),
+btoks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[\t\n\x0b\f\r ]+'),
+                     w -> w <> '') AS t
+  FROM bench_raw
+),
+bgrams AS (
+  SELECT DISTINCT array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+  FROM btoks, unnest(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8
+),
+ctoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[\t\n\x0b\f\r ]+'),
+                     w -> w <> '') AS t
+  FROM corpus WHERE text IS NOT NULL
+),
+cgrams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+  FROM ctoks, unnest(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8
+)
+SELECT doc_id, count(*)::BIGINT AS n_contaminated, min(gram) AS first_gram
+FROM cgrams JOIN bgrams USING (gram)
+GROUP BY doc_id
+"""
+
+
 def q_scrub_sql(spark, sf_dir):
     """PII scrub as portable regex chain (oracle/scrub.py patterns): PII is
     injected deterministically per doc_id, then scrubbed — verifies the chain
@@ -2781,6 +2881,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_bucket_cap_audit": q_lsh_bucket_cap_audit,
     "quality_stats_sql": q_quality_stats_sql,
     "gopher_repetition": q_gopher_repetition,
+    "decontaminate": q_decontaminate,
     "scrub_sql": q_scrub_sql,
     "script_langid_sql": q_script_langid_sql,
     "script_charset_join": q_script_charset_join,
@@ -2835,6 +2936,7 @@ ORACLE_SQL: dict[str, str] = {
     "lsh_bucket_cap_audit": SQL_LSH_BUCKET_CAP_AUDIT,
     "quality_stats_sql": SQL_QUALITY_STATS,
     "gopher_repetition": SQL_GOPHER_REPETITION,
+    "decontaminate": SQL_DECONTAMINATE,
     "scrub_sql": SQL_SCRUB,
     "script_langid_sql": SQL_SCRIPT_LANGID,
     "script_charset_join": SQL_SCRIPT_CHARSET_JOIN,
