@@ -53,6 +53,8 @@ HEADLINE = [
     "textcat_langid",
     "langid_nb_rank",
     "ensemble_langid",
+    "gopher_repetition",
+    "decontaminate",
 ]
 
 

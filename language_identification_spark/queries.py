@@ -23,7 +23,10 @@ Operator coverage map (reference file:line in each docstring):
   embedding_near_dup (LSH candidates + exact rerank, mirrored oracle);
   quality: quality_stats_sql (+ the flagship quality_pipeline and its
   production-threshold variant, oracled in __spark_entry__/oracle/
-  pipeline_sql.py); scrub: scrub_sql; langid: script_langid_sql
+  pipeline_sql.py) + gopher_repetition (Rae et al. Table A1 repetition
+  family, operators/repetition.py); hygiene: decontaminate (benchmark
+  8-gram overlap, broadcast set semi-join, operators/decontaminate.py);
+  scrub: scrub_sql; langid: script_langid_sql
   + script_charset_join (full scripts.json-grade charset dim, J1/J2/J4/J12);
   KN LMs: word_kn_ppl + char_kn_ppl (order-2 train+score replayed in SQL,
   oracle/kn_sql.py); L5 textcat_langid (Cavnar-Trenkle out-of-place rank
