@@ -1619,6 +1619,68 @@ GROUP BY doc_id
 """
 
 
+_BOILER_1 = "\n\nsubscribe to our newsletter for weekly updates"
+_BOILER_2 = "\n\nall rights reserved contact the site administrator"
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Dolma-style paragraph-level global dedup (operators/paradedup.py):
+    every non-first occurrence of a paragraph is removed corpus-wide and
+    documents are reconstructed from the survivors. The testdata has no
+    natural paragraph repetition, so web boilerplate is injected
+    deterministically (docs % 7 get a subscribe footer, % 11 a copyright
+    footer — replayed identically by the oracle); the operator then strips
+    every copy but the global first. One corpus-scale exchange (the
+    paragraph-key window), one doc-sized reconstruction exchange."""
+    from language_identification_spark.operators.paradedup import (
+        dedup_paragraphs,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    mutated = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0, F.lit(_BOILER_1)).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.lit(_BOILER_2)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(mutated)
+
+
+SQL_PARAGRAPH_DEDUP = r"""
+WITH base AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || chr(10) || 'subscribe to our newsletter for weekly updates'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN chr(10) || chr(10) || 'all rights reserved contact the site administrator'
+                 ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL
+),
+paras AS (
+  SELECT doc_id, i - 1 AS pos, trim(ps[i]) AS para
+  FROM (SELECT doc_id, string_split_regex(text, '\n{2,}') AS ps FROM base),
+       unnest(range(1, len(ps) + 1)) AS t(i)
+  WHERE trim(ps[i]) <> ''
+),
+flagged AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1 AS kept
+  FROM paras
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN kept THEN para END, chr(10) || chr(10)
+                           ORDER BY pos), '') AS dedup_text,
+       sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN kept THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+FROM flagged GROUP BY doc_id
+"""
+
+
 def q_scrub_sql(spark, sf_dir):
     """PII scrub as portable regex chain (oracle/scrub.py patterns): PII is
     injected deterministically per doc_id, then scrubbed — verifies the chain
@@ -2885,6 +2947,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_stats_sql": q_quality_stats_sql,
     "gopher_repetition": q_gopher_repetition,
     "decontaminate": q_decontaminate,
+    "paragraph_dedup": q_paragraph_dedup,
     "scrub_sql": q_scrub_sql,
     "script_langid_sql": q_script_langid_sql,
     "script_charset_join": q_script_charset_join,
@@ -2940,6 +3003,7 @@ ORACLE_SQL: dict[str, str] = {
     "quality_stats_sql": SQL_QUALITY_STATS,
     "gopher_repetition": SQL_GOPHER_REPETITION,
     "decontaminate": SQL_DECONTAMINATE,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "scrub_sql": SQL_SCRUB,
     "script_langid_sql": SQL_SCRIPT_LANGID,
     "script_charset_join": SQL_SCRIPT_CHARSET_JOIN,
