@@ -1681,6 +1681,109 @@ FROM flagged GROUP BY doc_id
 """
 
 
+# (doc_id mod, canary line) — each exercises one C4 rule; injected on BOTH
+# engines so the oracle replays the page byte-identically.
+_C4_CANARIES: list[tuple[int, str]] = [
+    (4, "ok."),  # < 5 words
+    (5, "please enable javascript in your browser to continue viewing."),
+    (6, "this sentence seems to trail off into nothing..."),  # ellipsis
+    (9, "this website uses cookies to improve your experience"),  # policy + no punct
+    (13, "lorem ipsum dolor sit amet consectetur adipiscing elit."),  # page veto
+    (17, "json config { width: 1 } renders the page layout here."),  # page veto
+    (19, "moderators flagged the slurword in this comment thread yesterday."),  # page veto
+]
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4 line-level cleaning (operators/c4.py): per-line terminal-punct /
+    word-count / javascript / policy-phrase rules, page rebuilt from the
+    survivors, page-level lorem-ipsum / curly-brace / badword / sentence-count
+    vetoes. The testdata text is a single space-joined line, so structure is
+    injected deterministically (every 7th space becomes '.\\n' — 7-word
+    sentences plus an unpunctuated remainder — then rule-specific canary
+    lines by doc_id mod, replayed identically by the oracle). The whole
+    operator is a narrow map: no explode, no exchange — at 100 TB it fuses
+    into the scan's codegen stage."""
+    from language_identification_spark.operators.c4 import c4_line_filter
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    structured = F.regexp_replace(
+        F.col("text"), r"(([^ ]+ ){6}[^ ]+) ", "$1.\n"
+    )
+    pieces = [structured]
+    for mod, line in _C4_CANARIES:
+        pieces.append(
+            F.when(did % mod == 0, F.lit("\n" + line)).otherwise(F.lit(""))
+        )
+    mutated = docs.select("doc_id", F.concat(*pieces).alias("text"))
+    return c4_line_filter(mutated)
+
+
+SQL_C4_LINE_FILTER = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(text, '(([^ ]+ ){6}[^ ]+) ', '\1.' || chr(10), 'g')
+         || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'ok.' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+            'please enable javascript in your browser to continue viewing.'
+            ELSE '' END
+         || CASE WHEN doc_id % 6 = 0 THEN chr(10) ||
+            'this sentence seems to trail off into nothing...' ELSE '' END
+         || CASE WHEN doc_id % 9 = 0 THEN chr(10) ||
+            'this website uses cookies to improve your experience' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+            'lorem ipsum dolor sit amet consectetur adipiscing elit.' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN chr(10) ||
+            'json config { width: 1 } renders the page layout here.' ELSE '' END
+         || CASE WHEN doc_id % 19 = 0 THEN chr(10) ||
+            'moderators flagged the slurword in this comment thread yesterday.'
+            ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL
+),
+split AS (
+  SELECT doc_id, text AS raw,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines
+  FROM base
+),
+flt AS (
+  SELECT doc_id, raw, lines,
+         list_filter(lines, x ->
+           regexp_matches(x, '[.!?"]$')
+           AND NOT ends_with(x, '...')
+           AND len(list_filter(string_split_regex(x, '[\t\n\x0b\f\r ]+'),
+                               w -> w <> '')) >= 5
+           AND NOT contains(lower(x), 'javascript')
+           AND NOT contains(lower(x), 'terms of use')
+           AND NOT contains(lower(x), 'privacy policy')
+           AND NOT contains(lower(x), 'cookie policy')
+           AND NOT contains(lower(x), 'uses cookies')
+           AND NOT contains(lower(x), 'use of cookies')
+           AND NOT contains(lower(x), 'use cookies')) AS kept
+  FROM split
+),
+recon AS (
+  -- array_to_string([]) is NULL in DuckDB (Spark's array_join gives '');
+  -- coalesce pins the all-lines-dropped page to the '' contract
+  SELECT doc_id, raw, lines, kept,
+         coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+  FROM flt
+)
+SELECT doc_id,
+       clean_text,
+       len(kept)::BIGINT AS n_kept,
+       (len(lines) - len(kept))::BIGINT AS n_dropped,
+       len(regexp_extract_all(clean_text, '[.!?]'))::BIGINT AS n_sentences,
+       (len(regexp_extract_all(clean_text, '[.!?]')) >= 3
+        AND NOT contains(lower(raw), 'lorem ipsum')
+        AND NOT contains(raw, '{')
+        AND NOT regexp_matches(lower(raw),
+              '\b(?:toxicterm|slurword|badword)\b')) AS keep
+FROM recon
+"""
+
+
 def q_scrub_sql(spark, sf_dir):
     """PII scrub as portable regex chain (oracle/scrub.py patterns): PII is
     injected deterministically per doc_id, then scrubbed — verifies the chain
@@ -2948,6 +3051,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_repetition": q_gopher_repetition,
     "decontaminate": q_decontaminate,
     "paragraph_dedup": q_paragraph_dedup,
+    "c4_line_filter": q_c4_line_filter,
     "scrub_sql": q_scrub_sql,
     "script_langid_sql": q_script_langid_sql,
     "script_charset_join": q_script_charset_join,
@@ -3004,6 +3108,7 @@ ORACLE_SQL: dict[str, str] = {
     "gopher_repetition": SQL_GOPHER_REPETITION,
     "decontaminate": SQL_DECONTAMINATE,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "c4_line_filter": SQL_C4_LINE_FILTER,
     "scrub_sql": SQL_SCRUB,
     "script_langid_sql": SQL_SCRIPT_LANGID,
     "script_charset_join": SQL_SCRIPT_CHARSET_JOIN,

@@ -1,0 +1,108 @@
+"""C4 line-level cleaning (operators/c4.py): each rule pinned on a
+hand-built corpus, plus Spark-vs-DuckDB parity of the gate query."""
+
+from __future__ import annotations
+
+import duckdb
+
+from language_identification_spark.operators.c4 import c4_line_filter
+from language_identification_spark.queries import (
+    SQL_C4_LINE_FILTER,
+    q_c4_line_filter,
+)
+
+GOOD = "this line has more than enough words to survive."
+
+DOCS = [
+    # doc 0: three good sentences -> page kept
+    (0, f"{GOOD}\nanother perfectly ordinary sentence with many words here.\n"
+        f"a third ordinary sentence keeps the page alive!"),
+    # doc 1: line rules — no terminal punct / short / ellipsis / javascript /
+    # policy phrase all dropped; the one good line survives but 1 < 3
+    # sentences -> page dropped
+    (1, "unpunctuated line with plenty of words inside\n"
+        "too short.\n"
+        "this one trails off into the distance somehow...\n"
+        "please enable javascript to view this fancy page.\n"
+        "we explain our privacy policy in excruciating detail here.\n"
+        f"{GOOD}"),
+    # doc 2: page vetoes — lorem ipsum anywhere kills the page even with
+    # three good sentences
+    (2, f"{GOOD}\n{GOOD}\n{GOOD}\nlorem ipsum dolor sit amet."),
+    # doc 3: curly bracket veto (in a DROPPED line — raw-text rule)
+    (3, f"{GOOD}\n{GOOD}\n{GOOD}\nvar x = {{}}"),
+    # doc 4: badword veto, word-bounded (raw-text rule)
+    (4, f"{GOOD}\n{GOOD}\nsomeone wrote slurword in the comments today."),
+    # doc 5: 'badwordish' does NOT match the word-bounded pattern
+    (5, f"{GOOD}\n{GOOD}\nbadwordish terms are fine and stay untouched!"),
+    # doc 6: every line fails -> empty reconstruction, keep=false
+    (6, "nothing here ends with punctuation\nok."),
+    (7, None),
+    # doc 8: exactly 5 words passes the word rule; quote-terminated line ok
+    (8, 'five words are just enough."\nfive words are just enough."\n'
+        'five words are just enough."'),
+]
+
+
+def test_rule_semantics(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r.asDict() for r in c4_line_filter(docs).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4, 5, 6, 8}  # null text excluded
+
+    assert got[0]["n_kept"] == 3 and got[0]["keep"] is True
+    assert got[0]["n_sentences"] == 3
+
+    # doc 1: only GOOD survives; page fails the 3-sentence rule
+    assert got[1]["clean_text"] == GOOD
+    assert (got[1]["n_kept"], got[1]["n_dropped"]) == (1, 5)
+    assert got[1]["keep"] is False
+
+    # page vetoes fire on raw text even when kept lines look fine
+    assert got[2]["n_sentences"] >= 3 and got[2]["keep"] is False
+    assert got[3]["keep"] is False
+    assert got[4]["keep"] is False
+    # word boundary: 'badwordish' is not a badword; 3 sentences kept
+    assert got[5]["keep"] is True
+
+    assert got[6] == {
+        "doc_id": 6, "clean_text": "", "n_kept": 0, "n_dropped": 2,
+        "n_sentences": 0, "keep": False,
+    }
+    # quote-terminated lines count as sentence ends via their '.'
+    assert got[8]["n_kept"] == 3 and got[8]["keep"] is True
+
+
+def test_gate_parity(spark):
+    import os
+    import tempfile
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", DOCS)
+    odf = (
+        con.execute(SQL_C4_LINE_FILTER)
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(DOCS, "doc_id bigint, text string").coalesce(
+            1
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        sdf = (
+            q_c4_line_filter(spark, d)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    assert len(sdf) == len(odf)
+    for i in range(len(sdf)):
+        s, o = sdf.iloc[i], odf.iloc[i]
+        for col in ("doc_id", "n_kept", "n_dropped", "n_sentences"):
+            assert int(s[col]) == int(o[col]), (col, s.doc_id)
+        assert s.clean_text == o.clean_text, s.doc_id
+        assert bool(s.keep) == bool(o.keep), s.doc_id
