@@ -1,0 +1,82 @@
+"""URL canonicalization + URL-level dedup — the FIRST dedup stage of a
+Common-Crawl-style pipeline.
+
+Crawls re-fetch the same page under cosmetically different URLs (scheme
+case, ``www.``, default ports, tracking parameters, fragments, trailing
+slashes); CCNet/RefinedWeb-style pipelines therefore dedupe by normalized
+URL *before* any content hashing — it removes the bulk of exact refetches
+for the price of a string map plus one shuffle, where content dedup costs
+a full-text hash of every copy.
+
+Canonicalization contract (pinned; each step is a regex both Java regex
+and RE2 execute identically — no lookaround, no backrefs in patterns):
+
+1. drop the fragment (``#...`` to end),
+2. drop tracking parameters ``utm_*`` / ``fbclid`` / ``gclid`` (value runs
+   to the next ``&``), keeping the leading delimiter, then collapse the
+   delimiter debris (``?&+`` -> ``?``, ``&&+`` -> ``&``, trailing ``[?&]``
+   dropped),
+3. lowercase the scheme://host[:port] prefix (path/query case preserved),
+4. drop a ``www.`` host prefix,
+5. drop explicit default ports ``:80`` / ``:443``,
+6. drop a single trailing ``/``.
+
+Dedup contract: one winner per canonical URL = the row with the smallest
+``id_col`` (deterministic under any partitioning); every row is returned
+with its group's size so the caller can either filter ``is_canonical``
+(keep-list) or audit duplication rates per site.
+
+Scale shape: canonicalization is a narrow map (regex chain in whole-stage
+codegen, no Python); the dedup is ONE hash exchange on ``canon_url`` —
+the same cost class as exact_dedup, but on short keys. Canonical-URL keys
+are near-unique, so the window sees tiny partitions and no skew defense
+is needed (contrast host keys — operators' host-level aggregation salts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_RE = r"([?&])(?:utm_[a-z_]+|fbclid|gclid)=[^&#]*"
+
+
+def canonical_url_expr(url: Column) -> Column:
+    """The 6-step canonicalization chain as a pure Column expression."""
+    u = F.regexp_replace(url, r"#.*", "")  # 1. fragment
+    u = F.regexp_replace(u, TRACKING_PARAM_RE, "$1")  # 2. tracking params
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    pfx = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    u = F.concat(  # 3. lowercase scheme://host[:port]
+        F.lower(pfx), u.substr(F.length(pfx) + 1, F.length(u))
+    )
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://)www\.", "$1")  # 4. www
+    u = F.regexp_replace(  # 5. default ports
+        u, r"^([a-z][a-z0-9+.-]*://[^/:?#]+):(?:80|443)([/?].*)?$", "$1$2"
+    )
+    return F.regexp_replace(u, r"/$", "")  # 6. trailing slash
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, url, canon_url, is_canonical, n_copies) per non-null-url
+    row: the canonical form, whether this row is its group's winner
+    (smallest id), and the group's size."""
+    base = df.filter(F.col(url_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(url_col).alias("url"),
+        canonical_url_expr(F.col(url_col)).alias("canon_url"),
+    )
+    w = Window.partitionBy("canon_url")
+    return base.select(
+        "doc_id",
+        "url",
+        "canon_url",
+        (
+            F.row_number().over(w.orderBy("doc_id")) == 1
+        ).alias("is_canonical"),
+        F.count("*").over(w).cast("bigint").alias("n_copies"),
+    )

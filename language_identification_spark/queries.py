@@ -1784,6 +1784,86 @@ FROM recon
 """
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + URL-level dedup (operators/urlnorm.py). The
+    documents table has no url column, so one is synthesized per doc_id with
+    every mess the canonicalizer handles — scheme case, www., default port,
+    tracking params, fragments, trailing slash (all doc_id-mod driven,
+    replayed identically by the oracle). Canonical key collides for doc_ids
+    equal mod 300 -> real duplicate groups at every SF. Narrow regex map +
+    ONE short-key exchange; winner = min doc_id, deterministic."""
+    from language_identification_spark.operators.urlnorm import url_dedup
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+
+    def _mod(m, yes, no=""):
+        return F.when(did % m == 0, F.lit(yes)).otherwise(F.lit(no))
+
+    url = F.concat(
+        _mod(3, "HTTPS://", "http://"),
+        _mod(2, "www."),
+        F.concat(F.lit("Site"), (did % 25).cast("string"), F.lit(".Example.com")),
+        _mod(7, ":443"),
+        F.concat(F.lit("/p/"), (did % 100).cast("string")),
+        _mod(4, "/"),
+        _mod(5, "?utm_source=feed&utm_campaign=x"),
+        F.when(did % 11 == 0, _mod(5, "&gclid=g123", "?gclid=g123")).otherwise(
+            F.lit("")
+        ),
+        _mod(6, "#section-2"),
+    )
+    return url_dedup(docs.select("doc_id", url.alias("url")))
+
+
+SQL_URL_DEDUP = r"""
+WITH base AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+    || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+    || 'Site' || (doc_id % 25) || '.Example.com'
+    || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+    || '/p/' || (doc_id % 100)
+    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_campaign=x' ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN
+          CASE WHEN doc_id % 5 = 0 THEN '&gclid=g123' ELSE '?gclid=g123' END
+        ELSE '' END)
+    || (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END) AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, url,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          lower(regexp_extract(s3, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*'))
+            || substring(s3, length(regexp_extract(s3, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) + 1),
+          '^([a-z][a-z0-9+.-]*://)www\.', '\1'),
+        '^([a-z][a-z0-9+.-]*://[^/:?#]+):(?:80|443)([/?].*)?$', '\1\2'),
+      '/$', '') AS canon_url
+  FROM (
+    SELECT doc_id, url,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(url, '#.*', ''),
+              '([?&])(?:utm_[a-z_]+|fbclid|gclid)=[^&#]*', '\1', 'g'),
+            '\?&+', '?'),
+          '&&+', '&', 'g'),
+        '[?&]+$', '') AS s3
+    FROM base
+  )
+)
+SELECT doc_id, url, canon_url,
+       row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1
+         AS is_canonical,
+       count(*) OVER (PARTITION BY canon_url) AS n_copies
+FROM canon
+"""
+
+
 def q_scrub_sql(spark, sf_dir):
     """PII scrub as portable regex chain (oracle/scrub.py patterns): PII is
     injected deterministically per doc_id, then scrubbed — verifies the chain
@@ -3052,6 +3132,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "paragraph_dedup": q_paragraph_dedup,
     "c4_line_filter": q_c4_line_filter,
+    "url_dedup": q_url_dedup,
     "scrub_sql": q_scrub_sql,
     "script_langid_sql": q_script_langid_sql,
     "script_charset_join": q_script_charset_join,
@@ -3109,6 +3190,7 @@ ORACLE_SQL: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "c4_line_filter": SQL_C4_LINE_FILTER,
+    "url_dedup": SQL_URL_DEDUP,
     "scrub_sql": SQL_SCRUB,
     "script_langid_sql": SQL_SCRIPT_LANGID,
     "script_charset_join": SQL_SCRIPT_CHARSET_JOIN,
