@@ -1,0 +1,71 @@
+"""Host-level corpus statistics under hot-host skew — salted two-phase agg.
+
+Common-Crawl host keys are Zipfian: a handful of hosts own double-digit
+percentages of all pages, so a single ``groupBy(host)`` sends a hot host's
+entire corpus share through ONE reducer task — the straggler that decides
+the stage's wall clock at 10^12 documents. (AQE's skew handling splits
+oversized *join* partitions; a skewed *aggregation* key still lands on one
+task unless the plan itself spreads it.)
+
+This operator makes the spread explicit: phase 1 aggregates on
+``(host, salt)`` where ``salt = pmod(id, salt_buckets)`` — deterministic,
+so runs are reproducible and resumable, unlike ``rand()`` salts — cutting
+the hot key into ``salt_buckets`` parallel partials; phase 2 merges the
+(tiny: |hosts| x salt_buckets rows) partials on ``host`` alone. Every
+statistic is chosen to be decomposable:
+
+- count / sum: merge by sum,
+- mean: carried as (sum, count), divided at the end (6 dp),
+- distinct langs: per-salt ``collect_set`` (bounded by the lang
+  vocabulary, NOT by rows), merged via flatten + array_distinct.
+
+Spark's own partial aggregation ("map-side combine") already does partial
+counts per input partition — but partials collapse onto ONE reducer per
+key at the exchange; the salt keeps the parallelism THROUGH the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def host_stats_salted(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+    lang_col: str = "lang",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """(host, n_docs, total_chars, mean_chars, n_langs) via the salted
+    two-phase plan. Result is identical to a direct groupBy(host) — the
+    salt is physical, never visible in the output."""
+    partial = (
+        df.withColumn("salt", F.pmod(F.col(id_col), F.lit(salt_buckets)))
+        .groupBy(F.col(host_col).alias("host"), "salt")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col(chars_col).cast("bigint")).alias("chars"),
+            F.collect_set(lang_col).alias("langs"),
+        )
+    )
+    return (
+        partial.groupBy("host")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_docs"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("langs")))
+            ).cast("bigint").alias("n_langs"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "total_chars",
+            F.round(
+                F.col("total_chars").cast("double") / F.col("n_docs"), 6
+            ).alias("mean_chars"),
+            "n_langs",
+        )
+    )

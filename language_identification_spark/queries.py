@@ -1864,6 +1864,41 @@ FROM canon
 """
 
 
+def q_host_stats_salted(spark, sf_dir):
+    """Salted two-phase host aggregation (operators/hoststats.py). A hot
+    host is synthesized (even doc_ids all collapse onto one host — 50% of
+    the corpus, a Common-Crawl-grade Zipf head) so the salt actually has
+    skew to defeat; the oracle is the PLAIN group-by — the gate proves the
+    salted plan computes exactly what the direct plan would. Plan shape
+    (pinned in tests/test_plans.py): first exchange hashes (host, salt),
+    second hashes host over |hosts| x 16 partial rows."""
+    from language_identification_spark.operators.hoststats import (
+        host_stats_salted,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    host = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("hot.example.com")
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    return host_stats_salted(docs.withColumn("host", host))
+
+
+SQL_HOST_STATS_SALTED = r"""
+WITH base AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'hot.example.com'
+              ELSE source || '.example.com' END AS host,
+         n_chars, lang
+  FROM documents
+)
+SELECT host,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars::BIGINT)::BIGINT AS total_chars,
+       round(sum(n_chars::BIGINT)::DOUBLE / count(*), 6) AS mean_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM base GROUP BY host
+"""
+
+
 def q_scrub_sql(spark, sf_dir):
     """PII scrub as portable regex chain (oracle/scrub.py patterns): PII is
     injected deterministically per doc_id, then scrubbed — verifies the chain
@@ -3133,6 +3168,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "c4_line_filter": q_c4_line_filter,
     "url_dedup": q_url_dedup,
+    "host_stats_salted": q_host_stats_salted,
     "scrub_sql": q_scrub_sql,
     "script_langid_sql": q_script_langid_sql,
     "script_charset_join": q_script_charset_join,
@@ -3191,6 +3227,7 @@ ORACLE_SQL: dict[str, str] = {
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "c4_line_filter": SQL_C4_LINE_FILTER,
     "url_dedup": SQL_URL_DEDUP,
+    "host_stats_salted": SQL_HOST_STATS_SALTED,
     "scrub_sql": SQL_SCRUB,
     "script_langid_sql": SQL_SCRIPT_LANGID,
     "script_charset_join": SQL_SCRIPT_CHARSET_JOIN,

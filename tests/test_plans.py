@@ -96,6 +96,30 @@ def test_topk_uses_window_not_global_sort(spark):
     assert "RunningWindowFunction" in plan or "Window" in plan
 
 
+def test_host_stats_salted_two_phase_plan(spark):
+    """host_stats_salted must shuffle on (host, salt) FIRST — spreading the
+    hot host across salt_buckets reducers — and only then merge the tiny
+    partial table on host alone. A single host-keyed exchange here means
+    the hot host's 50% corpus share runs on one task at 10^12 docs."""
+    plan = plan_of(QUERIES["host_stats_salted"](spark, SF))
+    lines = plan.splitlines()
+    salted = [
+        i
+        for i, ln in enumerate(lines)
+        if "Exchange hashpartitioning(host" in ln and "salt" in ln
+    ]
+    host_only = [
+        i
+        for i, ln in enumerate(lines)
+        if "Exchange hashpartitioning(host" in ln and "salt" not in ln
+    ]
+    assert len(salted) == 1 and len(host_only) == 1
+    # explain prints top-down: the host-only merge consumes the salted phase
+    assert host_only[0] < salted[0]
+    # both phases keep map-side partial aggregation
+    assert sum("partial_" in ln for ln in lines) >= 2
+
+
 def test_salted_repartition_defeats_host_skew(spark):
     """The fixture's url hosts are skewed (~40% on one host, mirroring
     Common-Crawl host clustering). After the pipeline's crc32(url) re-spread,
