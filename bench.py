@@ -55,6 +55,10 @@ HEADLINE = [
     "ensemble_langid",
     "gopher_repetition",
     "decontaminate",
+    "paragraph_dedup",
+    "c4_line_filter",
+    "url_dedup",
+    "host_stats_salted",
 ]
 
 

@@ -25,7 +25,12 @@ Operator coverage map (reference file:line in each docstring):
   production-threshold variant, oracled in __spark_entry__/oracle/
   pipeline_sql.py) + gopher_repetition (Rae et al. Table A1 repetition
   family, operators/repetition.py); hygiene: decontaminate (benchmark
-  8-gram overlap, broadcast set semi-join, operators/decontaminate.py);
+  8-gram overlap, broadcast set semi-join, operators/decontaminate.py) +
+  paragraph_dedup (Dolma-style global paragraph dedup,
+  operators/paradedup.py) + c4_line_filter (C4 line rules + page vetoes,
+  zero-exchange narrow map, operators/c4.py) + url_dedup (canonicalize +
+  URL-level dedup, operators/urlnorm.py) + host_stats_salted (salted
+  two-phase agg for hot-host skew, operators/hoststats.py);
   scrub: scrub_sql; langid: script_langid_sql
   + script_charset_join (full scripts.json-grade charset dim, J1/J2/J4/J12);
   KN LMs: word_kn_ppl + char_kn_ppl (order-2 train+score replayed in SQL,
