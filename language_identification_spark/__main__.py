@@ -20,7 +20,8 @@ import json
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="language_identification_spark")
-    p.add_argument("--input", required=True, help="pages parquet path (url, warc_ts, html, text, lang)")
+    p.add_argument("--input", required=True, help="pages parquet path (url, warc_ts, html, text, lang) or iceberg table identifier (catalog.db.table)")
+    p.add_argument("--snapshot-id", type=int, default=None, help="pin an iceberg --input to this snapshot (requires the iceberg runtime)")
     p.add_argument("--output", required=True, help="output dir (results buckets + manifest + metrics)")
     p.add_argument("--corpus", default=None, help="labeled corpus parquet (lang, text); default: built-in fixture corpus")
     p.add_argument("--buckets", type=int, default=16)
@@ -56,7 +57,22 @@ def main(argv: list[str] | None = None) -> None:
     kn = None if args.no_kn else train_kn_spark(corpus)
 
     config = QualityConfig() if args.max_ppl is None else QualityConfig(max_ppl=args.max_ppl)
-    pages = spark.read.parquet(args.input)
+    import os
+
+    if args.snapshot_id is not None or (
+        not os.path.exists(args.input) and "://" not in args.input
+    ):
+        # table identifier, not a path: the production Iceberg source
+        # (snapshot-pinned so a multi-hour run is not torn by commits)
+        from language_identification_spark.sources.iceberg import (
+            read_pages_iceberg,
+        )
+
+        pages = read_pages_iceberg(
+            spark, args.input, snapshot_id=args.snapshot_id
+        )
+    else:
+        pages = spark.read.parquet(args.input)
     manifest = run_resumable(
         spark,
         pages,
