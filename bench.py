@@ -59,6 +59,7 @@ HEADLINE = [
     "c4_line_filter",
     "url_dedup",
     "host_stats_salted",
+    "ccnet_lang_buckets",
 ]
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -93,4 +93,45 @@ def with_keep_decision(
     )
     return df.withColumn("drop_reasons", reasons).withColumn(
         "keep", F.size("drop_reasons") == 0
+    )
+
+
+def ccnet_lang_buckets(
+    df: DataFrame,
+    score_col: str,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style per-language percentile bucketing (Wenzek et al. 2020):
+    within each language, rank documents by a quality score ASCENDING
+    (lower = better, e.g. LM perplexity) and cut the ranking into thirds —
+    ``head`` (best), ``middle``, ``tail`` (worst). Absolute thresholds are
+    meaningless across languages (a fluent Burmese page scores "worse" than
+    spam English under an English-heavy LM); per-language percentiles are
+    the published fix, and downstream training samples by bucket.
+
+    Cuts are EXACT integer arithmetic (rank*3 vs n, ties broken by id), so
+    any two engines agree row-for-row — no float percentile semantics.
+
+    Scale shape: one exchange on the language key + a per-language sort.
+    Language is a low-cardinality skewed key (English is half the web), so
+    at 10^12 docs swap the full sort for approx ranks: compute per-language
+    score histograms (salted two-phase agg, operators/hoststats.py shape),
+    derive the two cut scores from the histogram, then bucket by comparison
+    — a narrow map. Kept exact here so the oracle replays it; the histogram
+    variant changes only WHERE the cuts come from."""
+    w = Window.partitionBy(lang_col)
+    rn = F.row_number().over(w.orderBy(F.col(score_col).asc(), F.col(id_col).asc()))
+    n = F.count("*").over(w)
+    bucket = (
+        F.when(rn * 3 <= n, "head")
+        .when(rn * 3 <= 2 * n, "middle")
+        .otherwise("tail")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.col(score_col).alias("score"),
+        rn.cast("bigint").alias("lang_rank"),
+        bucket.alias("bucket"),
     )

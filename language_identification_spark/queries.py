@@ -1904,6 +1904,53 @@ FROM base GROUP BY host
 """
 
 
+def q_ccnet_lang_buckets(spark, sf_dir):
+    """CCNet per-language percentile bucketing (operators/quality.py:
+    ccnet_lang_buckets): rank docs within each language by a quality score
+    and cut into exact head/middle/tail thirds (integer arithmetic — no
+    float percentile semantics). Score here = mean token length (6 dp), the
+    deterministic stand-in for the KN perplexity a production run plugs in
+    (same column contract). One language-key exchange; the 10^12-doc
+    variant derives the two cuts from salted score histograms instead of a
+    full per-lang sort (docstring in the operator)."""
+    from language_identification_spark.operators.quality import (
+        ccnet_lang_buckets,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = F.size(
+        F.filter(
+            F.split(F.col("text"), r"[\t\n\x0b\f\r ]+"), lambda x: x != ""
+        )
+    )
+    score = F.round(F.col("n_chars").cast("double") / toks, 6)
+    return ccnet_lang_buckets(
+        docs.select("doc_id", "lang", score.alias("score")), "score"
+    )
+
+
+SQL_CCNET_LANG_BUCKETS = r"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         round(n_chars::DOUBLE /
+               len(list_filter(string_split_regex(text, '[\t\n\x0b\f\r ]+'),
+                               w -> w <> '')), 6) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+)
+SELECT doc_id, lang, score, rn::BIGINT AS lang_rank,
+       CASE WHEN rn * 3 <= n THEN 'head'
+            WHEN rn * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+
 def q_scrub_sql(spark, sf_dir):
     """PII scrub as portable regex chain (oracle/scrub.py patterns): PII is
     injected deterministically per doc_id, then scrubbed — verifies the chain
@@ -3174,6 +3221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_line_filter": q_c4_line_filter,
     "url_dedup": q_url_dedup,
     "host_stats_salted": q_host_stats_salted,
+    "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "scrub_sql": q_scrub_sql,
     "script_langid_sql": q_script_langid_sql,
     "script_charset_join": q_script_charset_join,
@@ -3233,6 +3281,7 @@ ORACLE_SQL: dict[str, str] = {
     "c4_line_filter": SQL_C4_LINE_FILTER,
     "url_dedup": SQL_URL_DEDUP,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
+    "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "scrub_sql": SQL_SCRUB,
     "script_langid_sql": SQL_SCRIPT_LANGID,
     "script_charset_join": SQL_SCRIPT_CHARSET_JOIN,

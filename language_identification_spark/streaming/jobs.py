@@ -89,6 +89,21 @@ def streaming_pages_filter(
     return quality_filter_plan(pages, model, config=config, kn_models=kn_models)
 
 
+def streaming_docs_c4(spark: SparkSession, source_dir: str) -> DataFrame:
+    """C4 line-level cleaning on a stream of document files — the operator
+    is a ZERO-exchange narrow map (operators/c4.py), so it is stream-safe
+    verbatim: no state, no watermark, per-batch plan identical to batch
+    (parity pinned in tests/test_streaming_sources.py)."""
+    from language_identification_spark.operators.c4 import c4_line_filter
+
+    docs = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .load(source_dir)
+    )
+    return c4_line_filter(docs)
+
+
 def streaming_dedup_events(
     spark: SparkSession, source_dir: str, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -106,3 +106,25 @@ def test_gate_parity(spark):
             assert int(s[col]) == int(o[col]), (col, s.doc_id)
         assert s.clean_text == o.clean_text, s.doc_id
         assert bool(s.keep) == bool(o.keep), s.doc_id
+
+
+def test_ccnet_lang_buckets_exact_thirds(spark):
+    """7 docs in one lang -> head {rn 1,2}, middle {3,4}, tail {5,6,7};
+    ties broken by doc_id so the cut is deterministic."""
+    from language_identification_spark.operators.quality import (
+        ccnet_lang_buckets,
+    )
+
+    rows = [(i, "en", float(s)) for i, s in enumerate([5, 5, 5, 2, 9, 9, 7])]
+    rows += [(100, "my", 4.0), (101, "my", 3.0)]  # n=2: head, tail (no middle)
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, score double")
+    got = {r.doc_id: (r.lang_rank, r.bucket) for r in
+           ccnet_lang_buckets(df, "score").collect()}
+    # en ranking by (score, doc_id): 3(2.0) 0 1 2(5.0s by id) 6(7.0) 4 5(9.0s)
+    assert got[3] == (1, "head") and got[0] == (2, "head")
+    assert got[1] == (3, "middle") and got[2] == (4, "middle")
+    assert got[6] == (5, "tail") and got[4] == (6, "tail") and got[5] == (7, "tail")
+    # my (n=2): rn=1 -> 3 > 2 so not head, 3 <= 4 so middle; rn=2 -> tail.
+    # Tiny groups legitimately have no head — the integer cut never
+    # over-promotes when n < 3.
+    assert got[101] == (1, "middle") and got[100] == (2, "tail")

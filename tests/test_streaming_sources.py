@@ -126,6 +126,32 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     assert got.select("event_id").distinct().count() == n_unique
 
 
+def test_streaming_c4_matches_batch(spark, tmp_path):
+    """c4_line_filter via readStream == the same operator in batch (it is a
+    zero-exchange narrow map, so it must be stream-safe verbatim)."""
+    from language_identification_spark.operators.c4 import c4_line_filter
+    from language_identification_spark.streaming import streaming_docs_c4
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "text",
+        F.concat(
+            F.regexp_replace(F.col("text"), r"(([^ ]+ ){6}[^ ]+) ", "$1.\n"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\nenable javascript now please thanks.")).otherwise(F.lit("")),
+        ),
+    )
+    docs.write.parquet(src)
+
+    got = run_stream_once(
+        streaming_docs_c4(spark, src), str(tmp_path / "ckpt4"), "docs_c4"
+    )
+    batch = c4_line_filter(spark.read.parquet(src))
+    g = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["keep"]) for r in got.collect()}
+    b = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["keep"]) for r in batch.collect()}
+    assert g == b and len(g) > 0
+    assert any(v[1] > 0 for v in g.values())
+
+
 # ---------------------------------------------------------------------------
 # sources / sinks
 # ---------------------------------------------------------------------------
