@@ -60,6 +60,7 @@ HEADLINE = [
     "url_dedup",
     "host_stats_salted",
     "ccnet_lang_buckets",
+    "span_dedup",
 ]
 
 

@@ -1951,6 +1951,72 @@ FROM ranked
 """
 
 
+_SPAN_BOILER = (
+    "this exact legal disclaimer sentence repeats across very many web"
+    " pages verbatim"
+)
+
+
+def q_span_dedup(spark, sf_dir):
+    """Duplicated-substring removal (operators/spandedup.py, k=8): every
+    token position covered by a corpus-duplicated 8-gram window is removed
+    and documents re-join from the survivors. A 12-word boilerplate
+    sentence is appended to docs %6==0 (replayed by the oracle) so
+    cross-doc duplicated windows exist at every SF; the small-vocab
+    testdata also duplicates 8-grams by chance — both engines see the
+    identical gram universe. One gram-keyed exchange (map-side combined) +
+    a co-partitioned join + one doc-keyed rebuild."""
+    from language_identification_spark.operators.spandedup import (
+        exact_substring_dedup,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    mutated = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(" " + _SPAN_BOILER))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return exact_substring_dedup(mutated, k=8)
+
+
+SQL_SPAN_DEDUP = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(
+             text || CASE WHEN doc_id % 6 = 0
+                          THEN ' this exact legal disclaimer sentence repeats across very many web pages verbatim'
+                          ELSE '' END,
+             '[\t\n\x0b\f\r ]+'),
+           w -> w <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+8], ' ') AS gram
+  FROM base, unnest(range(0, greatest(len(toks) - 7, 0))) AS t(i)
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT g.doc_id, u.p
+  FROM grams g JOIN dup USING (gram), unnest(range(g.pos, g.pos + 8)) AS u(p)
+),
+cps AS (SELECT doc_id, list(p) AS cps FROM cov GROUP BY doc_id)
+SELECT b.doc_id,
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(range(0, len(b.toks)),
+                       i -> cp.cps IS NULL OR NOT list_contains(cp.cps, i)),
+           i -> b.toks[i + 1]),
+         ' '), '') AS dedup_text,
+       len(b.toks)::BIGINT AS n_tokens,
+       coalesce(len(cp.cps), 0)::BIGINT AS n_removed
+FROM base b LEFT JOIN cps cp USING (doc_id)
+"""
+
+
 def q_scrub_sql(spark, sf_dir):
     """PII scrub as portable regex chain (oracle/scrub.py patterns): PII is
     injected deterministically per doc_id, then scrubbed — verifies the chain
@@ -3222,6 +3288,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_dedup": q_url_dedup,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
+    "span_dedup": q_span_dedup,
     "scrub_sql": q_scrub_sql,
     "script_langid_sql": q_script_langid_sql,
     "script_charset_join": q_script_charset_join,
@@ -3282,6 +3349,7 @@ ORACLE_SQL: dict[str, str] = {
     "url_dedup": SQL_URL_DEDUP,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
+    "span_dedup": SQL_SPAN_DEDUP,
     "scrub_sql": SQL_SCRUB,
     "script_langid_sql": SQL_SCRIPT_LANGID,
     "script_charset_join": SQL_SCRIPT_CHARSET_JOIN,

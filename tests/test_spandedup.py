@@ -1,0 +1,88 @@
+"""Duplicated-substring removal (operators/spandedup.py): span semantics
+at k=3 on a hand corpus, plus DuckDB gate parity including the
+fully-covered -> '' edge the sf testdata may not contain."""
+
+from __future__ import annotations
+
+import duckdb
+
+from language_identification_spark.operators.spandedup import (
+    exact_substring_dedup,
+)
+from language_identification_spark.queries import SQL_SPAN_DEDUP, q_span_dedup
+
+DOCS_K3 = [
+    (0, "a b c d e"),
+    (1, "x a b c y"),  # shares 'a b c' with doc 0
+    (2, "p q r p q r p q"),  # every 3-gram repeats WITHIN the doc
+    (3, "u v"),  # fewer than k tokens: no grams, untouched
+    (4, None),
+]
+
+
+def test_span_semantics_k3(spark):
+    docs = spark.createDataFrame(DOCS_K3, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.dedup_text, r.n_tokens, r.n_removed)
+        for r in exact_substring_dedup(docs, k=3).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    # 'a b c' occurs twice corpus-wide: positions 0-2 covered in doc 0,
+    # 1-3 in doc 1; remove-all contract drops BOTH copies
+    assert got[0] == ("d e", 5, 3)
+    assert got[1] == ("x y", 5, 3)
+    # within-doc repetition counts toward the >=2 threshold
+    assert got[2] == ("", 8, 8)
+    assert got[3] == ("u v", 2, 0)
+
+
+def test_gate_parity_with_full_coverage(spark):
+    import os
+    import tempfile
+
+    ten = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = [
+        (1, ten),  # identical 10-token docs: fully covered at k=8
+        (2, ten),
+        (3, "only one copy of this particular sentence exists here today"),
+        # %6==0 pair: the injected boiler itself duplicates across them,
+        # so its spans are removed from both (engines must agree on the
+        # injection + the removal)
+        (6, "short text"),
+        (12, ten + " trailing unique suffix tokens here"),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    odf = (
+        con.execute(SQL_SPAN_DEDUP).df().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(docs, "doc_id bigint, text string").coalesce(
+            1
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        sdf = (
+            q_span_dedup(spark, d)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    assert len(sdf) == len(odf) == len(docs)
+    for i in range(len(sdf)):
+        s, o = sdf.iloc[i], odf.iloc[i]
+        assert int(s.doc_id) == int(o.doc_id)
+        assert s.dedup_text == o.dedup_text, (s.doc_id, s.dedup_text, o.dedup_text)
+        assert int(s.n_tokens) == int(o.n_tokens)
+        assert int(s.n_removed) == int(o.n_removed)
+    by = {int(r.doc_id): r for _, r in sdf.iterrows()}
+    # docs 1/2 fully covered -> empty reconstruction on BOTH engines
+    assert by[1].dedup_text == "" and int(by[1].n_removed) == 10
+    assert by[2].dedup_text == ""
+    # doc 12: ten-token prefix (shared with 1/2) AND the injected boiler
+    # (shared with doc 6) both removed; only the unique middle survives
+    assert by[12].dedup_text == "trailing unique suffix tokens here"
+    assert int(by[12].n_removed) == 10 + 12
+    # truly unique doc untouched
+    assert int(by[3].n_removed) == 0
