@@ -65,10 +65,19 @@ C4_MIN_SENTENCES = 3
 
 def c4_line_keep(line: Column, min_words_per_line: int = C4_MIN_WORDS_PER_LINE) -> Column:
     """The per-line C4 predicate as a pure Column expression (usable inside
-    ``F.filter`` lambdas — no UDF, no explode)."""
+    ``F.filter`` lambdas — no UDF, no explode).
+
+    The terminal-mark test is an explicit last-character comparison, NOT a
+    regex ``$`` anchor: Java's ``$`` matches before a trailing line
+    terminator (\\r, \\u2028, ...) where RE2's matches only at end of
+    text — a line like ``"abc.\\r"`` would diverge between the engines
+    under an anchored pattern."""
     low = F.lower(line)
     words = F.filter(F.split(line, WS_RE), lambda w: w != "")
-    keep = line.rlike(r'[.!?"]$') & ~line.endswith("...")
+    last = F.substring(line, -1, 1)
+    keep = (
+        (last == ".") | (last == "!") | (last == "?") | (last == '"')
+    ) & ~line.endswith("...")
     keep = keep & (F.size(words) >= min_words_per_line)
     keep = keep & ~low.contains("javascript")
     for phrase in C4_POLICY_PHRASES:
@@ -88,8 +97,14 @@ def c4_line_filter(
     non-null-text document: the page rebuilt from its C4-surviving lines
     plus the page-level veto verdict."""
     raw = F.col(text_col)
+    # NOTE: the lambda wrapper is load-bearing. F.transform introspects the
+    # callable's arity and passes (element, index) to two-arg callables —
+    # and F.trim's OWN second parameter is the trim-character set, so the
+    # bare `F.transform(..., F.trim)` idiom silently trims each line of its
+    # INDEX DIGITS instead of spaces (caught by the hostile-corpus sweep).
     lines = F.filter(
-        F.transform(F.split(raw, r"\n"), F.trim), lambda x: x != ""
+        F.transform(F.split(raw, r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
     )
     kept = F.filter(lines, lambda x: c4_line_keep(x, min_words_per_line))
 

@@ -86,9 +86,15 @@ def repetition_stats(
     did = F.col(id_col)
 
     toks = F.filter(F.split(F.lower(c), WS_RE), lambda x: x != "")
-    lines = F.filter(F.transform(F.split(c, r"\n"), F.trim), lambda x: x != "")
+    # explicit one-arg lambdas: bare `F.trim` as the transform callable
+    # receives (element, index) and reads the index as its trim-char-set
+    # argument — trimming index digits, not spaces (see operators/c4.py)
+    lines = F.filter(
+        F.transform(F.split(c, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
     paras = F.filter(
-        F.transform(F.split(c, r"\n{2,}"), F.trim), lambda x: x != ""
+        F.transform(F.split(c, r"\n{2,}"), lambda x: F.trim(x)),
+        lambda x: x != "",
     )
 
     base = docs.filter(c.isNotNull()).select(

@@ -1755,7 +1755,7 @@ split AS (
 flt AS (
   SELECT doc_id, raw, lines,
          list_filter(lines, x ->
-           regexp_matches(x, '[.!?"]$')
+           list_contains(['.', '!', '?', '"'], right(x, 1))
            AND NOT ends_with(x, '...')
            AND len(list_filter(string_split_regex(x, '[\t\n\x0b\f\r ]+'),
                                w -> w <> '')) >= 5

@@ -425,3 +425,72 @@ def test_langid_model_oracles_match_on_hostile_random_corpus(spark):
             assert len(s_rows) == len(o_rows) > 0
             for s, o in zip(s_rows, o_rows):
                 assert s == o
+
+
+def test_webtext_hygiene_oracles_match_on_hostile_random_corpus(spark):
+    """paragraph_dedup + c4_line_filter + url_dedup + host_stats_salted +
+    ccnet_lang_buckets + span_dedup SQL oracles over a seeded random corpus
+    salted with the divergence classes that bite these operators: \\r-
+    terminated lines (the Java-$-anchor trap), VT/FF whitespace (Java-vs-
+    RE2 \\s), blank-line paragraph breaks, CJK/astral chars, braces /
+    javascript / lorem-ipsum / policy canaries, and verbatim cross-doc
+    repeats so every dedup path actually fires."""
+    import os
+    import tempfile
+
+    from language_identification_spark.queries import (
+        SQL_C4_LINE_FILTER,
+        SQL_CCNET_LANG_BUCKETS,
+        SQL_HOST_STATS_SALTED,
+        SQL_PARAGRAPH_DEDUP,
+        SQL_SPAN_DEDUP,
+        SQL_URL_DEDUP,
+        q_c4_line_filter,
+        q_ccnet_lang_buckets,
+        q_host_stats_salted,
+        q_paragraph_dedup,
+        q_span_dedup,
+        q_url_dedup,
+    )
+
+    texts = _random_latin_corpus(120, seed=37)
+    salts = [
+        "shared boilerplate sentence nine words long ends here now.",
+        "line ends in dot then carriage return.\r",
+        "\n\npara break 猫狗 \U00020000\U00010440 follows\n\n",
+        "\x0bvertical\ftab mix enable javascript { lorem ipsum } now",
+        'privacy policy slurword "quoted."',
+    ]
+    rows = []
+    for i, t in enumerate(texts):
+        t = f"{t} {salts[i % len(salts)]} {t if i % 4 else texts[0]}"
+        rows.append((i, t, "aa" if i % 2 else "bb", f"src{i % 5}", len(t)))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?, ?)", rows)
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint",
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        pairs = [
+            ("paragraph_dedup", SQL_PARAGRAPH_DEDUP, q_paragraph_dedup),
+            ("c4_line_filter", SQL_C4_LINE_FILTER, q_c4_line_filter),
+            ("url_dedup", SQL_URL_DEDUP, q_url_dedup),
+            ("host_stats_salted", SQL_HOST_STATS_SALTED, q_host_stats_salted),
+            ("ccnet_lang_buckets", SQL_CCNET_LANG_BUCKETS, q_ccnet_lang_buckets),
+            ("span_dedup", SQL_SPAN_DEDUP, q_span_dedup),
+        ]
+        for name, sql, q in pairs:
+            oracle_pdf = con.execute(sql).df()
+            spark_pdf = q(spark, d).toPandas()
+            s_rows, o_rows = _canon_frame(spark_pdf), _canon_frame(oracle_pdf)
+            assert len(s_rows) == len(o_rows) > 0, name
+            for s, o in zip(s_rows, o_rows):
+                assert s == o, (name, s, o)
