@@ -61,6 +61,7 @@ HEADLINE = [
     "host_stats_salted",
     "ccnet_lang_buckets",
     "span_dedup",
+    "lang_mix_sample",
 ]
 
 

@@ -1,0 +1,62 @@
+"""Deterministic data-mixing sampler — per-language keep rates by hash.
+
+Training mixes are specified as per-language (or per-source) sampling
+weights ("keep 25% of English, all of Burmese"); applying them with
+``rand()`` makes every retry, resume, and re-run produce a different
+corpus. The standard fix is a content-independent hash threshold: doc is
+kept iff ``h(doc) < weight * D`` for a fixed denominator D — reproducible
+across runs, machines, engines, AND monotone in the weight (raising a
+language's weight only ADDS documents, never swaps them — so mix
+ablations share their common subset, the property curriculum studies
+rely on).
+
+Hash primitive: first 8 hex digits of md5 of the id rendered as a decimal
+string, mod D — the same cross-engine-proven construction as the
+deterministic train/val/test split gate (queries.py:q_deterministic_split).
+
+Scale shape: pure narrow map (one md5 + compare per row, whole-stage
+codegen, no Python, no shuffle). The downstream ``filter(mix_keep)`` is a
+pushable predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MIX_DENOM = 1_000_000
+
+
+def mix_hash(id_col: Column, denom: int = MIX_DENOM) -> Column:
+    """Deterministic uniform bucket in [0, denom) from the id."""
+    return (
+        F.conv(
+            F.substring(F.md5(id_col.cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % denom
+    )
+
+
+def lang_mix_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    denom: int = MIX_DENOM,
+) -> DataFrame:
+    """Add ``mix_bucket`` (the hash) and ``mix_keep`` (bucket < weight*D).
+    Thresholds are precomputed driver-side as exact integers — no float
+    comparison happens per row, so both engines agree at the boundary."""
+    thresholds = {
+        lang: int(round(w * denom)) for lang, w in sorted(weights.items())
+    }
+    thr: Column = F.lit(int(round(default_weight * denom)))
+    for lang, t in thresholds.items():
+        thr = F.when(F.col(lang_col) == lang, F.lit(t)).otherwise(thr)
+    bucket = mix_hash(F.col(id_col), denom)
+    return df.withColumn("mix_bucket", bucket).withColumn(
+        "mix_keep", F.col("mix_bucket") < thr
+    )

@@ -2570,6 +2570,35 @@ def q_deterministic_split(spark, sf_dir):
     ).agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
 
 
+def q_lang_mix_sample(spark, sf_dir):
+    """Deterministic data-mixing sampler (operators/mixer.py): per-language
+    hash-threshold keep rates (en down-sampled to 25%, zh 60%, rest kept),
+    reproducible and monotone in the weight. Doc-level output so the gate
+    verifies every boundary decision, plus per-lang achieved counts come
+    free from the downstream rollups. Narrow map — one md5 per row, no
+    shuffle, predicate pushable."""
+    from language_identification_spark.operators.mixer import lang_mix_sample
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    out = lang_mix_sample(docs, {"en": 0.25, "zh": 0.6})
+    return out.select("doc_id", "lang", "mix_bucket", "mix_keep")
+
+
+SQL_LANG_MIX_SAMPLE = """
+WITH hashed AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UINT32)
+           % 1000000 AS mix_bucket
+  FROM documents
+)
+SELECT doc_id, lang, mix_bucket::BIGINT AS mix_bucket,
+       mix_bucket < CASE lang WHEN 'en' THEN 250000
+                              WHEN 'zh' THEN 600000
+                              ELSE 1000000 END AS mix_keep
+FROM hashed
+"""
+
+
 SQL_DETERMINISTIC_SPLIT = """
 WITH assigned AS (
   SELECT CASE
@@ -3299,6 +3328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "charset_setops": q_charset_setops,
     "shipping_priority": q_shipping_priority,
     "deterministic_split": q_deterministic_split,
+    "lang_mix_sample": q_lang_mix_sample,
     "deseret_translit": q_deseret_translit,
     "term_cleanup": q_term_cleanup,
     "rollup_counts": q_rollup_counts,
@@ -3360,6 +3390,7 @@ ORACLE_SQL: dict[str, str] = {
     "charset_setops": SQL_CHARSET_SETOPS,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,
+    "lang_mix_sample": SQL_LANG_MIX_SAMPLE,
     "deseret_translit": SQL_DESERET_TRANSLIT,
     "term_cleanup": SQL_TERM_CLEANUP,
     "rollup_counts": SQL_ROLLUP_COUNTS,

@@ -86,3 +86,24 @@ def test_gate_parity_with_full_coverage(spark):
     assert int(by[12].n_removed) == 10 + 12
     # truly unique doc untouched
     assert int(by[3].n_removed) == 0
+
+
+def test_lang_mix_sample_monotone_and_calibrated(spark):
+    """Raising a weight only ADDS documents (monotone in weight — mix
+    ablations share their common subset), and achieved rates track the
+    weights on the sf0.01 corpus."""
+    from language_identification_spark.operators.mixer import lang_mix_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    low = lang_mix_sample(docs, {"en": 0.25})
+    high = lang_mix_sample(docs, {"en": 0.75})
+    kept_low = {r.doc_id for r in low.filter("mix_keep").collect()}
+    kept_high = {r.doc_id for r in high.filter("mix_keep").collect()}
+    assert kept_low < kept_high  # strict superset: monotone, and 25% < 75%
+
+    en = low.filter("lang = 'en'")
+    rate = en.filter("mix_keep").count() / en.count()
+    assert 0.13 < rate < 0.37  # 218 docs: loose binomial band around 0.25
+    # non-weighted languages untouched
+    other = low.filter("lang <> 'en'")
+    assert other.filter("mix_keep").count() == other.count()
