@@ -120,6 +120,53 @@ def test_host_stats_salted_two_phase_plan(spark):
     assert sum("partial_" in ln for ln in lines) >= 2
 
 
+def test_c4_and_mixer_are_zero_shuffle_narrow_maps(spark):
+    """c4_line_filter and lang_mix_sample must be pure narrow maps: the
+    only (shuffle) exchange allowed is the input re-spread — any
+    algorithmic shuffle here is a plan regression that multiplies 100 TB
+    of text through the wire for a per-row operator."""
+    for name in ("c4_line_filter", "lang_mix_sample"):
+        plan = plan_of(QUERIES[name](spark, SF))
+        shuffles = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange" in ln and "BroadcastExchange" not in ln
+        ]
+        assert all("RoundRobinPartitioning" in ln for ln in shuffles), (
+            name,
+            shuffles,
+        )
+        assert "Generate" not in plan, name  # no explode either
+
+
+def test_url_dedup_windows_share_one_exchange(spark):
+    """Both url_dedup windows (winner row_number + group count) must reuse
+    a single canon_url exchange — consecutive same-key windows over one
+    Sort, not two shuffles."""
+    plan = plan_of(QUERIES["url_dedup"](spark, SF))
+    canon_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(canon_url" in ln
+    ]
+    assert len(canon_exchanges) == 1, canon_exchanges
+    assert plan.count("Window") >= 2
+
+
+def test_span_dedup_gram_count_is_map_side_combined(spark):
+    """span_dedup's corpus-scale gram count must partial-aggregate before
+    its exchange (boilerplate grams are the heavy keys), and nothing may
+    collect to the driver (no LocalTableScan of computed results)."""
+    plan = plan_of(QUERIES["span_dedup"](spark, SF))
+    assert "partial_count" in plan
+    gram_ex = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(gram" in ln
+    ]
+    assert len(gram_ex) >= 1
+
+
 def test_salted_repartition_defeats_host_skew(spark):
     """The fixture's url hosts are skewed (~40% on one host, mirroring
     Common-Crawl host clustering). After the pipeline's crc32(url) re-spread,
