@@ -1045,6 +1045,78 @@ GROUP BY 1
 )
 
 
+def q_bloom_dedup(spark, sf_dir):
+    """Cross-snapshot dedup via a sharded Bloom filter
+    (operators/bloomdedup.py): history = docs with doc_id % 3 != 0 folded
+    into the bit table ONCE (one map-side-combined bit_or aggregation);
+    batch = the whole corpus checked against that table with one
+    co-partitionable equi-join — the history corpus itself is never
+    re-shuffled, which is the entire point at 10^12 ingested keys. Output:
+    one row per distinct content hash with its doc count and the filter's
+    verdict (false positives deterministic, both engines hash identically;
+    ~2/3 of keys are true members by construction so both branches fire)."""
+    from language_identification_spark.operators.bloomdedup import (
+        bloom_build,
+        bloom_check,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    keyed = docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("key")
+    )
+    history = keyed.filter(F.col("doc_id") % 3 != 0).select("key").distinct()
+    filt = bloom_build(history, "key")
+    batch = keyed.groupBy("key").agg(F.count("*").cast("bigint").alias("n_docs"))
+    return (
+        bloom_check(batch, filt, "key")
+        .join(batch, "key")
+        .select(F.col("key").alias("text_hash"), "n_docs", "maybe_dup")
+    )
+
+
+# DuckDB replay: identical md5-slice addressing (hex[0:4] -> shard,
+# hex[4+6i:10+6i] -> positions), 32-bit words in BIGINT, bit_or build,
+# left-join check. Integer ops only -> bit-exact across engines.
+SQL_BLOOM_DEDUP = """
+WITH keyed AS (
+  SELECT doc_id, md5(text) AS key FROM documents WHERE text IS NOT NULL
+),
+hist AS (SELECT DISTINCT key FROM keyed WHERE doc_id % 3 <> 0),
+hpos AS (
+  SELECT key,
+         CAST(('0x' || substr(md5(key), 1, 4)) AS BIGINT) % 8 AS shard,
+         CAST(('0x' || substr(md5(key), 5 + 6 * i, 6)) AS BIGINT) % 4096 AS pos
+  FROM hist, unnest(range(0, 3)) AS t(i)
+),
+filt AS (
+  SELECT shard, pos // 32 AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+  FROM hpos GROUP BY shard, pos // 32
+),
+batch AS (SELECT key, count(*)::BIGINT AS n_docs FROM keyed GROUP BY key),
+bpos AS (
+  SELECT key,
+         CAST(('0x' || substr(md5(key), 1, 4)) AS BIGINT) % 8 AS shard,
+         CAST(('0x' || substr(md5(key), 5 + 6 * i, 6)) AS BIGINT) % 4096 AS pos
+  FROM batch, unnest(range(0, 3)) AS t(i)
+),
+probes AS (
+  SELECT key, shard, pos // 32 AS word_idx,
+         1::BIGINT << CAST(pos % 32 AS INT) AS mask
+  FROM bpos
+),
+checked AS (
+  SELECT p.key,
+         min(CASE WHEN f.word IS NOT NULL AND (f.word & p.mask) = p.mask
+                  THEN 1 ELSE 0 END) AS all_set
+  FROM probes p LEFT JOIN filt f USING (shard, word_idx)
+  GROUP BY p.key
+)
+SELECT b.key AS text_hash, b.n_docs, (c.all_set = 1) AS maybe_dup
+FROM batch b JOIN checked c ON b.key = c.key
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -3301,6 +3373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": q_simhash_near_dup,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
+    "bloom_dedup": q_bloom_dedup,
     "lsh_band_buckets": q_lsh_band_buckets,
     "stopword_anti_join": q_stopword_anti_join,
     "events_sessionize": q_events_sessionize,
@@ -3363,6 +3436,7 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_list": SQL_DEDUP_KEEP_LIST,
+    "bloom_dedup": SQL_BLOOM_DEDUP,
     "lsh_band_buckets": SQL_LSH_BAND_BUCKETS,
     "stopword_anti_join": SQL_STOPWORD_ANTI_JOIN,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
