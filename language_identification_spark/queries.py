@@ -2671,6 +2671,80 @@ FROM hashed
 """
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir.py — Xie et al. 2023):
+    hashed unigram+bigram log-likelihood ratios against the lang='en'
+    target corpus, integer-quantized so per-doc scores are exact integer
+    sums, Gumbel top-50 with hash-derived noise. Training = one B-row
+    exchange; scoring = zero-shuffle narrow map against the 256-literal
+    ratio array; selection = TakeOrderedAndProject."""
+    from language_identification_spark.operators.dsir import (
+        dsir_select,
+        train_dsir,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    ratios = train_dsir(docs, F.col("lang") == "en")
+    return dsir_select(docs, ratios, k=50)
+
+
+SQL_DSIR_SELECT = """
+WITH base AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, lang, gram FROM (
+    SELECT doc_id, lang, unnest(ws) AS gram FROM base
+    UNION ALL
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS gram
+    FROM base
+  )
+),
+bucketed AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(gram), 1, 6)) AS BIGINT) % 256 AS b
+  FROM grams
+),
+counts AS (
+  SELECT b, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS tc,
+         count(*)::BIGINT AS rc
+  FROM bucketed GROUP BY b
+),
+totals AS (SELECT sum(tc) AS t_total, sum(rc) AS r_total FROM counts),
+ratios AS (
+  SELECT bb.b,
+         round(1000000 * (ln((coalesce(c.tc, 0) + 1.0) / (t.t_total + 256))
+                        - ln((coalesce(c.rc, 0) + 1.0) / (t.r_total + 256))))::BIGINT AS q
+  FROM (SELECT unnest(range(0, 256)) AS b) bb
+  LEFT JOIN counts c ON c.b = bb.b, totals t
+),
+scores AS (
+  SELECT d.doc_id, coalesce(s.sq, 0) AS logw_q
+  FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+  LEFT JOIN (
+    SELECT doc_id, sum(r.q)::BIGINT AS sq
+    FROM bucketed bk JOIN ratios r ON r.b = bk.b GROUP BY doc_id
+  ) s ON s.doc_id = d.doc_id
+),
+keyed AS (
+  SELECT doc_id, round(logw_q / 1000000.0, 6) AS logw,
+         round(logw_q / 1000000.0
+           - ln(-ln((CAST(('0x' || substr(md5('dsir:' || doc_id), 1, 8)) AS BIGINT)
+                     + 1.0) / 4294967297.0)), 6) AS gumbel_key
+  FROM scores
+)
+SELECT doc_id, logw, gumbel_key,
+       row_number() OVER (ORDER BY gumbel_key DESC, doc_id)::INT AS rank
+FROM keyed
+ORDER BY gumbel_key DESC, doc_id
+LIMIT 50
+"""
+
+
 SQL_DETERMINISTIC_SPLIT = """
 WITH assigned AS (
   SELECT CASE
@@ -3402,6 +3476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "deterministic_split": q_deterministic_split,
     "lang_mix_sample": q_lang_mix_sample,
+    "dsir_select": q_dsir_select,
     "deseret_translit": q_deseret_translit,
     "term_cleanup": q_term_cleanup,
     "rollup_counts": q_rollup_counts,
@@ -3465,6 +3540,7 @@ ORACLE_SQL: dict[str, str] = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,
     "lang_mix_sample": SQL_LANG_MIX_SAMPLE,
+    "dsir_select": SQL_DSIR_SELECT,
     "deseret_translit": SQL_DESERET_TRANSLIT,
     "term_cleanup": SQL_TERM_CLEANUP,
     "rollup_counts": SQL_ROLLUP_COUNTS,
