@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
 from language_identification_spark.oracle.scrub import (
+    CARD_PATTERN,
     DEFAULT_BADWORDS,
     SCRUB_PATTERNS,
     badword_pattern,
@@ -42,6 +43,44 @@ def scrub_expr(
     if badwords:
         out = F.regexp_replace(out, "(?i)" + badword_pattern(badwords), "<BAD>")
     return out
+
+
+def _luhn_ok(cand: Column) -> Column:
+    """Luhn checksum as a native expression: reversed digit string, double
+    every second digit (−9 above 9), sum % 10 == 0. Integer arithmetic —
+    bit-exact against the Python reference and the DuckDB oracle."""
+    ds = F.reverse(F.regexp_replace(cand, "[ -]", ""))
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.length(ds)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == F.lit(0),
+            F.when(
+                ds.substr(i, F.lit(1)).cast("int") * 2 > 9,
+                ds.substr(i, F.lit(1)).cast("int") * 2 - 9,
+            ).otherwise(ds.substr(i, F.lit(1)).cast("int") * 2),
+        ).otherwise(ds.substr(i, F.lit(1)).cast("int")),
+    )
+    return total % 10 == F.lit(0)
+
+
+def card_candidates(col: Column) -> Column:
+    """array<string> of distinct card-shaped candidates (13-19 digits,
+    optional single space/dash separators, word-bounded)."""
+    return F.array_distinct(F.regexp_extract_all(col, F.lit(CARD_PATTERN), 0))
+
+
+def scrub_cards_expr(col: Column, repl: str = "<CC>") -> Column:
+    """Mask Luhn-VALID card candidates only (oracle/scrub.py:scrub_cards) —
+    checksum-failing digit runs (order ids, timestamps) pass through. Pure
+    narrow map: extract candidates, filter by the native Luhn expr, fold
+    literal replacements over the (few) survivors. Zero Python, zero
+    shuffle; stays in whole-stage codegen."""
+    valids = F.array_sort(F.filter(card_candidates(col), _luhn_ok))
+    return F.aggregate(
+        valids, col, lambda acc, c: F.replace(acc, c, F.lit(repl))
+    )
 
 
 def make_scrub_udf(badwords: frozenset[str] = DEFAULT_BADWORDS):

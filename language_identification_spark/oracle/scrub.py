@@ -49,6 +49,51 @@ def badword_pattern(badwords: Iterable[str]) -> str:
     return r"\b(?:" + "|".join(re.escape(w) for w in words) + r")\b"
 
 
+# Credit-card scrub: a regex alone over-matches (order ids, timestamps), so
+# the production recipe (Presidio-style) pairs a candidate pattern with the
+# Luhn checksum and masks only validated candidates. The pattern is in the
+# same three-dialect-common subset as SCRUB_PATTERNS: \b word boundaries and
+# greedy counted repetition behave identically in Python re, Java regex, and
+# RE2. 13-19 digits with optional single space/dash separators; a digit run
+# longer than 19 can never match (\b fails inside the run on both ends).
+CARD_PATTERN = r"\b\d(?:[ -]?\d){12,18}\b"
+
+_CARD_RE = re.compile(CARD_PATTERN)
+
+
+def luhn_valid(candidate: str) -> bool:
+    """Luhn checksum over the candidate's digits (separators stripped):
+    from the right, double every second digit, subtract 9 above 9, sum
+    divisible by 10."""
+    ds = re.sub(r"[ -]", "", candidate)
+    total = 0
+    for i, ch in enumerate(reversed(ds), start=1):
+        d = ord(ch) - 48
+        if i % 2 == 0:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def scrub_cards(text: str | None, repl: str = "<CC>") -> str | None:
+    """Mask every Luhn-valid card candidate; invalid candidates (wrong
+    checksum — order numbers, phone-ish runs) pass through untouched.
+    Masking is by literal replacement of the matched string, identical to
+    the distributed expr and the DuckDB oracle (a candidate string that
+    also occurs embedded in an unmatched longer run is replaced there too —
+    accepted corner, same on every engine)."""
+    if text is None:
+        return None
+    # sorted fold order, matching the expr/oracle exactly (replacement
+    # order is observable only when candidates overlap embedded runs)
+    for cand in sorted(set(_CARD_RE.findall(text))):
+        if luhn_valid(cand):
+            text = text.replace(cand, repl)
+    return text
+
+
 def scrub_text(
     text: str | None, badwords: frozenset[str] = DEFAULT_BADWORDS
 ) -> str | None:

@@ -2122,6 +2122,76 @@ FROM documents
 """
 
 
+def q_pii_cards(spark, sf_dir):
+    """Checksum-validated credit-card scrub (operators/scrub.py:
+    scrub_cards_expr — Presidio-style candidate regex + Luhn filter): card
+    numbers are injected deterministically per doc_id (valid plain, INVALID
+    checksum, amex, space-separated valid, untouched), then only the
+    Luhn-valid candidates are masked. Pure narrow map, zero Python; the
+    invalid-checksum branch staying unmasked is the semantics under test."""
+    from language_identification_spark.operators.scrub import (
+        card_candidates,
+        scrub_cards_expr,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    mut = F.concat(
+        F.col("text"),
+        F.expr(
+            """CASE CAST(doc_id % 5 AS INT)
+                 WHEN 0 THEN ' 4111111111111111'
+                 WHEN 1 THEN ' 4111111111111112'
+                 WHEN 2 THEN ' 378282246310005'
+                 WHEN 3 THEN ' 4111 1111 1111 1111'
+                 ELSE '' END"""
+        ),
+    )
+    from language_identification_spark.operators.scrub import _luhn_ok
+
+    cands = card_candidates(mut)
+    return docs.select(
+        "doc_id",
+        F.size(cands).cast("bigint").alias("n_cands"),
+        F.size(F.filter(cands, _luhn_ok)).cast("bigint").alias("n_valid"),
+        scrub_cards_expr(mut).alias("scrubbed"),
+    )
+
+
+SQL_PII_CARDS = r"""
+WITH mutated AS (
+  SELECT doc_id, text || CASE doc_id % 5
+      WHEN 0 THEN ' 4111111111111111'
+      WHEN 1 THEN ' 4111111111111112'
+      WHEN 2 THEN ' 378282246310005'
+      WHEN 3 THEN ' 4111 1111 1111 1111'
+      ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL
+),
+cands AS (
+  SELECT doc_id, text,
+         list_distinct(regexp_extract_all(text, '\b\d(?:[ -]?\d){12,18}\b')) AS cs
+  FROM mutated
+),
+valid AS (
+  SELECT doc_id, text, cs,
+         list_sort(list_filter(cs, c -> list_sum(list_transform(
+            range(1, length(regexp_replace(c, '[ -]', '', 'g')) + 1),
+            i -> CASE WHEN i % 2 = 0 THEN
+                   CASE WHEN CAST(substr(reverse(regexp_replace(c, '[ -]', '', 'g')), CAST(i AS INT), 1) AS INT) * 2 > 9
+                        THEN CAST(substr(reverse(regexp_replace(c, '[ -]', '', 'g')), CAST(i AS INT), 1) AS INT) * 2 - 9
+                        ELSE CAST(substr(reverse(regexp_replace(c, '[ -]', '', 'g')), CAST(i AS INT), 1) AS INT) * 2 END
+                 ELSE CAST(substr(reverse(regexp_replace(c, '[ -]', '', 'g')), CAST(i AS INT), 1) AS INT) END
+         )) % 10 = 0)) AS vs
+  FROM cands
+)
+SELECT doc_id, len(cs)::BIGINT AS n_cands, len(vs)::BIGINT AS n_valid,
+       list_reduce(list_prepend(text, vs), (a, b) -> replace(a, b, '<CC>')) AS scrubbed
+FROM valid
+"""
+
+
 def q_script_langid_sql(spark, sf_dir):
     """Script-based langid (L6/J4 semantics) as portable SQL: fraction of Han
     chars -> zh/latin/other classification, histogram per class."""
@@ -3466,6 +3536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
     "scrub_sql": q_scrub_sql,
+    "pii_cards": q_pii_cards,
     "script_langid_sql": q_script_langid_sql,
     "script_charset_join": q_script_charset_join,
     "doc_perplexity": q_doc_perplexity,
@@ -3530,6 +3601,7 @@ ORACLE_SQL: dict[str, str] = {
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,
     "scrub_sql": SQL_SCRUB,
+    "pii_cards": SQL_PII_CARDS,
     "script_langid_sql": SQL_SCRIPT_LANGID,
     "script_charset_join": SQL_SCRIPT_CHARSET_JOIN,
     "doc_perplexity": SQL_DOC_PERPLEXITY,
