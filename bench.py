@@ -62,6 +62,10 @@ HEADLINE = [
     "ccnet_lang_buckets",
     "span_dedup",
     "lang_mix_sample",
+    "bloom_dedup",
+    "dsir_select",
+    "pii_cards",
+    "char_entropy",
 ]
 
 

@@ -96,6 +96,35 @@ def with_keep_decision(
     )
 
 
+def char_entropy_col(text_col: str = "text"):
+    """Shannon entropy (bits/char) of the character distribution, as a pure
+    narrow-map expression: H = log2(n) - (sum_c cnt_c * log2(cnt_c)) / n
+    over the SORTED distinct chars (sorted so the sequential fold order —
+    and therefore the float rounding path — is engine-independent). NULL
+    for empty text.
+
+    Low entropy flags repetitive garbage (keyboard mashing, repeated
+    boilerplate runs, single-char padding) that length/word rules miss —
+    the RefinedWeb-class signal. Shape: zero shuffle, zero Python; per-row
+    cost is O(distinct_chars x len), and distinct chars on a web page are
+    bounded by its script's alphabet (hundreds), so this beats shuffling
+    the corpus twice through the (doc_id, chr) groupBy form — use THAT
+    form (char_freq's plan) only for book-length rows."""
+    from pyspark.sql import functions as F
+
+    cs = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+    n = F.size(cs)
+    dist = F.array_sort(F.array_distinct(cs))
+    counts = F.transform(
+        dist,
+        lambda c: F.size(F.filter(cs, lambda x: x == c)).cast("double"),
+    )
+    ssum = F.aggregate(
+        counts, F.lit(0.0), lambda acc, x: acc + x * F.log2(x)
+    )
+    return F.when(n > 0, F.log2(n.cast("double")) - ssum / n)
+
+
 def ccnet_lang_buckets(
     df: DataFrame,
     score_col: str,

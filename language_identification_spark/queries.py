@@ -1441,6 +1441,63 @@ SQL_LSH_BUCKET_CAP_AUDIT = _sql_lsh_bucket_cap_audit()
 _STOPWORDS_SQL = "('the', 'a', 'of', 'and', 'to')"
 
 
+def q_char_entropy(spark, sf_dir):
+    """Character-entropy quality signal (operators/quality.py:
+    char_entropy_col): bits/char of each document's char distribution plus
+    the low-entropy garbage flag — catches repetitive padding that word-
+    count rules miss (RefinedWeb-class signal). A deterministic third of
+    the docs are degraded to single-char padding so BOTH flag branches
+    fire at the gate. Zero shuffle, zero Python."""
+    from language_identification_spark.operators.quality import (
+        char_entropy_col,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    mut = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.substring("text", 1, 20), F.lit("a" * 80)),
+    ).otherwise(F.col("text"))
+    ent = char_entropy_col("mut")
+    return docs.withColumn("mut", mut).select(
+        "doc_id",
+        F.round(ent, 6).alias("char_entropy"),
+        F.when(ent.isNotNull(), ent < 2.0).alias("low_entropy"),
+    )
+
+
+SQL_CHAR_ENTROPY = """
+WITH mutated AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN substr(text, 1, 20) || repeat('a', 80)
+              ELSE text END AS mut
+  FROM documents WHERE text IS NOT NULL
+),
+chars AS (
+  SELECT doc_id, list_filter(string_split(mut, ''), c -> c <> '') AS cs
+  FROM mutated
+),
+d AS (
+  SELECT doc_id, cs, len(cs) AS n, list_sort(list_distinct(cs)) AS dist
+  FROM chars
+),
+ent AS (
+  SELECT doc_id, n,
+         CASE WHEN n > 0 THEN
+           log2(n) - list_sum(list_transform(dist,
+             c -> len(list_filter(cs, x -> x = c))
+                  * log2(len(list_filter(cs, x -> x = c))))) / n
+         END AS h
+  FROM d
+)
+SELECT doc_id, round(h, 6) AS char_entropy,
+       CASE WHEN h IS NOT NULL THEN h < 2.0 END AS low_entropy
+FROM ent
+"""
+
+
 def q_quality_stats_sql(spark, sf_dir):
     """Spark-native (JVM, codegen) quality stats + keep decision over
     documents — the fast-path realization of the Gopher rules for corpora
@@ -3527,6 +3584,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "lsh_bucket_cap_audit": q_lsh_bucket_cap_audit,
     "quality_stats_sql": q_quality_stats_sql,
+    "char_entropy": q_char_entropy,
     "gopher_repetition": q_gopher_repetition,
     "decontaminate": q_decontaminate,
     "paragraph_dedup": q_paragraph_dedup,
@@ -3592,6 +3650,7 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "lsh_bucket_cap_audit": SQL_LSH_BUCKET_CAP_AUDIT,
     "quality_stats_sql": SQL_QUALITY_STATS,
+    "char_entropy": SQL_CHAR_ENTROPY,
     "gopher_repetition": SQL_GOPHER_REPETITION,
     "decontaminate": SQL_DECONTAMINATE,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
