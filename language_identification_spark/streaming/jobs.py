@@ -284,6 +284,97 @@ def streaming_near_dup(
     )
 
 
+def bloom_positions(key: str) -> tuple[int, list[int]]:
+    """Python twin of operators/bloomdedup._positions — same md5-slice
+    addressing (hex[0:4] -> shard, hex[4+6i:10+6i] -> k bit positions), so
+    stream state and batch filter are interchangeable. Tested equal to the
+    batch expression (tests/test_bloom_streaming.py)."""
+    import hashlib
+
+    from language_identification_spark.operators.bloomdedup import (
+        K_HASHES,
+        M_BITS,
+        N_SHARDS,
+    )
+
+    h = hashlib.md5(key.encode()).hexdigest()
+    shard = int(h[0:4], 16) % N_SHARDS
+    return shard, [
+        int(h[4 + 6 * i : 10 + 6 * i], 16) % M_BITS for i in range(K_HASHES)
+    ]
+
+
+def streaming_bloom_dedup(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Streaming first-occurrence dedup with BOUNDED state — the Bloom
+    filter of operators/bloomdedup.py run as a stateful stream: every
+    arriving document's content hash is checked against the bits set by
+    all earlier arrivals and then inserted. Emits (doc_id, maybe_dup);
+    maybe_dup=false is a guaranteed first occurrence, maybe_dup=true is
+    "seen before" up to the classical false-positive rate.
+
+    Contrast dropDuplicatesWithinWatermark (streaming_dedup_events): that
+    operator keys state by the VALUE, so state grows with distinct keys in
+    the horizon; here state per shard is a fixed ceil(m/32)-word bit array
+    — total state is n_shards x m bits FOREVER, the only streaming dedup
+    shape that survives an unbounded 10^12-key stream. The price is the
+    FPR (and no within-watermark exactness), so maybe_dup rows route to an
+    exact confirm exactly like the batch operator's contract.
+
+    Determinism: rows process in doc_id order within each micro-batch, so
+    a bounded replay (availableNow) yields the same verdict set as the
+    batch sequential oracle regardless of partitioning."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from language_identification_spark.operators.bloomdedup import (
+        M_BITS,
+        WORD_BITS,
+    )
+
+    n_words = (M_BITS + WORD_BITS - 1) // WORD_BITS
+
+    docs = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .load(source_dir)
+    )
+    keyed = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("key")
+    )
+    sharded = keyed.withColumn(
+        "shard",
+        (
+            F.conv(F.substring(F.md5(F.col("key").cast("binary")), 1, 4), 16, 10)
+            .cast("bigint")
+            % F.lit(8)
+        ).cast("int"),
+    )
+
+    out_schema = "doc_id bigint, maybe_dup boolean"
+    state_schema = "words array<bigint>"
+
+    def update(key, pdfs, state):
+        words = list(state.get[0]) if state.exists else [0] * n_words
+        rows = []
+        # one global sort across ALL chunks of the micro-batch (per-chunk
+        # sorting would leave chunk boundaries arrival-order dependent)
+        pdf = pd.concat(list(pdfs)).sort_values("doc_id")
+        for doc_id, k in zip(pdf["doc_id"], pdf["key"]):
+            _shard, poss = bloom_positions(str(k))
+            hit = all(
+                words[p // WORD_BITS] >> (p % WORD_BITS) & 1 for p in poss
+            )
+            for p in poss:
+                words[p // WORD_BITS] |= 1 << (p % WORD_BITS)
+            rows.append((int(doc_id), bool(hit)))
+        state.update((words,))
+        yield pd.DataFrame(rows, columns=["doc_id", "maybe_dup"])
+
+    return sharded.groupBy("shard").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_once(
     df: DataFrame,
     checkpoint_dir: str,
