@@ -66,6 +66,7 @@ HEADLINE = [
     "dsir_select",
     "pii_cards",
     "char_entropy",
+    "semdedup",
 ]
 
 

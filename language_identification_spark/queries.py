@@ -1364,6 +1364,108 @@ FROM {cent} c JOIN counts n USING (cid)
 SQL_KMEANS_IVF_TRAIN = _sql_kmeans_ivf_train()
 
 
+SEMDEDUP_THRESHOLD = 0.95
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup via embedding clusters
+    — assign every vector to its nearest centroid (the ivf/kmeans
+    assignment shape: broadcast K-row centroid set + max_by partial agg,
+    corpus never shuffles onto the cell key), then compare pairs WITHIN a
+    cell only and emit (keep_id < drop_id) pairs above the cosine
+    threshold. The intra-cell self-join is the SemDeDup trade: pairwise
+    cost drops from O(N^2) to O(sum cell^2) — production sizes K ~ sqrt(N)
+    so cells stay small (and the lsh_bucket_cap pattern bounds degenerate
+    cells). Near-copies are injected deterministically (vec_id % 50 == 0,
+    first coord +0.1, id +100000) since the synthetic embeddings are
+    near-orthogonal (max cos 0.49) — both the match and no-match branches
+    fire. Threshold compares the ROUNDED cosine so the cut is
+    engine-stable."""
+    emb = _spread(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dup = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.1)),
+            F.slice("v", 2, _EMB_DIM - 1),
+        ).alias("v"),
+    )
+    allv = emb.unionByName(dup)
+    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
+    )
+    cos_c = _dot(F.col("v"), F.col("cvec")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v")))
+        * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
+    )
+    assigned = (
+        allv.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cid", cos_c.alias("cos_c"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cid"), F.col("v")),
+                F.struct(F.col("cos_c"), (-F.col("cid")).alias("nc")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.v").alias("v"),
+            F.col("best.cid").alias("cell"),
+        )
+    )
+    a = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("keep_id"),
+        F.col("v").alias("va"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("drop_id"),
+        F.col("v").alias("vb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va")))
+        * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(b, ["cell"])
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .withColumn("cos", F.round(cos, 6))
+        .filter(F.col("cos") >= SEMDEDUP_THRESHOLD)
+        .select("cell", "keep_id", "drop_id", "cos")
+    )
+
+
+SQL_SEMDEDUP = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dup AS (
+  SELECT vec_id + 100000 AS vec_id, list_prepend(v[1] + 0.1, v[2:]) AS v
+  FROM emb WHERE vec_id % 50 = 0
+),
+allv AS (SELECT * FROM emb UNION ALL SELECT * FROM dup),
+cent AS (SELECT vec_id AS cid, v AS cvec FROM emb WHERE vec_id < {KMEANS_K}),
+assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, c.cvec)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+             c.cid ASC) AS rn
+    FROM allv e CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT a.cell, a.vec_id AS keep_id, b.vec_id AS drop_id,
+       round(list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      >= {SEMDEDUP_THRESHOLD}
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup: top-20 most similar vector pairs (a<b) via
     random-hyperplane LSH candidates + exact rerank of candidates only
@@ -3581,6 +3683,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
     "kmeans_ivf_train": q_kmeans_ivf_train,
+    "semdedup": q_semdedup,
     "embedding_near_dup": q_embedding_near_dup,
     "lsh_bucket_cap_audit": q_lsh_bucket_cap_audit,
     "quality_stats_sql": q_quality_stats_sql,
@@ -3647,6 +3750,7 @@ ORACLE_SQL: dict[str, str] = {
     "cosine_topk": SQL_COSINE_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
     "kmeans_ivf_train": SQL_KMEANS_IVF_TRAIN,
+    "semdedup": SQL_SEMDEDUP,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "lsh_bucket_cap_audit": SQL_LSH_BUCKET_CAP_AUDIT,
     "quality_stats_sql": SQL_QUALITY_STATS,

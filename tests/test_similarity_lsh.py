@@ -75,3 +75,39 @@ def test_lsh_bucket_cap_excludes_hot_buckets(spark):
     assert audit and all(r["n_members"] > 30 for r in audit)
     # audited buckets are exactly where the 60 hot vectors live
     assert max(r["n_members"] for r in audit) >= 60
+
+
+def test_semdedup_finds_injected_near_copies(spark):
+    """SemDeDup gate semantics: the deterministically injected near-copies
+    (id+100000) must pair with their source at cos ~ 1 within the same
+    cell; near-orthogonal originals must never pair. One copy may straddle
+    a cluster boundary (the documented SemDeDup recall trade), so >= 8 of
+    10 injected pairs must surface."""
+    from language_identification_spark.queries import QUERIES
+
+    rows = QUERIES["semdedup"](spark, "/root/testdata/sf0.01").collect()
+    assert all(r.cos >= 0.95 for r in rows)
+    injected = {(r.keep_id, r.drop_id) for r in rows if r.drop_id >= 100000}
+    assert all(d - 100000 == k for k, d in injected)
+    assert len(injected) >= 8
+    # no false pairs among originals (max original-pair cos is ~0.49)
+    assert all(r.drop_id >= 100000 for r in rows)
+
+
+def test_semdedup_corpus_never_shuffles_onto_centroid_key(spark):
+    """Assignment must be broadcast-centroids + max_by partial agg (the
+    ivf_topk shape) — no exchange keyed on cid; the only algorithmic
+    exchanges are the vec_id assignment agg and the cell self-join."""
+    from language_identification_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["semdedup"](spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan
+    assert "partial_max_by" in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "cid" not in ln.split("Exchange")[1], ln
