@@ -59,6 +59,22 @@ def canonical_url_expr(url: Column) -> Column:
     return F.regexp_replace(u, r"/$", "")  # 6. trailing slash
 
 
+def domain_blocked(host: Column, blocklist: list[str]) -> Column:
+    """UT1-style domain blocklist test: blocked iff the host IS an entry or
+    is a subdomain of one (``ads.bad.example.com`` matches entry
+    ``bad.example.com``; ``notbad.example.com`` does not — the dot-suffix
+    rule, not a substring match). For a literal-sized list this is a
+    zero-shuffle narrow map (exists over an array literal). A production
+    UT1 list (~millions of entries) instead extracts the host's registered
+    domain and BROADCAST-semi-joins it against the list — same verdicts,
+    one broadcast, still no corpus shuffle."""
+    entries = F.array(*[F.lit(e) for e in blocklist])
+    return F.exists(
+        entries,
+        lambda e: (host == e) | host.endswith(F.concat(F.lit("."), e)),
+    )
+
+
 def url_dedup(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:

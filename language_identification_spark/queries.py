@@ -2119,6 +2119,53 @@ def q_host_stats_salted(spark, sf_dir):
     return host_stats_salted(docs.withColumn("host", host))
 
 
+def q_domain_blocklist(spark, sf_dir):
+    """UT1-style domain blocklist filter (operators/urlnorm.py:
+    domain_blocked): hosts synthesized per doc_id so every branch fires —
+    exact entry match, subdomain match, near-miss (notbad.example.com must
+    NOT block — dot-suffix rule, not substring), and clean hosts. Zero
+    shuffle, pushable predicate."""
+    from language_identification_spark.operators.urlnorm import (
+        domain_blocked,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    host = F.expr(
+        """CASE CAST(doc_id % 5 AS INT)
+             WHEN 0 THEN 'bad.example.com'
+             WHEN 1 THEN 'ads.bad.example.com'
+             WHEN 2 THEN 'notbad.example.com'
+             WHEN 3 THEN concat(source, '.example.org')
+             ELSE concat(source, '.example.com') END"""
+    )
+    out = docs.withColumn("host", host)
+    return out.select(
+        "doc_id",
+        "host",
+        domain_blocked(
+            F.col("host"), ["bad.example.com", "example.org"]
+        ).alias("blocked"),
+    )
+
+
+SQL_DOMAIN_BLOCKLIST = """
+WITH hosts AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'bad.example.com'
+           WHEN 1 THEN 'ads.bad.example.com'
+           WHEN 2 THEN 'notbad.example.com'
+           WHEN 3 THEN source || '.example.org'
+           ELSE source || '.example.com' END AS host
+  FROM documents
+)
+SELECT doc_id, host,
+       len(list_filter(['bad.example.com', 'example.org'],
+           e -> host = e OR suffix(host, '.' || e))) > 0 AS blocked
+FROM hosts
+"""
+
+
 SQL_HOST_STATS_SALTED = r"""
 WITH base AS (
   SELECT CASE WHEN doc_id % 2 = 0 THEN 'hot.example.com'
@@ -3693,6 +3740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "c4_line_filter": q_c4_line_filter,
     "url_dedup": q_url_dedup,
+    "domain_blocklist": q_domain_blocklist,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
@@ -3760,6 +3808,7 @@ ORACLE_SQL: dict[str, str] = {
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "c4_line_filter": SQL_C4_LINE_FILTER,
     "url_dedup": SQL_URL_DEDUP,
+    "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,

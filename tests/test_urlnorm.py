@@ -99,3 +99,52 @@ def test_gate_parity(spark):
     assert bool(by_id[0].is_canonical) and not bool(by_id[300].is_canonical)
     assert by_id[600].canon_url == by_id[0].canon_url
     assert by_id[299].canon_url != by_id[0].canon_url
+
+
+def test_domain_blocked_suffix_rule(spark):
+    """Dot-suffix semantics: entry and subdomains block; lookalike
+    ('notbad.example.com') and unrelated hosts do not."""
+    from pyspark.sql import functions as F
+
+    from language_identification_spark.operators.urlnorm import (
+        domain_blocked,
+    )
+
+    cases = [
+        ("bad.example.com", True),
+        ("ads.bad.example.com", True),
+        ("deep.ads.bad.example.com", True),
+        ("notbad.example.com", False),
+        ("bad.example.com.evil.net", False),
+        ("good.example.net", False),
+        ("x.example.org", True),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = {
+        r.host: r.b
+        for r in df.select(
+            "host",
+            domain_blocked(
+                F.col("host"), ["bad.example.com", "example.org"]
+            ).alias("b"),
+        ).collect()
+    }
+    for host, want in cases:
+        assert got[host] == want, host
+
+
+def test_domain_blocked_is_zero_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from language_identification_spark.operators.urlnorm import (
+        domain_blocked,
+    )
+
+    df = spark.createDataFrame([("a.example.org",)], "host string")
+    plan = (
+        df.select(domain_blocked(F.col("host"), ["example.org"]).alias("b"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
