@@ -67,6 +67,7 @@ HEADLINE = [
     "pii_cards",
     "char_entropy",
     "semdedup",
+    "bm25_topk",
 ]
 
 

@@ -20,7 +20,8 @@ Operator coverage map (reference file:line in each docstring):
   simhash (60-bit) / simhash_near_dup / dedup_clusters (connected
   components) / dedup_keep_list (exact+near composition);
   similarity: cosine_topk / ivf_topk / kmeans_ivf_train /
-  embedding_near_dup (LSH candidates + exact rerank, mirrored oracle);
+  embedding_near_dup (LSH candidates + exact rerank, mirrored oracle) /
+  bm25_topk (sparse-text retrieval twin, operators/bm25.py);
   quality: quality_stats_sql (+ the flagship quality_pipeline and its
   production-threshold variant, oracled in __spark_entry__/oracle/
   pipeline_sql.py) + gopher_repetition (Rae et al. Table A1 repetition
@@ -3699,6 +3700,60 @@ FROM kept
 """.format(supported=", ".join(f"'{c}'" for c in CLD2_SUPPORTED))
 
 
+# BM25 gate fixture: four query terms spanning the corpus df range (df from
+# ~150 to ~400 of 500 docs at sf0.01) so the idf spread is real.
+BM25_TERMS = ["spark", "vector", "stream", "window"]
+BM25_K = 20
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 term retrieval top-k (operators/bm25.py) — the sparse-text twin
+    of cosine_topk/ivf_topk. Explode -> IN-list term filter (matching
+    tokens only reach the shuffle) -> map-side-combined tf -> broadcast
+    df/corpus stats -> TakeOrderedAndProject top-k."""
+    from language_identification_spark.operators.bm25 import bm25_topk
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return bm25_topk(docs, BM25_TERMS, k=BM25_K)
+
+
+SQL_BM25_TOPK = """
+WITH terms(word) AS (VALUES {terms}),
+toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS dl,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+  FROM documents
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         avg(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS avgdl
+  FROM documents
+),
+matches AS (SELECT doc_id, dl, word FROM toks WHERE word IN (SELECT word FROM terms)),
+tf AS (SELECT doc_id, word, dl, count(*)::BIGINT AS tf FROM matches GROUP BY 1, 2, 3),
+df_t AS (SELECT word, count(DISTINCT doc_id)::BIGINT AS df FROM matches GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+           * (tf.tf * {k1_plus_1}) / (tf.tf + {k1} * ({one_minus_b} + {b} * tf.dl / stats.avgdl)) AS w
+  FROM tf JOIN df_t USING (word) CROSS JOIN stats
+),
+per_doc AS (SELECT doc_id, round(sum(w), 4) AS score FROM scored GROUP BY 1)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM per_doc
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".format(
+    terms=", ".join(f"('{t}')" for t in BM25_TERMS),
+    k=BM25_K,
+    k1="1.2",
+    k1_plus_1="2.2",
+    one_minus_b="0.25",
+    b="0.75",
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3741,6 +3796,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_line_filter": q_c4_line_filter,
     "url_dedup": q_url_dedup,
     "domain_blocklist": q_domain_blocklist,
+    "bm25_topk": q_bm25_topk,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
@@ -3809,6 +3865,7 @@ ORACLE_SQL: dict[str, str] = {
     "c4_line_filter": SQL_C4_LINE_FILTER,
     "url_dedup": SQL_URL_DEDUP,
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
+    "bm25_topk": SQL_BM25_TOPK,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,
