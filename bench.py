@@ -68,6 +68,7 @@ HEADLINE = [
     "char_entropy",
     "semdedup",
     "bm25_topk",
+    "pack_sequences",
 ]
 
 

@@ -41,6 +41,7 @@ Operator coverage map (reference file:line in each docstring):
   L4 cld2_postprocess + L3 langdetect_filter (wrapper rules),
   operators/langid_bytes.py; LSH skew defense: lsh_bucket_cap_audit;
   tokens: token_count / bpe_token_count; splits: deterministic_split;
+  packing: pack_sequences (concat-and-chop window spans, operators/packing.py);
   F14 deseret_translit (weird-font -> Deseret -> phonemes, functions/deseret.py);
   P8 term_cleanup (has_text/has_digit quirks + norm_text key);
   reporting: rollup_counts; windows/sessions: events_hourly /
@@ -3754,6 +3755,41 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (operators/packing.py): shard the corpus
+    by md5(doc_id), concatenate per shard in doc_id order, chop every 128
+    tokens; emit each doc's shard/offset/window span. One exchange on the
+    shard key; exact integer arithmetic end to end."""
+    from language_identification_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return pack_sequences(docs, ctx_len=128, n_shards=8)
+
+
+SQL_PACK_SEQUENCES = """
+WITH base AS (
+  SELECT doc_id,
+         (CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UINT32) % 8)::INT AS shard,
+         len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS end_off
+  FROM base WHERE n_tok > 0
+)
+SELECT doc_id, shard, n_tok,
+       (end_off - n_tok)::BIGINT AS start_off,
+       ((end_off - n_tok) // 128)::BIGINT AS first_pack,
+       ((end_off - 1) // 128)::BIGINT AS last_pack,
+       ((end_off - 1) // 128 - (end_off - n_tok) // 128 + 1)::BIGINT AS packs_spanned
+FROM cum
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3797,6 +3833,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_dedup": q_url_dedup,
     "domain_blocklist": q_domain_blocklist,
     "bm25_topk": q_bm25_topk,
+    "pack_sequences": q_pack_sequences,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
@@ -3866,6 +3903,7 @@ ORACLE_SQL: dict[str, str] = {
     "url_dedup": SQL_URL_DEDUP,
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "bm25_topk": SQL_BM25_TOPK,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,
