@@ -69,6 +69,7 @@ HEADLINE = [
     "semdedup",
     "bm25_topk",
     "pack_sequences",
+    "chunk_documents",
 ]
 
 

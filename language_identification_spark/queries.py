@@ -41,7 +41,8 @@ Operator coverage map (reference file:line in each docstring):
   L4 cld2_postprocess + L3 langdetect_filter (wrapper rules),
   operators/langid_bytes.py; LSH skew defense: lsh_bucket_cap_audit;
   tokens: token_count / bpe_token_count; splits: deterministic_split;
-  packing: pack_sequences (concat-and-chop window spans, operators/packing.py);
+  packing: pack_sequences (concat-and-chop window spans, operators/packing.py)
+  + chunk_documents (overlapping RAG windows, operators/chunking.py);
   F14 deseret_translit (weird-font -> Deseret -> phonemes, functions/deseret.py);
   P8 term_cleanup (has_text/has_digit quirks + norm_text key);
   reporting: rollup_counts; windows/sessions: events_hourly /
@@ -3790,6 +3791,38 @@ FROM cum
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping RAG chunking (operators/chunking.py): 64-token windows,
+    stride 48, md5 chunk fingerprint. Zero-exchange narrow map + explode."""
+    from language_identification_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return chunk_documents(docs, chunk_size=64, stride=48)
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> w <> '') AS words,
+         len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tok
+  FROM documents
+),
+chunked AS (
+  SELECT doc_id, words,
+         unnest(range(0, 1 + (greatest(n_tok - 64, 0) + 47) // 48)) AS chunk_idx
+  FROM base WHERE n_tok > 0
+)
+SELECT doc_id,
+       chunk_idx::BIGINT AS chunk_idx,
+       (chunk_idx * 48)::BIGINT AS start_tok,
+       len(list_slice(words, chunk_idx * 48 + 1, chunk_idx * 48 + 64))::BIGINT AS chunk_len,
+       md5(array_to_string(list_slice(words, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
+FROM chunked
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3834,6 +3867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_blocklist": q_domain_blocklist,
     "bm25_topk": q_bm25_topk,
     "pack_sequences": q_pack_sequences,
+    "chunk_documents": q_chunk_documents,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
@@ -3904,6 +3938,7 @@ ORACLE_SQL: dict[str, str] = {
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "bm25_topk": SQL_BM25_TOPK,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,
