@@ -70,6 +70,7 @@ HEADLINE = [
     "bm25_topk",
     "pack_sequences",
     "chunk_documents",
+    "tfidf_keywords",
 ]
 
 

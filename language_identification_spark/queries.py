@@ -3823,6 +3823,72 @@ FROM chunked
 """
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """TF-IDF keyword extraction: top-3 terms per document by smoothed
+    tf-idf (idf = ln((1+N)/(1+df)) + 1 — the scikit-learn convention, never
+    negative). Two map-side-combinable aggs; the word-keyed df table (vocab-
+    sized, orders of magnitude under the corpus: ~10^7 terms even at
+    web scale) re-enters via broadcast so the (doc,word) side never
+    reshuffles onto the word key; per-doc top-k is a doc_id-window
+    row_number over rows already partitioned by the tf agg."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    df_t = toks.groupBy("word").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("n_docs"))
+                        / (F.lit(1.0) + F.col("df"))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "word", "score")
+    )
+
+
+SQL_TFIDF_KEYWORDS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+fil AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM fil GROUP BY 1, 2),
+df_t AS (SELECT word, count(DISTINCT doc_id)::BIGINT AS df FROM fil GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df_t.df)) + 1.0), 6) AS score
+  FROM tf JOIN df_t USING (word) CROSS JOIN n
+)
+SELECT doc_id, rank, word, score FROM (
+  SELECT doc_id, word, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3868,6 +3934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "pack_sequences": q_pack_sequences,
     "chunk_documents": q_chunk_documents,
+    "tfidf_keywords": q_tfidf_keywords,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
@@ -3939,6 +4006,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk": SQL_BM25_TOPK,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,

@@ -277,3 +277,16 @@ def test_langid_nb_model_join_is_broadcast(spark):
     plan = plan_of(QUERIES["langid_nb_rank"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan
+
+
+def test_bm25_and_tfidf_stats_joins_are_broadcast(spark):
+    """Sparse-retrieval family: the vocab/df and corpus-stats sides must
+    re-enter via broadcast (the token-fact side never reshuffles onto the
+    word key via SortMergeJoin) and both stay Python-free; bm25's top-k is
+    TakeOrderedAndProject, never a global Sort."""
+    for name in ("bm25_topk", "tfidf_keywords"):
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "Python" not in plan, name
+    assert "TakeOrderedAndProject" in plan_of(QUERIES["bm25_topk"](spark, SF))
