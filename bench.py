@@ -71,6 +71,7 @@ HEADLINE = [
     "pack_sequences",
     "chunk_documents",
     "tfidf_keywords",
+    "url_word_score",
 ]
 
 

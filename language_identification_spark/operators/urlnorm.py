@@ -96,3 +96,46 @@ def url_dedup(
         ).alias("is_canonical"),
         F.count("*").over(w).cast("bigint").alias("n_copies"),
     )
+
+
+def url_word_score(
+    url: Column,
+    strict_words: list[str],
+    soft_weights: dict[str, int],
+    threshold: int,
+) -> Column:
+    """RefinedWeb-style soft URL filtering (Penedo et al. 2023 §3.1): the
+    UT1 blocklist misses hosts it has never seen, so URLs are ALSO scored
+    lexically — the url is split into alphanumeric tokens and (a) any
+    strict-list token blocks outright, (b) weighted soft-list token hits
+    accumulate (each occurrence counts) and block at ``threshold``.
+
+    Weights and threshold are exact integers — no float boundary ambiguity
+    across engines. Zero-shuffle narrow map (regex split + two array folds
+    over literal lists); a production-sized soft list becomes a broadcast
+    map the same way domain_blocked documents.
+
+    Returns a struct column (strict_hit boolean, score int, blocked
+    boolean) so callers can keep the parts as audit columns.
+    """
+    toks = F.filter(
+        F.split(F.lower(url), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    strict_arr = F.array(*[F.lit(w) for w in sorted(strict_words)])
+    strict_hit = F.arrays_overlap(toks, strict_arr)
+
+    # per-token weight: chained CASE over the literal map
+    def _tok_weight(t: Column) -> Column:
+        expr = F.lit(0)
+        for w, wt in sorted(soft_weights.items(), reverse=True):
+            expr = F.when(t == w, F.lit(int(wt))).otherwise(expr)
+        return expr
+
+    score = F.aggregate(
+        F.transform(toks, _tok_weight), F.lit(0), lambda acc, x: acc + x
+    )
+    return F.struct(
+        strict_hit.alias("strict_hit"),
+        score.cast("int").alias("score"),
+        (strict_hit | (score >= F.lit(int(threshold)))).alias("blocked"),
+    )

@@ -3889,6 +3889,83 @@ SELECT doc_id, rank, word, score FROM (
 """
 
 
+URL_STRICT_WORDS = ["blockme", "phishing"]
+URL_SOFT_WEIGHTS = {"casino": 3, "pills": 2, "deal": 1, "free": 1}
+URL_SCORE_THRESHOLD = 4
+
+
+def q_url_word_score(spark, sf_dir):
+    """RefinedWeb-style lexical URL scoring (operators/urlnorm.py:
+    url_word_score): strict words block outright, weighted soft hits block
+    at an integer threshold. URLs synthesized per doc so every branch fires
+    (strict hit, over/under threshold, repeated-token accumulation, clean).
+    Zero-shuffle narrow map."""
+    from language_identification_spark.operators.urlnorm import (
+        url_word_score,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    url = F.expr(
+        """CASE CAST(doc_id % 6 AS INT)
+             WHEN 0 THEN concat('http://', source, '.example.com/phishing/login')
+             WHEN 1 THEN concat('http://casino-', source, '.example.com/free-pills')
+             WHEN 2 THEN concat('http://', source, '.example.com/free-deal')
+             WHEN 3 THEN concat('http://free.example.com/free/free/FREE-deal')
+             WHEN 4 THEN concat('http://', source, '.example.com/news/', CAST(doc_id AS STRING))
+             ELSE concat('https://WWW.Example.com/Casino', CAST(doc_id AS STRING)) END"""
+    )
+    s = url_word_score(
+        F.col("url"), URL_STRICT_WORDS, URL_SOFT_WEIGHTS, URL_SCORE_THRESHOLD
+    )
+    return (
+        docs.withColumn("url", url)
+        .select("doc_id", "url", s.alias("s"))
+        .select(
+            "doc_id",
+            "url",
+            F.col("s.strict_hit").alias("strict_hit"),
+            F.col("s.score").alias("score"),
+            F.col("s.blocked").alias("blocked"),
+        )
+    )
+
+
+SQL_URL_WORD_SCORE = """
+WITH urls AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'http://' || source || '.example.com/phishing/login'
+           WHEN 1 THEN 'http://casino-' || source || '.example.com/free-pills'
+           WHEN 2 THEN 'http://' || source || '.example.com/free-deal'
+           WHEN 3 THEN 'http://free.example.com/free/free/FREE-deal'
+           WHEN 4 THEN 'http://' || source || '.example.com/news/' || doc_id::VARCHAR
+           ELSE 'https://WWW.Example.com/Casino' || doc_id::VARCHAR END AS url
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, url,
+         list_filter(string_split_regex(lower(url), '[^a-z0-9]+'), t -> t <> '') AS ts
+  FROM urls
+),
+scored AS (
+  SELECT doc_id, url,
+         len(list_filter(ts, t -> t IN ({strict}))) > 0 AS strict_hit,
+         list_sum(list_transform(ts, t -> CASE {cases} ELSE 0 END))::INT AS score
+  FROM toks
+)
+SELECT doc_id, url, strict_hit,
+       coalesce(score, 0)::INT AS score,
+       (strict_hit OR coalesce(score, 0) >= {thr}) AS blocked
+FROM scored
+""".format(
+    strict=", ".join(f"'{w}'" for w in URL_STRICT_WORDS),
+    cases=" ".join(
+        f"WHEN t = '{w}' THEN {wt}" for w, wt in sorted(URL_SOFT_WEIGHTS.items())
+    ),
+    thr=URL_SCORE_THRESHOLD,
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3935,6 +4012,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "chunk_documents": q_chunk_documents,
     "tfidf_keywords": q_tfidf_keywords,
+    "url_word_score": q_url_word_score,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
@@ -4007,6 +4085,7 @@ ORACLE_SQL: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
+    "url_word_score": SQL_URL_WORD_SCORE,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,

@@ -148,3 +148,51 @@ def test_domain_blocked_is_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_url_word_score_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from language_identification_spark.operators.urlnorm import (
+        url_word_score,
+    )
+
+    cases = [
+        # (url, strict_hit, score, blocked)
+        ("http://x.com/phishing/login", True, 0, True),     # strict blocks
+        ("http://casino.x.com/pills", False, 5, True),      # 3+2 >= 4
+        ("http://x.com/free-deal", False, 2, False),        # 1+1 < 4
+        ("http://FREE.x.com/Free/fReE/free", False, 4, True),  # repeats + case
+        ("http://clean.example.com/news/1", False, 0, False),
+        ("http://x.com/freestyle", False, 0, False),        # token, not substring
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in cases], "url string")
+    s = url_word_score(
+        F.col("url"),
+        ["blockme", "phishing"],
+        {"casino": 3, "pills": 2, "deal": 1, "free": 1},
+        4,
+    )
+    got = {
+        r.url: (r.s.strict_hit, r.s.score, r.s.blocked)
+        for r in df.select("url", s.alias("s")).collect()
+    }
+    for u, hit, score, blocked in cases:
+        assert got[u] == (hit, score, blocked), u
+
+
+def test_url_word_score_is_zero_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from language_identification_spark.operators.urlnorm import (
+        url_word_score,
+    )
+
+    df = spark.createDataFrame([("http://a.com/x",)], "url string")
+    plan = (
+        df.select(url_word_score(F.col("url"), ["a"], {"b": 1}, 2).alias("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
