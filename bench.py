@@ -72,6 +72,7 @@ HEADLINE = [
     "chunk_documents",
     "tfidf_keywords",
     "url_word_score",
+    "langid_eval",
 ]
 
 

@@ -3966,6 +3966,74 @@ FROM scored
 )
 
 
+def q_langid_eval(spark, sf_dir):
+    """Distributed classification metrics (operators/evalmetrics.py) over
+    the L2 NB langid's held-out top-1 predictions vs true labels — the
+    north rule's F1 criterion as a queryable operator. The corpus crosses
+    the wire once as (label, pred) counts; everything downstream is
+    |langs|^2-sized."""
+    from language_identification_spark.operators.evalmetrics import (
+        classification_metrics,
+    )
+
+    pred = (
+        q_langid_nb_rank(spark, sf_dir)
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.col("lang").alias("pred"))
+    )
+    truth = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("label")
+    )
+    return classification_metrics(truth.join(pred, "doc_id"))
+
+
+SQL_LANGID_EVAL = """
+WITH pred AS (
+  SELECT doc_id, lang AS pred FROM ({nb_rank}) WHERE rnk = 1
+),
+joined AS (
+  SELECT d.lang AS label, p.pred
+  FROM documents d JOIN pred p USING (doc_id)
+),
+conf AS (SELECT label, pred, count(*)::BIGINT AS c FROM joined GROUP BY 1, 2),
+by_label AS (SELECT label, sum(c)::BIGINT AS support FROM conf GROUP BY 1),
+by_pred AS (SELECT pred, sum(c)::BIGINT AS predicted FROM conf GROUP BY 1),
+tp AS (SELECT label AS cls, c::BIGINT AS tp FROM conf WHERE label = pred),
+classes AS (
+  SELECT label AS cls FROM by_label UNION SELECT pred FROM by_pred
+),
+m AS (
+  SELECT cls,
+         coalesce(tp.tp, 0)::BIGINT AS tp,
+         coalesce(by_label.support, 0)::BIGINT AS support,
+         coalesce(by_pred.predicted, 0)::BIGINT AS predicted
+  FROM classes
+  LEFT JOIN tp USING (cls)
+  LEFT JOIN by_label ON by_label.label = cls
+  LEFT JOIN by_pred ON by_pred.pred = cls
+),
+pr AS (
+  SELECT cls, tp, (predicted - tp)::BIGINT AS fp, (support - tp)::BIGINT AS fn,
+         support,
+         CASE WHEN predicted > 0 THEN tp / CAST(predicted AS DOUBLE) ELSE 0.0 END AS p_raw,
+         CASE WHEN support > 0 THEN tp / CAST(support AS DOUBLE) ELSE 0.0 END AS r_raw
+  FROM m
+)
+SELECT cls, tp, fp, fn, support,
+       round(p_raw, 6) AS precision,
+       round(r_raw, 6) AS recall,
+       round(CASE WHEN p_raw + r_raw > 0
+                  THEN 2.0 * p_raw * r_raw / (p_raw + r_raw)
+                  ELSE 0.0 END, 6) AS f1
+FROM pr
+"""
+
+
+# splice the (already-formatted) NB-rank oracle in as the prediction
+# subquery — DuckDB accepts WITH inside a parenthesized FROM subquery
+SQL_LANGID_EVAL = SQL_LANGID_EVAL.format(nb_rank=SQL_LANGID_NB_RANK)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4013,6 +4081,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "tfidf_keywords": q_tfidf_keywords,
     "url_word_score": q_url_word_score,
+    "langid_eval": q_langid_eval,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
@@ -4086,6 +4155,7 @@ ORACLE_SQL: dict[str, str] = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "url_word_score": SQL_URL_WORD_SCORE,
+    "langid_eval": SQL_LANGID_EVAL,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,
