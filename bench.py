@@ -73,6 +73,7 @@ HEADLINE = [
     "tfidf_keywords",
     "url_word_score",
     "langid_eval",
+    "skew_join_salted",
 ]
 
 

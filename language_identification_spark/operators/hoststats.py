@@ -69,3 +69,40 @@ def host_stats_salted(
             "n_langs",
         )
     )
+
+
+def salted_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hot-key JOIN defense: explicit salting when the dim is too large to
+    broadcast and AQE's skew split can't help (e.g. the skew only
+    materializes after upstream stages, or the engine runs with AQE off
+    for plan stability — the scaling-bench configuration).
+
+    The fact side gets ``salt = pmod(id, salt_buckets)``; the dim side is
+    replicated once per salt value via a literal explode (dim_rows x
+    salt_buckets — still dimension-shaped). The join key becomes
+    (key, salt), so a Zipf-head key's rows spread over ``salt_buckets``
+    reducers instead of one straggler task. Deterministic (id-derived
+    salt, never rand()) => reproducible partitioning, resumable stages.
+
+    Result is row-identical to ``fact.join(dim, key)``; the salt never
+    escapes. Broadcast stays the FIRST choice for truly small dims
+    (domain_blocked's docstring); this is the mid-size-dim fallback.
+    """
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.col(id_col), F.lit(salt_buckets)).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast(
+                "array<int>"
+            )
+        ),
+    )
+    return salted_fact.join(salted_dim, [key, "_salt"]).drop("_salt")

@@ -4034,6 +4034,62 @@ FROM pr
 SQL_LANGID_EVAL = SQL_LANGID_EVAL.format(nb_rank=SQL_LANGID_NB_RANK)
 
 
+def q_skew_join_salted(spark, sf_dir):
+    """Salted skew join (operators/hoststats.py:salted_skew_join): the
+    hot-KEY join defense — half the corpus lands on one host key, the host
+    dim is joined on (host, salt) with the dim replicated per salt so the
+    hot key spreads over 16 reducers. Row-identical to the unsalted join
+    (the oracle IS the unsalted join); sort-merge join forced via the
+    broadcast threshold conf is not needed at gate scale — the plan shape
+    (hot key split across partitions) is pinned by test instead."""
+    from language_identification_spark.operators.hoststats import (
+        salted_skew_join,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    fact = docs.withColumn(
+        "host",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("hot.example.com")).otherwise(
+            F.concat(F.col("source"), F.lit(".example.com"))
+        ),
+    ).select("doc_id", "host", "lang", "n_chars")
+    hosts = fact.select("host").distinct()
+    dim = hosts.select(
+        "host",
+        (
+            F.conv(F.substring(F.md5(F.col("host").cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % 1000
+        )
+        .cast("bigint")
+        .alias("host_score"),
+    )
+    joined = salted_skew_join(fact, dim, "host")
+    return joined.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.max("host_score").alias("host_score"),
+    )
+
+
+SQL_SKEW_JOIN_SALTED = """
+WITH fact AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'hot.example.com'
+              ELSE source || '.example.com' END AS host,
+         lang, n_chars
+  FROM documents
+),
+dim AS (
+  SELECT host,
+         (CAST(('0x' || substr(md5(host), 1, 8)) AS UINT32) % 1000)::BIGINT AS host_score
+  FROM (SELECT DISTINCT host FROM fact)
+)
+SELECT host, count(*)::BIGINT AS n_docs, max(host_score)::BIGINT AS host_score
+FROM fact JOIN dim USING (host)
+GROUP BY host
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4082,6 +4138,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_keywords": q_tfidf_keywords,
     "url_word_score": q_url_word_score,
     "langid_eval": q_langid_eval,
+    "skew_join_salted": q_skew_join_salted,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
@@ -4156,6 +4213,7 @@ ORACLE_SQL: dict[str, str] = {
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "url_word_score": SQL_URL_WORD_SCORE,
     "langid_eval": SQL_LANGID_EVAL,
+    "skew_join_salted": SQL_SKEW_JOIN_SALTED,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,
