@@ -74,6 +74,7 @@ HEADLINE = [
     "url_word_score",
     "langid_eval",
     "skew_join_salted",
+    "corpus_curation",
 ]
 
 

@@ -4090,6 +4090,176 @@ GROUP BY host
 """
 
 
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end corpus curation — the COMPOSITION the single-stage gates
+    exist for: URL-level dedup winner -> domain blocklist -> C4 page keep
+    -> exact content dedup -> language mix sampling -> deterministic
+    split, emitting per-doc stage verdicts plus the final keep. Every
+    stage is the already-gated operator (urlnorm/c4/mixer/queries), so
+    this gate verifies they compose without semantic drift. Shuffles: the
+    url window, the c4 join's doc_id exchange, the content-hash window,
+    nothing else — mix/split/blocklist are narrow maps."""
+    from language_identification_spark.operators.c4 import c4_line_filter
+    from language_identification_spark.operators.mixer import mix_hash
+    from language_identification_spark.operators.urlnorm import (
+        domain_blocked,
+    )
+
+    docs = _spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    host = F.when(
+        F.col("doc_id") % 5 == 0, F.lit("bad.example.com")
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        host.alias("host"),
+    ).withColumn(
+        # every 7th doc is a mirror refetch: four docs per 28-block share
+        # one URL (losers guaranteed at every SF); the rest are unique
+        "url",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit("http://mirror.example.com/p/"),
+                F.expr("CAST(doc_id DIV 28 AS STRING)"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("http://"),
+                F.col("host"),
+                F.lit("/p/"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    w_url = Window.partitionBy("url").orderBy("doc_id")
+    w_txt = Window.partitionBy(
+        F.md5(F.col("text").cast("binary"))
+    ).orderBy("doc_id")
+    base = (
+        base.withColumn("url_keep", F.row_number().over(w_url) == 1)
+        .withColumn(
+            "blocked", domain_blocked(F.col("host"), ["bad.example.com"])
+        )
+        .withColumn("exact_keep", F.row_number().over(w_txt) == 1)
+    )
+    structured = F.regexp_replace(
+        F.col("text"), r"(([^ ]+ ){6}[^ ]+) ", "$1.\n"
+    )
+    c4 = c4_line_filter(
+        docs.select("doc_id", structured.alias("text"))
+    ).select("doc_id", F.col("keep").alias("c4_keep"))
+    base = base.join(c4, "doc_id")
+    bucket = mix_hash(F.col("doc_id"))
+    mix_thr = F.when(F.col("lang") == "en", F.lit(500000)).otherwise(
+        F.lit(1000000)
+    )
+    split = (
+        F.when(bucket % 100 < 80, F.lit("train"))
+        .when(bucket % 100 < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    out = base.withColumn("mix_keep", bucket < mix_thr).withColumn(
+        "split", split
+    )
+    final = (
+        F.col("url_keep")
+        & ~F.col("blocked")
+        & F.col("c4_keep")
+        & F.col("exact_keep")
+        & F.col("mix_keep")
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "url_keep",
+        "blocked",
+        "c4_keep",
+        "exact_keep",
+        "mix_keep",
+        "split",
+        final.alias("final_keep"),
+    )
+
+
+SQL_CORPUS_CURATION = r"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN doc_id % 5 = 0 THEN 'bad.example.com'
+              ELSE source || '.example.com' END AS host
+  FROM documents WHERE text IS NOT NULL
+),
+withurl AS (
+  SELECT *,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'http://mirror.example.com/p/' || (doc_id // 28)::VARCHAR
+              ELSE 'http://' || host || '/p/' || doc_id::VARCHAR END AS url
+  FROM base
+),
+staged AS (
+  SELECT doc_id, lang, text, host, url,
+         row_number() OVER (PARTITION BY url ORDER BY doc_id) = 1 AS url_keep,
+         len(list_filter(['bad.example.com'],
+             e -> host = e OR suffix(host, '.' || e))) > 0 AS blocked,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS exact_keep
+  FROM withurl
+),
+c4base AS (
+  SELECT doc_id,
+         regexp_replace(text, '(([^ ]+ ){6}[^ ]+) ', '\1.' || chr(10), 'g') AS text
+  FROM base
+),
+c4split AS (
+  SELECT doc_id, text AS raw,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines
+  FROM c4base
+),
+c4flt AS (
+  SELECT doc_id, raw,
+         list_filter(lines, x ->
+           list_contains(['.', '!', '?', '"'], right(x, 1))
+           AND NOT ends_with(x, '...')
+           AND len(list_filter(string_split_regex(x, '[\t\n\x0b\f\r ]+'),
+                               w -> w <> '')) >= 5
+           AND NOT contains(lower(x), 'javascript')
+           AND NOT contains(lower(x), 'terms of use')
+           AND NOT contains(lower(x), 'privacy policy')
+           AND NOT contains(lower(x), 'cookie policy')
+           AND NOT contains(lower(x), 'uses cookies')
+           AND NOT contains(lower(x), 'use of cookies')
+           AND NOT contains(lower(x), 'use cookies')) AS kept
+  FROM c4split
+),
+c4keep AS (
+  SELECT doc_id,
+         (len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''),
+              '[.!?]')) >= 3
+          AND NOT contains(lower(raw), 'lorem ipsum')
+          AND NOT contains(raw, '{')
+          AND NOT regexp_matches(lower(raw),
+                '\b(?:toxicterm|slurword|badword)\b')) AS c4_keep
+  FROM c4flt
+),
+hashed AS (
+  SELECT s.*, c4keep.c4_keep,
+         CAST(('0x' || substr(md5(s.doc_id::VARCHAR), 1, 8)) AS UINT32) % 1000000 AS bucket
+  FROM staged s JOIN c4keep USING (doc_id)
+)
+SELECT doc_id, lang, url_keep, blocked, c4_keep, exact_keep,
+       bucket < CASE WHEN lang = 'en' THEN 500000 ELSE 1000000 END AS mix_keep,
+       CASE WHEN bucket % 100 < 80 THEN 'train'
+            WHEN bucket % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       (url_keep AND NOT blocked AND c4_keep AND exact_keep
+        AND bucket < CASE WHEN lang = 'en' THEN 500000 ELSE 1000000 END) AS final_keep
+FROM hashed
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4139,6 +4309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_word_score": q_url_word_score,
     "langid_eval": q_langid_eval,
     "skew_join_salted": q_skew_join_salted,
+    "corpus_curation": q_corpus_curation,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
@@ -4214,6 +4385,7 @@ ORACLE_SQL: dict[str, str] = {
     "url_word_score": SQL_URL_WORD_SCORE,
     "langid_eval": SQL_LANGID_EVAL,
     "skew_join_salted": SQL_SKEW_JOIN_SALTED,
+    "corpus_curation": SQL_CORPUS_CURATION,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,
