@@ -135,3 +135,24 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         _parse, schema=WARC_SCHEMA
     )
+
+
+def warc_to_pages(warc: DataFrame) -> DataFrame:
+    """Shape the raw record stream into the pipeline's pages contract
+    (url, warc_ts, html, text, lang — fixtures.PAGES_SCHEMA): HTTP-200
+    response records only, WARC-Date parsed to timestamp, payload as the
+    html bytes. A narrow projection — read_warc + this + the flagship
+    quality_filter_plan is the full wire-to-keep/drop path."""
+    from pyspark.sql import functions as F
+
+    return warc.filter(
+        (F.col("record_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("warc_error").isNull()
+    ).select(
+        "url",
+        F.to_timestamp("warc_ts").alias("warc_ts"),
+        F.col("payload").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )

@@ -126,3 +126,47 @@ def test_read_warc_distributed_roundtrip(spark, tmp_path):
     # plan: narrow map over the binaryFile scan — no exchange
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_warc_feeds_the_flagship_pipeline(spark, tmp_path):
+    """Wire-to-verdict integration: .warc.gz bytes -> read_warc ->
+    warc_to_pages -> quality_filter_plan -> keep/drop labels."""
+    from language_identification_spark.fixtures import training_corpus
+    from language_identification_spark.oracle.langid import NgramNBModel
+    from language_identification_spark.plans.pipeline import (
+        quality_filter_plan,
+    )
+    from language_identification_spark.sources.warc import warc_to_pages
+
+    good = (
+        "<html><body>"
+        "the quick brown fox jumps over the lazy dog in the morning. "
+        "later that afternoon the other animals walked home together. "
+        "everyone agreed that the weather had been pleasant all week. "
+        "a different sentence about rivers and mountains closes the page."
+        "</body></html>"
+    ).encode()
+    recs = [
+        _warc_record(
+            "response", "http://ok.com/1", "2024-01-01T00:00:00Z", _http(good)
+        ),
+        _warc_record(
+            "response",
+            "http://gone.com/2",
+            "2024-01-01T00:00:01Z",
+            _http(b"<html>x</html>", status=404),  # non-200: excluded
+        ),
+        _warc_record(
+            "warcinfo", "urn:x", "2024-01-01T00:00:02Z", b"meta"
+        ),
+    ]
+    (tmp_path / "c.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs)
+    )
+    pages = warc_to_pages(read_warc(spark, str(tmp_path) + "/*.warc.gz"))
+    model = NgramNBModel.train(training_corpus())
+    out = quality_filter_plan(pages, model).collect()
+    assert [r.url for r in out] == ["http://ok.com/1"]
+    r = out[0]
+    assert r.lang_pred == "en" and r.keep
+    assert "quick brown fox" in r.extracted_text
