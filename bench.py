@@ -75,6 +75,7 @@ HEADLINE = [
     "langid_eval",
     "skew_join_salted",
     "corpus_curation",
+    "host_lang_consistency",
 ]
 
 

@@ -4260,6 +4260,66 @@ FROM hashed
 """
 
 
+def q_host_lang_consistency(spark, sf_dir):
+    """Host-majority language smoothing: a page whose predicted language
+    disagrees with its host's dominant language is a likely langid error
+    (boilerplate, mixed-language chrome) — the host prior is the standard
+    CCNet-grade smoothing signal. Two-level shape: per-(host, lang) counts
+    (map-side combined), host majority via a host-window over the tiny
+    count table, verdict joined back to the count row the doc already
+    has — the corpus itself crosses the wire ONCE for the count agg;
+    majority + flag run on |hosts|x|langs| rows. Majority tie-break is
+    total: (count desc, lang asc). The join-back rides salted_skew_join —
+    the host key is exactly the Zipf-head case that operator defends
+    (broadcast fires instead when the dim fits, same verdicts)."""
+    from language_identification_spark.operators.hoststats import (
+        salted_skew_join,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    host = F.when(
+        F.col("doc_id") % 3 == 0, F.lit("mixed.example.com")
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    base = docs.select("doc_id", "lang", host.alias("host"))
+    counts = base.groupBy("host", "lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("n"), F.asc("lang"))
+    major = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("host", F.col("lang").alias("host_major_lang"))
+    )
+    out = salted_skew_join(base, major, "host")
+    return out.select(
+        "doc_id",
+        "host",
+        "lang",
+        "host_major_lang",
+        (F.col("lang") != F.col("host_major_lang")).alias("lang_outlier"),
+    )
+
+
+SQL_HOST_LANG_CONSISTENCY = """
+WITH base AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 3 = 0 THEN 'mixed.example.com'
+              ELSE source || '.example.com' END AS host
+  FROM documents
+),
+counts AS (SELECT host, lang, count(*)::BIGINT AS n FROM base GROUP BY 1, 2),
+major AS (
+  SELECT host, lang AS host_major_lang FROM (
+    SELECT host, lang, row_number() OVER (PARTITION BY host ORDER BY n DESC, lang ASC) AS rnk
+    FROM counts
+  ) WHERE rnk = 1
+)
+SELECT doc_id, host, lang, host_major_lang,
+       lang <> host_major_lang AS lang_outlier
+FROM base JOIN major USING (host)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4310,6 +4370,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_eval": q_langid_eval,
     "skew_join_salted": q_skew_join_salted,
     "corpus_curation": q_corpus_curation,
+    "host_lang_consistency": q_host_lang_consistency,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
@@ -4386,6 +4447,7 @@ ORACLE_SQL: dict[str, str] = {
     "langid_eval": SQL_LANGID_EVAL,
     "skew_join_salted": SQL_SKEW_JOIN_SALTED,
     "corpus_curation": SQL_CORPUS_CURATION,
+    "host_lang_consistency": SQL_HOST_LANG_CONSISTENCY,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,
