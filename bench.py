@@ -76,6 +76,7 @@ HEADLINE = [
     "skew_join_salted",
     "corpus_curation",
     "host_lang_consistency",
+    "pq_encode",
     # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
     # 500-doc universe — verified at the gate, not a headline path
 ]

@@ -4478,6 +4478,45 @@ SELECT
 )
 
 
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization encode (operators/pq.py): 64-dim embeddings ->
+    8 subspaces x 4-entry codebooks (fixture codebook = subvectors of the
+    first 4 vectors, deterministic from the parquet). Broadcast codebook,
+    narrow explode, per-(vec, sub) argmin window — no corpus-wide sort."""
+    from language_identification_spark.operators.pq import (
+        codebook_from_first_k,
+        pq_encode,
+    )
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    cb = codebook_from_first_k(emb, m=8, sub_dim=8, k=4)
+    return pq_encode(emb, cb, m=8, sub_dim=8)
+
+
+SQL_PQ_ENCODE = """
+WITH subs AS (
+  SELECT vec_id, j AS sub,
+         list_slice(embedding::DOUBLE[], j * 8 + 1, j * 8 + 8) AS sv
+  FROM documents_embeddings_base, unnest(range(0, 8)) AS t(j)
+),
+codebook AS (
+  SELECT sub, vec_id::INT AS code, sv AS cent FROM subs WHERE vec_id < 4
+),
+scored AS (
+  SELECT s.vec_id, s.sub, c.code,
+         round(list_dot_product(s.sv, s.sv)
+               - 2.0 * list_dot_product(s.sv, c.cent)
+               + list_dot_product(c.cent, c.cent), 6) AS dist
+  FROM subs s JOIN codebook c USING (sub)
+)
+SELECT vec_id, sub::INT AS sub, code, dist FROM (
+  SELECT vec_id, sub, code, dist,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) AS rnk
+  FROM scored
+) WHERE rnk = 1
+""".replace("documents_embeddings_base", "embeddings")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4530,6 +4569,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": q_corpus_curation,
     "host_lang_consistency": q_host_lang_consistency,
     "lsh_recall_eval": q_lsh_recall_eval,
+    "pq_encode": q_pq_encode,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
@@ -4608,6 +4648,7 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_curation": SQL_CORPUS_CURATION,
     "host_lang_consistency": SQL_HOST_LANG_CONSISTENCY,
     "lsh_recall_eval": SQL_LSH_RECALL_EVAL,
+    "pq_encode": SQL_PQ_ENCODE,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,
