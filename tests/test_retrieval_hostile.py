@@ -1,0 +1,94 @@
+"""Hostile-corpus Spark-vs-DuckDB parity for the round-3 retrieval/batch
+gates (bm25_topk, tfidf_keywords, pack_sequences, chunk_documents,
+host_lang_consistency): CJK, astral emoji, double spaces, tabs/newlines
+inside text, empty and whitespace-only docs, giant words — everything the
+space-tokenizer contract must survive identically in both engines."""
+
+import os
+import tempfile
+
+import duckdb
+import pandas as pd
+import pytest
+
+from language_identification_spark.queries import ORACLE_SQL, QUERIES
+
+GATES = [
+    "bm25_topk",
+    "tfidf_keywords",
+    "pack_sequences",
+    "chunk_documents",
+    "host_lang_consistency",
+]
+
+
+def _hostile_corpus() -> list[tuple]:
+    import random
+
+    rng = random.Random(77)
+    vocab = [
+        "spark", "vector", "stream", "window", "the", "a", "word",
+        "naïve", "Ωmega", "東京", "データ", "🙂🙂", "𐐷astral", "x" * 300,
+        "tab\tinside", "semi;colon",
+    ]
+    rows = []
+    for i in range(120):
+        if i % 17 == 0:
+            text = ""  # empty doc
+        elif i % 23 == 0:
+            text = "   "  # whitespace-only
+        else:
+            words = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(1, 40))]
+            text = " ".join(words)
+            if i % 5 == 0:
+                text = text.replace(" ", "  ", 3)  # double spaces
+        # (doc_id, lang, source, text, n_chars) — the columns the gates use
+        rows.append(
+            (
+                i,
+                ["en", "de", "es", "zh", "ru"][i % 5],
+                ["web", "news", "wiki"][i % 3],
+                text,
+                len(text),
+            )
+        )
+    return rows
+
+
+@pytest.mark.parametrize("name", GATES)
+def test_hostile_parity(spark, name):
+    rows = _hostile_corpus()
+    schema = "doc_id bigint, lang string, source string, text string, n_chars bigint"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, lang VARCHAR, source VARCHAR,"
+        " text VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?, ?)", rows)
+    oracle_pdf = con.execute(ORACLE_SQL[name]).df()
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        spark_pdf = QUERIES[name](spark, d).toPandas()
+
+    def canon(pdf: pd.DataFrame) -> list[tuple]:
+        cols = sorted(pdf.columns)
+        out = []
+        for row in pdf[cols].itertuples(index=False, name=None):
+            out.append(
+                tuple(
+                    "<NULL>"
+                    if v is None or (isinstance(v, float) and v != v)
+                    else str(bool(v))
+                    if str(type(v)).endswith(("bool'>", "bool_'>"))
+                    else str(v)
+                    for v in row
+                )
+            )
+        return sorted(out)
+
+    s_rows, o_rows = canon(spark_pdf), canon(oracle_pdf)
+    assert len(s_rows) == len(o_rows) > 0, name
+    assert s_rows == o_rows, name
