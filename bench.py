@@ -77,6 +77,7 @@ HEADLINE = [
     "corpus_curation",
     "host_lang_consistency",
     "pq_encode",
+    "winnow_fingerprints",
     # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
     # 500-doc universe — verified at the gate, not a headline path
 ]

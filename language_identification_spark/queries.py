@@ -4517,6 +4517,44 @@ SELECT vec_id, sub::INT AS sub, code, dist FROM (
 """.replace("documents_embeddings_base", "embeddings")
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (operators/winnow.py): k=5 char grams, w=4 windows,
+    rightmost-min selection — position-anchored fingerprints for
+    partial-overlap detection. Zero-exchange narrow map; emits distinct
+    (doc_id, pos, fp)."""
+    from language_identification_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return winnow_fingerprints(docs, k=5, w=4)
+
+
+SQL_WINNOW_FINGERPRINTS = """
+WITH base AS (
+  SELECT doc_id, text, (length(text) - 4)::BIGINT AS n_grams
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) - 4 >= 4
+),
+hs AS (
+  SELECT doc_id, n_grams,
+         list_transform(range(1, n_grams + 1),
+           i -> CAST(('0x' || substr(md5(substring(text, i::INT, 5)), 1, 8)) AS UINT32)::BIGINT) AS h
+  FROM base
+),
+sels AS (
+  SELECT doc_id,
+         list_transform(range(1, n_grams - 4 + 2),
+           j -> (j + 4 - list_position(list_reverse(list_slice(h, j::INT, (j + 3)::INT)),
+                                       list_min(list_slice(h, j::INT, (j + 3)::INT))))::BIGINT) AS poss,
+         list_transform(range(1, n_grams - 4 + 2),
+           j -> list_min(list_slice(h, j::INT, (j + 3)::INT))) AS fps
+  FROM hs
+)
+SELECT DISTINCT doc_id, unnest(poss) AS pos, unnest(fps) AS fp FROM sels
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4570,6 +4608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_lang_consistency": q_host_lang_consistency,
     "lsh_recall_eval": q_lsh_recall_eval,
     "pq_encode": q_pq_encode,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
@@ -4649,6 +4688,7 @@ ORACLE_SQL: dict[str, str] = {
     "host_lang_consistency": SQL_HOST_LANG_CONSISTENCY,
     "lsh_recall_eval": SQL_LSH_RECALL_EVAL,
     "pq_encode": SQL_PQ_ENCODE,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,
