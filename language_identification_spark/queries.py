@@ -43,6 +43,11 @@ Operator coverage map (reference file:line in each docstring):
   tokens: token_count / bpe_token_count; splits: deterministic_split;
   packing: pack_sequences (concat-and-chop window spans, operators/packing.py)
   + chunk_documents (overlapping RAG windows, operators/chunking.py);
+  retrieval/eval: bm25_topk + tfidf_keywords + langid_eval (P/R/F1 via
+  operators/evalmetrics.py) + lsh_recall_eval (measured banding recall)
+  + pq_encode (operators/pq.py) + winnow_fingerprints (operators/winnow.py);
+  skew/composition: skew_join_salted + host_lang_consistency +
+  corpus_curation (six gated stages chained) + url_word_score;
   F14 deseret_translit (weird-font -> Deseret -> phonemes, functions/deseret.py);
   P8 term_cleanup (has_text/has_digit quirks + norm_text key);
   reporting: rollup_counts; windows/sessions: events_hourly /
