@@ -78,6 +78,7 @@ HEADLINE = [
     "host_lang_consistency",
     "pq_encode",
     "winnow_fingerprints",
+    "winnow_overlap_pairs",
     # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
     # 500-doc universe — verified at the gate, not a headline path
 ]

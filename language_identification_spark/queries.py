@@ -4560,6 +4560,66 @@ SELECT DISTINCT doc_id, unnest(poss) AS pos, unnest(fps) AS fp FROM sels
 """
 
 
+WINNOW_STOP_DF = 20  # fingerprints in more docs than this are boilerplate
+
+
+def q_winnow_overlap_pairs(spark, sf_dir):
+    """Partial-overlap detection on winnowing fingerprints: docs sharing
+    selected hashes are candidate plagiarism/partial-copy pairs. Stop-
+    fingerprint cap first (df > 20 => boilerplate gram, dropped — the
+    same degenerate-bucket defense as lsh_bucket_cap), THEN the fp self-
+    join, so bucket size is bounded by the cap at any corpus size. Top-20
+    pairs by shared-fingerprint count, total tie-break."""
+    from language_identification_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    fps = (
+        winnow_fingerprints(docs, k=5, w=4)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    keep_fp = fps.groupBy("fp").agg(
+        F.count("*").alias("dfc")
+    ).filter((F.col("dfc") >= 2) & (F.col("dfc") <= WINNOW_STOP_DF))
+    fps2 = fps.join(keep_fp.select("fp"), "fp")
+    pairs = (
+        fps2.alias("x")
+        .join(fps2.alias("y"), "fp")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )
+    w = Window.orderBy(F.desc("shared"), F.asc("a"), F.asc("b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "a", "b", "shared")
+    )
+
+
+SQL_WINNOW_OVERLAP_PAIRS = """
+WITH winnowed AS ({winnow}),
+fps AS (SELECT DISTINCT doc_id, fp FROM winnowed),
+keep_fp AS (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING count(*) BETWEEN 2 AND {cap}
+),
+fps2 AS (SELECT doc_id, fp FROM fps JOIN keep_fp USING (fp)),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS shared
+  FROM fps2 x JOIN fps2 y USING (fp)
+  WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+)
+SELECT rank, a, b, shared FROM (
+  SELECT a, b, shared,
+         row_number() OVER (ORDER BY shared DESC, a ASC, b ASC)::INT AS rank
+  FROM pairs
+) WHERE rank <= 20
+""".format(winnow=SQL_WINNOW_FINGERPRINTS, cap=WINNOW_STOP_DF)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4614,6 +4674,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_recall_eval": q_lsh_recall_eval,
     "pq_encode": q_pq_encode,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
@@ -4694,6 +4755,7 @@ ORACLE_SQL: dict[str, str] = {
     "lsh_recall_eval": SQL_LSH_RECALL_EVAL,
     "pq_encode": SQL_PQ_ENCODE,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "winnow_overlap_pairs": SQL_WINNOW_OVERLAP_PAIRS,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,
