@@ -79,6 +79,7 @@ HEADLINE = [
     "pq_encode",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
+    "batch_plan",
     # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
     # 500-doc universe — verified at the gate, not a headline path
 ]

@@ -4620,6 +4620,62 @@ SELECT rank, a, b, shared FROM (
 """.format(winnow=SQL_WINNOW_FINGERPRINTS, cap=WINNOW_STOP_DF)
 
 
+def q_batch_plan(spark, sf_dir):
+    """Inference batch planner: bucket docs by padded length (multiples of
+    32 tokens), fill fixed-size batches of 16 in deterministic doc_id
+    order within each bucket, and audit the padding waste per batch
+    (sum of max_tok - n_tok — the tokens a padded forward pass burns).
+    Length-bucketed batching is the standard serving optimization; this
+    makes its benefit AUDITABLE before a GPU hour is spent. One exchange
+    (the bucket window); batch stats ride the same partitioning."""
+    docs = _spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    n_tok = F.size(_words(F.col("text")))
+    base = docs.select(
+        "doc_id", n_tok.cast("bigint").alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    base = base.withColumn(
+        "bucket_len", (((F.col("n_tok") + 31) / 32).cast("bigint") * 32)
+    )
+    w = Window.partitionBy("bucket_len").orderBy("doc_id")
+    batched = base.withColumn(
+        "batch_idx",
+        ((F.row_number().over(w) - 1) / 16).cast("bigint"),
+    )
+    return batched.groupBy("bucket_len", "batch_idx").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.max("n_tok").alias("max_tok"),
+        F.sum("n_tok").cast("bigint").alias("total_tok"),
+        (F.count("*") * F.max("n_tok") - F.sum("n_tok"))
+        .cast("bigint")
+        .alias("padding_waste"),
+    )
+
+
+SQL_BATCH_PLAN = """
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tok
+  FROM documents WHERE text IS NOT NULL
+),
+bucketed AS (
+  SELECT doc_id, n_tok, ((n_tok + 31) // 32) * 32 AS bucket_len
+  FROM base WHERE n_tok > 0
+),
+batched AS (
+  SELECT *, (row_number() OVER (PARTITION BY bucket_len ORDER BY doc_id) - 1) // 16 AS batch_idx
+  FROM bucketed
+)
+SELECT bucket_len::BIGINT AS bucket_len, batch_idx::BIGINT AS batch_idx,
+       count(*)::BIGINT AS n_docs,
+       max(n_tok)::BIGINT AS max_tok,
+       sum(n_tok)::BIGINT AS total_tok,
+       (count(*) * max(n_tok) - sum(n_tok))::BIGINT AS padding_waste
+FROM batched GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4675,6 +4731,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_encode": q_pq_encode,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
+    "batch_plan": q_batch_plan,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
@@ -4756,6 +4813,7 @@ ORACLE_SQL: dict[str, str] = {
     "pq_encode": SQL_PQ_ENCODE,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "winnow_overlap_pairs": SQL_WINNOW_OVERLAP_PAIRS,
+    "batch_plan": SQL_BATCH_PLAN,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,
