@@ -4676,6 +4676,70 @@ FROM batched GROUP BY 1, 2
 """
 
 
+def q_snapshot_merge(spark, sf_dir):
+    """Crawl snapshot merge — latest-fetch-wins upsert: the same url
+    refetched across crawl snapshots keeps only its newest version (the
+    MERGE INTO pattern of the Iceberg surface, expressed engine-neutrally
+    as a window). Refetches synthesized per doc (1 + doc_id % 3 fetches,
+    one day apart, content length drifting per fetch) so every branch
+    fires. One exchange on the url key; winner tie-break total
+    (ts desc, fetch_idx desc)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    fetches = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("fetch_idx"),
+    ).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        "fetch_idx",
+        F.date_add(
+            F.to_date(F.lit("2024-01-01")), F.col("fetch_idx")
+        ).alias("fetch_date"),
+        (F.col("n_chars") + F.col("fetch_idx") * 7)
+        .cast("bigint")
+        .alias("content_len"),
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.desc("fetch_date"), F.desc("fetch_idx")
+    )
+    return (
+        fetches.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_fetches", F.count("*").over(Window.partitionBy("url"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "url",
+            F.col("fetch_date").cast("string").alias("latest_fetch"),
+            "content_len",
+            F.col("n_fetches").cast("bigint").alias("n_fetches"),
+        )
+    )
+
+
+SQL_SNAPSHOT_MERGE = """
+WITH fetches AS (
+  SELECT 'doc://' || doc_id::VARCHAR AS url,
+         fetch_idx,
+         (DATE '2024-01-01' + fetch_idx::INT) AS fetch_date,
+         (n_chars + fetch_idx * 7)::BIGINT AS content_len
+  FROM documents, unnest(range(0, doc_id % 3 + 1)) AS t(fetch_idx)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY fetch_date DESC, fetch_idx DESC) AS rn,
+         count(*) OVER (PARTITION BY url) AS n_fetches
+  FROM fetches
+)
+SELECT url, fetch_date::VARCHAR AS latest_fetch, content_len,
+       n_fetches::BIGINT AS n_fetches
+FROM ranked WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4732,6 +4796,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "batch_plan": q_batch_plan,
+    "snapshot_merge": q_snapshot_merge,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
@@ -4814,6 +4879,7 @@ ORACLE_SQL: dict[str, str] = {
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "winnow_overlap_pairs": SQL_WINNOW_OVERLAP_PAIRS,
     "batch_plan": SQL_BATCH_PLAN,
+    "snapshot_merge": SQL_SNAPSHOT_MERGE,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,
