@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 WARC_SCHEMA = (
     "warc_file string, record_type string, url string, warc_ts string, "
-    "http_status int, payload binary, warc_error string"
+    "http_status int, content_type string, payload binary, "
+    "warc_error string"
 )
 
 _GZIP_MAGIC = b"\x1f\x8b"
@@ -52,17 +53,16 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
-def parse_warc_bytes(
-    name: str, data: bytes
-) -> Iterator[tuple[str, str | None, str | None, str | None, int | None, bytes | None, str | None]]:
-    """Yield (warc_file, record_type, url, warc_ts, http_status, payload,
-    warc_error) per record. Pure function of the bytes — unit-testable
-    without Spark, reused verbatim by the mapInPandas batches."""
+def parse_warc_bytes(name: str, data: bytes) -> Iterator[tuple]:
+    """Yield (warc_file, record_type, url, warc_ts, http_status,
+    content_type, payload, warc_error) per record. Pure function of the
+    bytes — unit-testable without Spark, reused verbatim by the
+    mapInPandas batches."""
     if data[:2] == _GZIP_MAGIC:
         try:
             data = _gunzip_members(data)
         except Exception as exc:  # corrupt archive: one error row
-            yield (name, None, None, None, None, None, f"gzip: {exc}")
+            yield (name, None, None, None, None, None, None, f"gzip: {exc}")
             return
     pos = 0
     while True:
@@ -73,7 +73,7 @@ def parse_warc_bytes(
             return
         hdr_end = data.find(b"\r\n\r\n", start)
         if hdr_end < 0:
-            yield (name, None, None, None, None, None, "truncated header")
+            yield (name, None, None, None, None, None, None, "truncated header")
             return
         headers: dict[str, str] = {}
         for line in data[start:hdr_end].split(b"\r\n")[1:]:
@@ -85,7 +85,7 @@ def parse_warc_bytes(
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            yield (name, None, None, None, None, None, "bad Content-Length")
+            yield (name, None, None, None, None, None, None, "bad Content-Length")
             pos = hdr_end + 4
             continue
         body = data[hdr_end + 4 : hdr_end + 4 + length]
@@ -94,6 +94,7 @@ def parse_warc_bytes(
         url = headers.get("warc-target-uri")
         ts = headers.get("warc-date")
         status: int | None = None
+        ctype: str | None = None
         payload = body
         err = None
         if len(body) < length:
@@ -104,12 +105,18 @@ def parse_warc_bytes(
             if http_end < 0 or not body.startswith(b"HTTP/"):
                 err = "bad http payload"
             else:
+                head_lines = body[:http_end].split(b"\r\n")
                 try:
-                    status = int(body.split(b"\r\n", 1)[0].split(b" ")[1])
+                    status = int(head_lines[0].split(b" ")[1])
                 except (IndexError, ValueError):
                     err = "bad http status line"
+                for hl in head_lines[1:]:
+                    hk, hsep, hv = hl.partition(b":")
+                    if hsep and hk.strip().lower() == b"content-type":
+                        ctype = hv.strip().decode("ascii", "replace").lower()
+                        break
                 payload = body[http_end + 4 :]
-        yield (name, rtype, url, ts, status, payload, err)
+        yield (name, rtype, url, ts, status, ctype, payload, err)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -120,7 +127,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "warc_file", "record_type", "url", "warc_ts",
-            "http_status", "payload", "warc_error",
+            "http_status", "content_type", "payload", "warc_error",
         ]
         for pdf in batches:
             rows = [
@@ -140,15 +147,21 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 def warc_to_pages(warc: DataFrame) -> DataFrame:
     """Shape the raw record stream into the pipeline's pages contract
     (url, warc_ts, html, text, lang — fixtures.PAGES_SCHEMA): HTTP-200
-    response records only, WARC-Date parsed to timestamp, payload as the
-    html bytes. A narrow projection — read_warc + this + the flagship
-    quality_filter_plan is the full wire-to-keep/drop path."""
+    text/html response records only (a missing Content-Type passes — some
+    servers omit it and the extractor handles non-HTML gracefully),
+    WARC-Date parsed to timestamp, payload as the html bytes. A narrow
+    projection — read_warc + this + the flagship quality_filter_plan is
+    the full wire-to-keep/drop path."""
     from pyspark.sql import functions as F
 
     return warc.filter(
         (F.col("record_type") == "response")
         & (F.col("http_status") == 200)
         & F.col("warc_error").isNull()
+        & (
+            F.col("content_type").isNull()
+            | F.col("content_type").startswith("text/html")
+        )
     ).select(
         "url",
         F.to_timestamp("warc_ts").alias("warc_ts"),

@@ -54,9 +54,10 @@ def test_parse_plain_archive():
     recs = list(parse_warc_bytes("f", _archive()))
     assert [r[1] for r in recs] == ["warcinfo", "response", "response"]
     info, r1, r2 = recs
-    assert r1[2] == "http://a.com/1" and r1[4] == 200 and r1[5] == BODY1
-    assert r2[2] == "http://a.com/2" and r2[4] == 404 and r2[5] == BODY2
-    assert all(r[6] is None for r in recs)
+    assert r1[2] == "http://a.com/1" and r1[4] == 200 and r1[6] == BODY1
+    assert r1[5] == "text/html"
+    assert r2[2] == "http://a.com/2" and r2[4] == 404 and r2[6] == BODY2
+    assert all(r[7] is None for r in recs)
 
 
 def test_parse_member_per_record_gzip():
@@ -80,19 +81,19 @@ def test_parse_member_per_record_gzip():
     )
     recs = list(parse_warc_bytes("f.gz", gz))
     assert [r[2] for r in recs] == ["http://b.com/x", "http://b.com/y"]
-    assert [r[5] for r in recs] == [BODY1, BODY2]
+    assert [r[6] for r in recs] == [BODY1, BODY2]
 
 
 def test_malformed_records_become_error_rows_not_crashes():
     bad_len = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: zzz\r\n\r\n"
     recs = list(parse_warc_bytes("f", bad_len))
-    assert recs[0][6] == "bad Content-Length"
+    assert recs[0][7] == "bad Content-Length"
 
     bad_http = _warc_record(
         "response", "http://c.com", "2024-01-01T00:00:00Z", b"NOT-HTTP"
     )
     recs = list(parse_warc_bytes("f", bad_http))
-    assert recs[0][6] == "bad http payload"
+    assert recs[0][7] == "bad http payload"
     assert recs[0][2] == "http://c.com"  # metadata still surfaced
 
     assert list(parse_warc_bytes("f", b"garbage no records")) == []
@@ -158,6 +159,12 @@ def test_warc_feeds_the_flagship_pipeline(spark, tmp_path):
         ),
         _warc_record(
             "warcinfo", "urn:x", "2024-01-01T00:00:02Z", b"meta"
+        ),
+        _warc_record(  # 200 but not text/html: excluded by content type
+            "response",
+            "http://pdf.com/3",
+            "2024-01-01T00:00:03Z",
+            b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n%PDF-fake",
         ),
     ]
     (tmp_path / "c.warc.gz").write_bytes(
