@@ -81,6 +81,7 @@ HEADLINE = [
     "winnow_overlap_pairs",
     "batch_plan",
     "snapshot_merge",
+    "cdc_chunks",
     # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
     # 500-doc universe — verified at the gate, not a headline path
 ]

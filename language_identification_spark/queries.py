@@ -4740,6 +4740,59 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/winnow.py:cdc_chunks): k=5 gram
+    hash, boundary at h % 64 == 0 — edit-resilient chunk fingerprints for
+    storage-style dedup. Zero-exchange Arrow-batched map (same measured
+    verdict as winnowing)."""
+    from language_identification_spark.operators.winnow import cdc_chunks
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return cdc_chunks(docs, k=5, divisor=64)
+
+
+SQL_CDC_CHUNKS = """
+WITH base AS (
+  SELECT doc_id, text, length(text)::BIGINT AS n
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+anchors AS (
+  SELECT doc_id, text, n,
+         list_filter(range(1, greatest(n - 4, 0) + 1),
+           i -> CAST(('0x' || substr(md5(substring(text, i::INT, 5)), 1, 8)) AS UINT32) % 64 = 0) AS hits
+  FROM base
+),
+bounds AS (
+  -- 0-based boundary offsets: 0, each anchor end (i-1+5), and n if needed
+  SELECT doc_id, text, n,
+         list_prepend(0::BIGINT, list_transform(hits, i -> (i + 4)::BIGINT)) AS b0
+  FROM anchors
+),
+bounds2 AS (
+  SELECT doc_id, text,
+         CASE WHEN b0[-1] < n THEN list_append(b0, n) ELSE b0 END AS b
+  FROM bounds
+),
+chunks AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(range(1, len(b)),
+             ci -> struct_pack(
+               s := b[ci::INT] + 1,
+               ln := b[(ci + 1)::INT] - b[ci::INT])),
+           c -> c.ln > 0) AS cs,
+         text
+  FROM bounds2
+)
+SELECT doc_id,
+       (unnest(range(0, len(cs))))::BIGINT AS chunk_idx,
+       unnest(list_transform(cs, c -> c.s))::BIGINT AS start,
+       unnest(list_transform(cs, c -> c.ln))::BIGINT AS length,
+       unnest(list_transform(cs, c -> md5(substring(text, c.s::INT, c.ln::INT)))) AS chunk_md5
+FROM chunks
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4797,6 +4850,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "batch_plan": q_batch_plan,
     "snapshot_merge": q_snapshot_merge,
+    "cdc_chunks": q_cdc_chunks,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
@@ -4880,6 +4934,7 @@ ORACLE_SQL: dict[str, str] = {
     "winnow_overlap_pairs": SQL_WINNOW_OVERLAP_PAIRS,
     "batch_plan": SQL_BATCH_PLAN,
     "snapshot_merge": SQL_SNAPSHOT_MERGE,
+    "cdc_chunks": SQL_CDC_CHUNKS,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,
