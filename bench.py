@@ -82,6 +82,8 @@ HEADLINE = [
     "batch_plan",
     "snapshot_merge",
     "cdc_chunks",
+    "vocab_coverage",
+    "langid_calibration",
     # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
     # 500-doc universe — verified at the gate, not a headline path
 ]

@@ -4793,6 +4793,110 @@ FROM chunks
 """
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-design query: the vocabulary coverage curve — for each
+    word ranked by frequency, the cumulative fraction of all token
+    occurrences a vocab truncated at that rank would cover ('what vocab
+    size covers 99%?'). Corpus crosses once as word counts; the cumsum
+    window runs over the vocabulary-sized count table. Top 50 ranks
+    emitted; fractions are integer-ratio doubles rounded 6."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.select(F.sum("n").alias("tot"))
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    cum = counts.withColumn("rank", F.row_number().over(w)).withColumn(
+        "cum_n", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        cum.filter(F.col("rank") <= 50)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "word",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("cum_n") / F.col("tot"), 6).alias("coverage"),
+        )
+    )
+
+
+SQL_VOCAB_COVERAGE = """
+WITH counts AS (
+  SELECT word, count(*)::BIGINT AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+tot AS (SELECT sum(n)::BIGINT AS tot FROM counts),
+cum AS (
+  SELECT word, n,
+         row_number() OVER (ORDER BY n DESC, word ASC)::BIGINT AS rank,
+         sum(n) OVER (ORDER BY n DESC, word ASC ROWS UNBOUNDED PRECEDING) AS cum_n
+  FROM counts
+)
+SELECT rank, word, n, round(cum_n::DOUBLE / tot.tot, 6) AS coverage
+FROM cum CROSS JOIN tot WHERE rank <= 50
+"""
+
+
+def q_langid_calibration(spark, sf_dir):
+    """Calibration curve for the L2 NB langid: bucket held-out top-1
+    confidence into deciles and measure accuracy per bucket — whether
+    0.9-confidence predictions are right ~90% of the time (the evidence a
+    production confidence THRESHOLD rests on, beyond the F1 point
+    estimate of langid_eval). Corpus-scale work is langid_nb_rank's;
+    everything after is 10 rows."""
+    pred = (
+        q_langid_nb_rank(spark, sf_dir)
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.col("lang").alias("pred"), "prob")
+    )
+    truth = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("label")
+    )
+    j = truth.join(pred, "doc_id").withColumn(
+        "bucket",
+        F.least(F.floor(F.col("prob") * 10).cast("int"), F.lit(9)),
+    )
+    return j.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("label") == F.col("pred"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum(F.when(F.col("label") == F.col("pred"), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("accuracy"),
+        F.round(F.avg("prob"), 6).alias("mean_conf"),
+    )
+
+
+SQL_LANGID_CALIBRATION = """
+WITH pred AS (
+  SELECT doc_id, lang AS pred, prob FROM ({nb_rank}) WHERE rnk = 1
+),
+j AS (
+  SELECT d.lang AS label, p.pred, p.prob,
+         least(floor(p.prob * 10)::INT, 9) AS bucket
+  FROM documents d JOIN pred p USING (doc_id)
+)
+SELECT bucket,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN label = pred THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       round(sum(CASE WHEN label = pred THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS accuracy,
+       round(avg(prob), 6) AS mean_conf
+FROM j GROUP BY bucket
+"""
+SQL_LANGID_CALIBRATION = SQL_LANGID_CALIBRATION.format(
+    nb_rank=SQL_LANGID_NB_RANK
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4851,6 +4955,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "batch_plan": q_batch_plan,
     "snapshot_merge": q_snapshot_merge,
     "cdc_chunks": q_cdc_chunks,
+    "vocab_coverage": q_vocab_coverage,
+    "langid_calibration": q_langid_calibration,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
@@ -4935,6 +5041,8 @@ ORACLE_SQL: dict[str, str] = {
     "batch_plan": SQL_BATCH_PLAN,
     "snapshot_merge": SQL_SNAPSHOT_MERGE,
     "cdc_chunks": SQL_CDC_CHUNKS,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "langid_calibration": SQL_LANGID_CALIBRATION,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,
