@@ -24,9 +24,14 @@ Scale shape (the 100 TB contract):
   side never reshuffles for them.
 - Top-k is orderBy+limit -> TakeOrderedAndProject (per-partition heap +
   driver merge of k rows), never a global sort.
-The one unavoidable full-width pass is the doc-length scan (BM25 needs
-dl for every candidate doc); it is computed in the same projection as
-the explode, not a second scan.
+Corpus stats (N, avgdl) are a SECOND scan of the text column — BM25
+needs dl for every doc, matched or not, so some full-width pass is
+unavoidable; when the corpus is iterated repeatedly (a query service),
+persist the (doc_id, dl) projection once and both branches reuse it.
+
+Query terms are SET semantics: duplicates in ``terms`` are collapsed
+(each distinct term contributes once) — the common IR-library default;
+weight repeated terms upstream if bag semantics are wanted.
 
 Cross-engine determinism: scores are rounded to 4 decimals and ranked by
 (rounded score desc, doc_id asc) in both engines, the same discipline as
@@ -55,7 +60,12 @@ def bm25_topk(
     """
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
+    terms = sorted(set(terms))
 
+    # NULL text must not reach size(): with legacy sizeOfNull, size(NULL)
+    # is -1 and every NULL doc would DEFLATE avgdl (review finding); the
+    # DuckDB oracle's avg() skips NULLs, so dropping them keeps parity
+    docs = docs.filter(F.col(text_col).isNotNull())
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     toks = docs.select(
         F.col(id_col).alias("doc_id"),

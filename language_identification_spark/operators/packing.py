@@ -62,22 +62,18 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = base.withColumn("end_off", F.sum("n_tok").over(w))
+    # integer DIV, not floor(double division): bigint/int goes through a
+    # double, which loses exactness past 2^53 while DuckDB's // stays
+    # exact — the "same packing on any engine" claim needs true integer
+    # arithmetic (review finding)
+    first_pack = F.expr(f"(end_off - n_tok) DIV {ctx_len}").cast("bigint")
+    last_pack = F.expr(f"(end_off - 1) DIV {ctx_len}").cast("bigint")
     return cum.select(
         "doc_id",
         "shard",
         "n_tok",
         (F.col("end_off") - F.col("n_tok")).alias("start_off"),
-        F.floor((F.col("end_off") - F.col("n_tok")) / ctx_len)
-        .cast("bigint")
-        .alias("first_pack"),
-        F.floor((F.col("end_off") - 1) / ctx_len)
-        .cast("bigint")
-        .alias("last_pack"),
-        (
-            F.floor((F.col("end_off") - 1) / ctx_len)
-            - F.floor((F.col("end_off") - F.col("n_tok")) / ctx_len)
-            + 1
-        )
-        .cast("bigint")
-        .alias("packs_spanned"),
+        first_pack.alias("first_pack"),
+        last_pack.alias("last_pack"),
+        (last_pack - first_pack + 1).cast("bigint").alias("packs_spanned"),
     )

@@ -54,7 +54,14 @@ def pq_encode(
     ``codebook``: (sub, code, cent) with cent an array of sub_dim floats —
     M x K rows, broadcast. Returns (vec_id, sub, code, dist) with dist
     the rounded squared distance of the winning centroid.
+
+    Vectors whose length is not m*sub_dim are EXCLUDED up front: a short
+    subvector makes zip_with pad with NULLs, every distance goes NULL,
+    and Spark's NULLS FIRST ascending sort would silently assign code 0
+    (review finding) — a malformed embedding must not become a quiet
+    wrong answer.
     """
+    emb = emb.filter(F.size(F.col(vec_col)) == m * sub_dim)
     subs = emb.select(
         F.col(id_col).alias("vec_id"),
         F.explode(

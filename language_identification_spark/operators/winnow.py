@@ -40,7 +40,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-WINNOW_SCHEMA = "doc_id bigint, pos bigint, fp bigint"
+def _id_type(docs: DataFrame, id_col: str) -> str:
+    """Output doc_id keeps the CALLER'S id type — a hard-coded bigint
+    would crash the executor on string ids (review finding)."""
+    return docs.schema[id_col].dataType.simpleString()
 
 
 def winnow_text(text: str | None, k: int, w: int) -> list[tuple[int, int]]:
@@ -83,17 +86,19 @@ def winnow_fingerprints(
                     ids.append(doc_id)
                     poss.append(p)
                     fps.append(f)
-            yield pd.DataFrame(
-                {"doc_id": ids, "pos": poss, "fp": fps},
-                # dtype pinned so empty batches keep the schema
-            ).astype({"doc_id": "int64", "pos": "int64", "fp": "int64"})
+            out = pd.DataFrame({"doc_id": ids, "pos": poss, "fp": fps})
+            # dtype pinned so empty batches keep the schema; doc_id stays
+            # whatever the caller's id type maps to through Arrow
+            yield out.astype({"pos": "int64", "fp": "int64"})
 
+    schema = f"doc_id {_id_type(docs, id_col)}, pos bigint, fp bigint"
     return docs.select(id_col, text_col).mapInPandas(
-        _batches, schema=WINNOW_SCHEMA
+        _batches, schema=schema
     )
 
 
-CDC_SCHEMA = "doc_id bigint, chunk_idx bigint, start bigint, length bigint, chunk_md5 string"
+# chunk_idx/start/length are always bigint; doc_id follows the caller's type
+_CDC_TAIL = "chunk_idx bigint, start bigint, length bigint, chunk_md5 string"
 
 
 def cdc_chunks(
@@ -152,14 +157,10 @@ def cdc_chunks(
                 rows,
                 columns=["doc_id", "chunk_idx", "start", "length", "chunk_md5"],
             ).astype(
-                {
-                    "doc_id": "int64",
-                    "chunk_idx": "int64",
-                    "start": "int64",
-                    "length": "int64",
-                }
+                {"chunk_idx": "int64", "start": "int64", "length": "int64"}
             )
 
+    schema = f"doc_id {_id_type(docs, id_col)}, {_CDC_TAIL}"
     return docs.select(id_col, text_col).mapInPandas(
-        _batches, schema=CDC_SCHEMA
+        _batches, schema=schema
     )

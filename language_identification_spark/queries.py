@@ -3730,12 +3730,12 @@ toks AS (
   SELECT doc_id,
          len(list_filter(string_split(text, ' '), w -> w <> '')) AS dl,
          unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 stats AS (
   SELECT count(*)::BIGINT AS n_docs,
          avg(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS avgdl
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 matches AS (SELECT doc_id, dl, word FROM toks WHERE word IN (SELECT word FROM terms)),
 tf AS (SELECT doc_id, word, dl, count(*)::BIGINT AS tf FROM matches GROUP BY 1, 2, 3),
@@ -4503,6 +4503,7 @@ WITH subs AS (
   SELECT vec_id, j AS sub,
          list_slice(embedding::DOUBLE[], j * 8 + 1, j * 8 + 8) AS sv
   FROM documents_embeddings_base, unnest(range(0, 8)) AS t(j)
+  WHERE len(embedding) = 64
 ),
 codebook AS (
   SELECT sub, vec_id::INT AS code, sv AS cent FROM subs WHERE vec_id < 4

@@ -42,11 +42,15 @@ _GZIP_MAGIC = b"\x1f\x8b"
 
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a (possibly multi-member) gzip stream."""
+    """Decompress a (possibly multi-member) gzip stream. Raises on a
+    truncated final member — silently returning partial plaintext could
+    drop whole records with no error row (review finding)."""
     out = []
     while data[:2] == _GZIP_MAGIC:
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
         out.append(d.decompress(data))
+        if not d.eof:
+            raise ValueError("truncated gzip member")
         data = d.unused_data
         if not out[-1] and not data:
             break
@@ -66,11 +70,19 @@ def parse_warc_bytes(name: str, data: bytes) -> Iterator[tuple]:
             return
     pos = 0
     while True:
-        start = data.find(b"WARC/1.0\r\n", pos)
-        if start < 0:
-            start = data.find(b"WARC/1.1\r\n", pos)
-        if start < 0:
+        # earliest marker of EITHER version — a 1.0-only search would skip
+        # every 1.1 record in a mixed archive (review finding)
+        starts = [
+            s
+            for s in (
+                data.find(b"WARC/1.0\r\n", pos),
+                data.find(b"WARC/1.1\r\n", pos),
+            )
+            if s >= 0
+        ]
+        if not starts:
             return
+        start = min(starts)
         hdr_end = data.find(b"\r\n\r\n", start)
         if hdr_end < 0:
             yield (name, None, None, None, None, None, None, "truncated header")
@@ -84,6 +96,10 @@ def parse_warc_bytes(name: str, data: bytes) -> Iterator[tuple]:
                 )
         try:
             length = int(headers.get("content-length", ""))
+            if length < 0:
+                # a negative length would move the cursor BACKWARDS and
+                # re-find the same record forever (review finding)
+                raise ValueError(length)
         except ValueError:
             yield (name, None, None, None, None, None, None, "bad Content-Length")
             pos = hdr_end + 4

@@ -76,3 +76,25 @@ def test_bm25_plan_shape(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_null_text_docs_do_not_corrupt_avgdl(spark):
+    from pyspark.sql import Row
+
+    base = [Row(doc_id=i, text=t) for i, t in CORPUS]
+    with_nulls = base + [Row(doc_id=100 + i, text=None) for i in range(50)]
+    a = {r.doc_id: r.score for r in bm25_topk(
+        spark.createDataFrame(base), TERMS, k=10).collect()}
+    b = {r.doc_id: r.score for r in bm25_topk(
+        spark.createDataFrame(with_nulls), TERMS, k=10).collect()}
+    # NULL docs are excluded entirely: identical stats, identical scores
+    assert a == b
+
+
+def test_duplicate_terms_are_set_semantics(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in CORPUS])
+    a = {(r.doc_id, r.score) for r in bm25_topk(docs, TERMS, k=10).collect()}
+    b = {(r.doc_id, r.score) for r in bm25_topk(docs, TERMS + TERMS, k=10).collect()}
+    assert a == b

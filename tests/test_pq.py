@@ -47,3 +47,16 @@ def test_pq_plan_broadcasts_codebook(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
+
+
+def test_malformed_vectors_are_excluded_not_misassigned(spark):
+    from pyspark.sql import Row
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    short = spark.createDataFrame(
+        [Row(vec_id=10_000, embedding=[0.5] * 60, label=0)]
+    )
+    cb = codebook_from_first_k(emb, m=M, sub_dim=D, k=K)
+    out = pq_encode(emb.unionByName(short), cb, m=M, sub_dim=D)
+    ids = {r.vec_id for r in out.collect()}
+    assert 10_000 not in ids  # excluded, not silently assigned code 0

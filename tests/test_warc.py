@@ -177,3 +177,39 @@ def test_warc_feeds_the_flagship_pipeline(spark, tmp_path):
     r = out[0]
     assert r.lang_pred == "en" and r.keep
     assert "quick brown fox" in r.extracted_text
+
+
+def test_negative_content_length_cannot_loop():
+    """A negative Content-Length must yield one error row and ADVANCE —
+    the pre-fix parser re-found the same record forever."""
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: -50\r\n\r\n"
+        + _warc_record(
+            "response", "http://after.com", "2024-01-01T00:00:00Z", _http(BODY2)
+        )
+    )
+    recs = list(parse_warc_bytes("f", bad))
+    assert recs[0][7] == "bad Content-Length"
+    assert recs[1][2] == "http://after.com"  # parsing continued past it
+
+
+def test_mixed_warc_versions_both_parsed():
+    """A 1.1 record before a 1.0 record must not be skipped."""
+    r11 = _warc_record(
+        "response", "http://v11.com", "2024-01-01T00:00:00Z", _http(BODY1)
+    ).replace(b"WARC/1.0", b"WARC/1.1", 1)
+    r10 = _warc_record(
+        "response", "http://v10.com", "2024-01-01T00:00:01Z", _http(BODY2)
+    )
+    recs = list(parse_warc_bytes("f", r11 + r10))
+    assert [r[2] for r in recs] == ["http://v11.com", "http://v10.com"]
+
+
+def test_truncated_gzip_member_is_an_error_row():
+    full = gzip.compress(
+        _warc_record(
+            "response", "http://t.com", "2024-01-01T00:00:00Z", _http(BODY1)
+        )
+    )
+    recs = list(parse_warc_bytes("f.gz", full[: len(full) - 8]))
+    assert len(recs) == 1 and recs[0][7].startswith("gzip:")

@@ -76,3 +76,13 @@ def test_density_and_plan(spark):
         r.n for r in docs.selectExpr("length(text) AS n").collect()
     )
     assert 0.1 < n_fp / n_chars < 0.8
+
+
+def test_string_doc_ids_are_preserved(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id="url-a", text="the quick brown fox jumps over it")]
+    )
+    rows = winnow_fingerprints(df, k=K, w=W).collect()
+    assert rows and all(r.doc_id == "url-a" for r in rows)
