@@ -47,12 +47,10 @@ def chunk_documents(
         words.alias("words"),
         F.size(words).cast("bigint").alias("n_tok"),
     ).filter(F.col("n_tok") > 0)
-    n_chunks = F.lit(1) + F.floor(
-        (
-            F.greatest(F.col("n_tok") - chunk_size, F.lit(0))
-            + F.lit(stride - 1)
-        )
-        / stride
+    # integer DIV (not floor of double division) — same exactness
+    # discipline as pack_sequences
+    n_chunks = F.lit(1) + F.expr(
+        f"(greatest(n_tok - {chunk_size}, 0) + {stride - 1}) DIV {stride}"
     )
     chunked = base.select(
         "doc_id",
