@@ -18,7 +18,54 @@ import argparse
 import json
 
 
+def _query_main(argv: list[str]) -> None:
+    """``python -m language_identification_spark query <name|list>`` — run
+    any battery operator by name over a testdata dir: the 'a reference
+    user can run every query they run today' surface, one command per
+    SURVEY.md §2 entry."""
+    p = argparse.ArgumentParser(prog="language_identification_spark query")
+    p.add_argument("name", help="query name from the battery, or 'list'")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--cores", type=int, default=8)
+    p.add_argument("--limit", type=int, default=20, help="rows to print")
+    args = p.parse_args(argv)
+
+    # the FULL battery lives in the driver-contract module (it extends
+    # queries.QUERIES with the entries defined there); fall back to the
+    # package dict when the entry module isn't on the path
+    try:
+        from __spark_entry__ import queries as _battery
+
+        registry = _battery()
+    except ImportError:
+        from language_identification_spark.queries import QUERIES as registry
+
+    if args.name == "list":
+        print(json.dumps(sorted(registry)))
+        return
+    if args.name not in registry:
+        raise SystemExit(
+            f"unknown query {args.name!r}; try 'list' ({len(registry)} available)"
+        )
+    from language_identification_spark.session import get_spark
+
+    spark = get_spark(f"query-{args.name}", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = registry[args.name](spark, args.sf_dir)
+    rows = df.limit(args.limit).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    print(json.dumps({"query": args.name, "rows_shown": len(rows),
+                      "columns": df.columns}))
+    spark.stop()
+
+
 def main(argv: list[str] | None = None) -> None:
+    import sys
+
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "query":
+        return _query_main(argv[1:])
     p = argparse.ArgumentParser(prog="language_identification_spark")
     p.add_argument("--input", required=True, help="pages parquet path (url, warc_ts, html, text, lang) or iceberg table identifier (catalog.db.table)")
     p.add_argument("--snapshot-id", type=int, default=None, help="pin an iceberg --input to this snapshot (requires the iceberg runtime)")

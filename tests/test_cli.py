@@ -87,3 +87,18 @@ def test_spark_submit_py_files_launch(tmp_path):
     manifest = json.loads((tmp_path / "out" / "_progress.json").read_text())
     assert manifest["buckets_done"] == [0, 1, 2, 3]
     assert sum(h["rows"] for h in manifest["run_history"]) == 120
+
+
+def test_cli_query_runner():
+    """`python -m language_identification_spark query <name>` runs any
+    battery operator; `query list` enumerates them."""
+    names = _run_cli(["query", "list"])
+    assert "token_count" in names and len(names) >= 90
+
+    summary = _run_cli(
+        ["query", "token_count", "--sf-dir", "/root/testdata/sf0.001",
+         "--limit", "3", "--cores", "2"]
+    )
+    assert summary["query"] == "token_count"
+    assert summary["rows_shown"] == 3
+    assert summary["columns"] == ["source", "n_tokens", "n_docs"]
