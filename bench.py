@@ -84,6 +84,7 @@ HEADLINE = [
     "cdc_chunks",
     "vocab_coverage",
     "langid_calibration",
+    "split_token_budget",
     # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
     # 500-doc universe — verified at the gate, not a headline path
 ]

@@ -4898,6 +4898,60 @@ SQL_LANGID_CALIBRATION = SQL_LANGID_CALIBRATION.format(
 )
 
 
+def q_split_token_budget(spark, sf_dir):
+    """Token accounting per (split, language) — the 'how many training
+    tokens do I actually have' report every run plan starts from:
+    deterministic md5 split x lang x exact-integer token/doc/char sums.
+    One map-side-combined exchange on a 15-key space."""
+    docs = _spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    n_tok = F.size(_words(F.col("text"))).cast("bigint")
+    return (
+        docs.select(split.alias("split"), "lang", n_tok.alias("n_tok"), "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+SQL_SPLIT_TOKEN_BUDGET = """
+WITH assigned AS (
+  SELECT CASE
+           WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UINT32) % 100 < 80 THEN 'train'
+           WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UINT32) % 100 < 90 THEN 'val'
+           ELSE 'test' END AS split,
+         lang,
+         len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tok,
+         n_chars::BIGINT AS n_chars
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT split, lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS n_tokens,
+       sum(n_chars)::BIGINT AS n_chars
+FROM assigned GROUP BY split, lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4958,6 +5012,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_chunks": q_cdc_chunks,
     "vocab_coverage": q_vocab_coverage,
     "langid_calibration": q_langid_calibration,
+    "split_token_budget": q_split_token_budget,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "span_dedup": q_span_dedup,
@@ -5044,6 +5099,7 @@ ORACLE_SQL: dict[str, str] = {
     "cdc_chunks": SQL_CDC_CHUNKS,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "langid_calibration": SQL_LANGID_CALIBRATION,
+    "split_token_budget": SQL_SPLIT_TOKEN_BUDGET,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "span_dedup": SQL_SPAN_DEDUP,
