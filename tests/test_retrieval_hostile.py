@@ -19,6 +19,13 @@ GATES = [
     "pack_sequences",
     "chunk_documents",
     "host_lang_consistency",
+    "vocab_coverage",
+    "split_token_budget",
+    "snapshot_merge",
+    "batch_plan",
+    "corpus_curation",
+    "winnow_fingerprints",
+    "cdc_chunks",
 ]
 
 
