@@ -89,56 +89,6 @@ def cosine_topk(
     )
 
 
-def near_dup_pairs_topn(
-    emb: DataFrame,
-    top_n: int = 20,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Top-N most-similar distinct pairs (a < b) by cosine.
-
-    The full (normalized) matrix is broadcast — valid while the corpus side
-    fits executor memory (test scale). At real scale swap candidate
-    generation for ``lsh_bucket_pairs`` and rerank only candidates.
-    Output: (rank, a, b, cos[4dp]).
-    """
-    spark = emb.sparkSession
-    all_rows = [(r[id_col], list(r[vec_col])) for r in emb.select(id_col, vec_col).collect()]
-    ids_all, mat_all = _normalized_matrix(all_rows)
-    bc = spark.sparkContext.broadcast((ids_all, mat_all))
-
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_b, mat_b = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            c_norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
-            c_norms[c_norms == 0] = 1.0
-            sims = (c_mat / c_norms) @ mat_b.T
-            # keep only a < b pairs
-            mask = c_ids[:, None] >= ids_b[None, :]
-            sims[mask] = -np.inf
-            flat = sims.ravel()
-            n_keep = min(top_n, flat.size)
-            idx = np.argpartition(-flat, n_keep - 1)[:n_keep]
-            rows = []
-            for fi in idx:
-                ci, bi = divmod(int(fi), sims.shape[1])
-                if np.isfinite(flat[fi]):
-                    rows.append((int(c_ids[ci]), int(ids_b[bi]), float(flat[fi])))
-            yield pd.DataFrame(rows, columns=["a", "b", "cos"])
-
-    partial = emb.select(id_col, vec_col).mapInPandas(compute, schema="a long, b long, cos double")
-    w = Window.orderBy(F.desc("cos"), F.asc("a"), F.asc("b"))
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
-        .select("rank", "a", "b", F.round("cos", 4).alias("cos"))
-    )
-
-
 def _exact_dot(a, b):
     """Left-to-right double summation — bit-identical to DuckDB
     list_dot_product on DOUBLE[] (same formulation as queries._dot)."""

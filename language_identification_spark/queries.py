@@ -526,11 +526,13 @@ def q_zipf_rank(spark, sf_dir):
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
+    # limit first (TakeOrderedAndProject — per-partition heap, 50 rows to
+    # the driver-side merge), THEN rank: the row_number window runs over
+    # exactly 50 rows, never the full web vocabulary through one partition
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(50)
     w = Window.orderBy(F.desc("n"), F.asc("word"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
-        .select("rank", "word", "n")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "word", "n"
     )
 
 
@@ -663,11 +665,13 @@ def q_jaccard_top_pairs(spark, sf_dir):
         )
         .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
     )
+    # limit first (TakeOrderedAndProject), THEN rank: the candidate-pair
+    # table is corpus-quadratic in the worst case — never push it through a
+    # single-partition window exchange just to number 20 rows
+    top = scored.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b")).limit(20)
     w = Window.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("rank", "a", "b", F.round("jaccard", 6).alias("jaccard"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "a", "b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
@@ -1478,8 +1482,8 @@ def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup: top-20 most similar vector pairs (a<b) via
     random-hyperplane LSH candidates + exact rerank of candidates only
     (operators/similarity.py:lsh_near_dup_topn) — no full-corpus collect, no
-    quadratic scan. The exact numpy-matmul variant (near_dup_pairs_topn)
-    remains as the test-scale cross-check (tests/test_similarity_lsh.py).
+    quadratic scan (the collect-based exact-matmul variant was deleted: it
+    duplicated this operator's job with a driver-OOM shape).
     The DuckDB oracle replays the IDENTICAL candidate generation (same
     inlined hyperplanes, same sequential-sum dot product, bit-identical sign
     bits) so the gate verifies the real scale plan, not a collect-based
@@ -1772,8 +1776,13 @@ def q_decontaminate(spark, sf_dir):
     identically by the oracle). Scale shape: the benchmark gram set is
     broadcast; corpus grams are per-row deduped and filtered by the
     map-side broadcast hash join — nothing corpus-sized crosses the wire;
-    only matched rows reach the per-doc count exchange. The tiny-side
-    global row_number window is |bench|-sized, never corpus-sized."""
+    only matched rows reach the per-doc count exchange. Bench indexing is
+    pure arithmetic (rk = doc_id/97 — exact since bench ids are the
+    multiples of 97), NOT a global row_number window: the bench slice is
+    corpus/97-sized, so a window there would be a single-partition
+    exchange over unbounded input at 10^12 docs. The arithmetic form is
+    engine-identical regardless of id distribution; with contiguous ids
+    it covers rk 0..nb-1 exactly like the old row_number did."""
     from language_identification_spark.operators.decontaminate import (
         benchmark_grams,
         contaminated_docs,
@@ -1784,9 +1793,8 @@ def q_decontaminate(spark, sf_dir):
     bench_raw = docs.filter(
         (did % 97 == 0) & F.col("text").isNotNull()
     ).select("doc_id", "text")
-    w = Window.orderBy("doc_id")
     bench = bench_raw.select(
-        (F.row_number().over(w) - 1).alias("rk"),
+        F.floor(did / 97).cast("long").alias("rk"),
         F.col("text").alias("btext"),
     )
     nb = bench.agg(F.count("*").alias("nb"))
@@ -1822,7 +1830,7 @@ WITH bench_raw AS (
   WHERE doc_id % 97 = 0 AND text IS NOT NULL
 ),
 bench AS (
-  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rk, text AS btext
+  SELECT (doc_id // 97)::BIGINT AS rk, text AS btext
   FROM bench_raw
 ),
 nb AS (SELECT count(*) AS nb FROM bench),
@@ -2743,11 +2751,12 @@ def q_stopword_anti_join(spark, sf_dir):
     words = docs.select(F.explode(_words(F.col("text"))).alias("word"))
     kept = words.join(F.broadcast(stop), "word", "left_anti")
     counts = kept.groupBy("word").agg(F.count("*").alias("n"))
+    # limit first (TakeOrderedAndProject), THEN rank over the 20 survivors —
+    # no full-vocabulary single-partition window exchange
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(20)
     w = Window.orderBy(F.desc("n"), F.asc("word"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("rank", "word", "n")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "word", "n"
     )
 
 
@@ -4592,12 +4601,13 @@ def q_winnow_overlap_pairs(spark, sf_dir):
         .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .agg(F.count("*").cast("bigint").alias("shared"))
     )
+    # limit first (TakeOrderedAndProject), THEN rank over the 20 kept rows —
+    # bounded by the df cap already, but no reason to window the pair table
+    top = pairs.orderBy(F.desc("shared"), F.asc("a"), F.asc("b")).limit(20)
     w = Window.orderBy(F.desc("shared"), F.asc("a"), F.asc("b"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 20)
-        .select("rank", "a", "b", "shared")
-    )
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("rank", "a", "b", "shared")
 
 
 SQL_WINNOW_OVERLAP_PAIRS = """
@@ -4808,13 +4818,18 @@ def q_vocab_coverage(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     total = counts.select(F.sum("n").alias("tot"))
+    # Only the top-50 ranks are emitted, and cum_n at rank r <= 50 depends
+    # only on the top-50 rows themselves — so TakeOrderedAndProject the 50
+    # first, then run BOTH windows over exactly 50 rows. The full-curve
+    # variant would need log-frequency binning before any global window;
+    # for a truncated curve limit-first is exact and cheaper.
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(50)
     w = Window.orderBy(F.desc("n"), F.asc("word"))
-    cum = counts.withColumn("rank", F.row_number().over(w)).withColumn(
+    cum = top.withColumn("rank", F.row_number().over(w)).withColumn(
         "cum_n", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     return (
-        cum.filter(F.col("rank") <= 50)
-        .crossJoin(F.broadcast(total))
+        cum.crossJoin(F.broadcast(total))
         .select(
             F.col("rank").cast("bigint").alias("rank"),
             "word",

@@ -279,6 +279,41 @@ def test_langid_nb_model_join_is_broadcast(spark):
     assert "Python" not in plan
 
 
+def test_no_unbounded_single_partition_exchange_anywhere(spark):
+    """Battery-wide structural gate (round-4): NO query may push unbounded
+    input through an Exchange SinglePartition. A global Window.orderBy
+    row_number over a corpus- or vocabulary-sized table funnels everything
+    through one task at 10^12 docs — the exact shape round-3's verdict
+    flagged in zipf_rank / stopword_anti_join / jaccard_top_pairs /
+    vocab_coverage (all since converted to orderBy+limit-then-rank, the
+    bm25 TakeOrderedAndProject pattern).
+
+    A SinglePartition exchange is allowed only when its DIRECT CHILD
+    provably bounds the rows crossing it:
+      - a partial_* HashAggregate (scalar agg: one row per upstream task),
+      - TakeOrderedAndProject / *Limit (k rows per partition),
+      - a ReusedExchange of one of those.
+    Anything else (Project, Scan, Generate, Window, Join...) means
+    unbounded rows into one partition and fails loudly with the plan."""
+    bounded_markers = (
+        "partial_",
+        "TakeOrderedAndProject",
+        "Limit",  # GlobalLimit / LocalLimit / CollectLimit
+        "ReusedExchange",
+    )
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        plan = plan_of(fn(spark, SF))
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            if not any(m in child for m in bounded_markers):
+                offenders.append((name, child.strip()[:150]))
+    assert not offenders, offenders
+
+
 def test_bm25_and_tfidf_stats_joins_are_broadcast(spark):
     """Sparse-retrieval family: the vocab/df and corpus-stats sides must
     re-enter via broadcast (the token-fact side never reshuffles onto the
