@@ -25,25 +25,41 @@ replay these EXACTLY):
 - top-n-gram char fraction = ``count(top) * mass(top) / denom`` with the
   top gram chosen by (count DESC, gram ASC) — the deterministic tie-break
   both engines share on ASCII-lowered text.
-- duplicate char fractions count ALL occurrences of duplicated items
-  (``sum over count>=2 of count * mass``). Gopher de-overlaps occurrence
-  spans ("careful not to count characters twice"); that de-overlap is an
-  inherently sequential per-doc scan, so this operator ships the
-  overlap-counting upper bound that Dolma-style reimplementations use —
-  fractions can exceed 1.0 on degenerate docs, thresholds still order
-  documents identically in the common case. Documented divergence.
+- duplicate/top n-gram char fractions are SPAN-DE-OVERLAPPED by default
+  (``deoverlap=True``), matching Gopher's "careful not to count characters
+  twice": the numerator is the char mass of the UNION of token positions
+  covered by the relevant occurrences (the top gram's occurrences for
+  n=2..4; every count>=2 gram's occurrences for n=5..10), so every
+  fraction is provably <= 1.0. Lines/paragraphs are disjoint spans, so
+  their occurrence-counted char fractions are already exact.
+- ``deoverlap=False`` keeps the overlap-counting upper bound
+  (``sum over count>=2 of count * mass``) that Dolma-style
+  reimplementations use — fractions can exceed 1.0 on degenerate docs.
 
-Scale shape: one explode to (doc, n, gram) instances, partial-aggregated
-map-side into counts before the single (doc_id, n, gram) exchange; the
-(doc_id, n) window and aggregation run on counts (already collapsed), and
-the final per-doc pivot is |docs| x 13 — nothing corpus-sized ever shuffles
-twice, no Python anywhere. Per-doc char totals are computed ONCE as
-columns and carried through the explode (recomputing them inside the
-per-gram lambda would be O(tokens^2) per document).
+Scale shape, exact path (default): the de-overlap is per-document-LOCAL
+(a doc's tokens never leave their row), so it runs as ONE Arrow-batched
+mapInPandas projection — zero shuffle, zero exchange; the only cost is the
+Python pass itself. A relational de-overlap would instead shuffle the full
+(doc, n, gram, pos) occurrence table (~9x corpus chars) for the count join
+plus a positions-distinct exchange — strictly worse than the narrow map.
+
+Scale shape, upper-bound path: one explode to (doc, n, gram) instances,
+partial-aggregated map-side into counts before the single (doc_id, n,
+gram) exchange; the (doc_id, n) window and aggregation run on counts
+(already collapsed), and the final per-doc pivot is |docs| x 13 — nothing
+corpus-sized ever shuffles twice, no Python anywhere. Per-doc char totals
+are computed ONCE as columns and carried through the explode (recomputing
+them inside the per-gram lambda would be O(tokens^2) per document).
 """
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -76,12 +92,136 @@ def _char_sum(arr: Column) -> Column:
 
 
 def repetition_stats(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    deoverlap: bool = True,
 ) -> DataFrame:
     """Per-document Gopher repetition stats (all 13 fractions, 6 dp) plus
     ``keep_repetition`` (true iff every fraction is within its threshold).
     Docs with NULL/empty text keep all-zero stats and keep=true — emptiness
-    is the empty_text rule's job, not repetition's."""
+    is the empty_text rule's job, not repetition's.
+
+    ``deoverlap=True`` (default): exact Gopher span-de-overlapped n-gram
+    char fractions via the zero-shuffle Arrow pass; every fraction <= 1.0.
+    ``deoverlap=False``: the relational overlap-counting upper bound."""
+    if deoverlap:
+        return _repetition_stats_exact(docs, text_col, id_col)
+    return _repetition_stats_upper(docs, text_col, id_col)
+
+
+# exact-path output schema (shared with the Arrow worker)
+_OUT_FIELDS = [name for name, _ in GOPHER_REPETITION_THRESHOLDS]
+_OUT_SCHEMA = (
+    "doc_id bigint, "
+    + ", ".join(f"{name} double" for name in _OUT_FIELDS)
+    + ", keep_repetition boolean"
+)
+
+_WS_SPLIT = re.compile(WS_RE)
+_PARA_SPLIT = re.compile(r"\n{2,}")
+_SIX = Decimal("0.000001")
+
+
+def _round6(x: float) -> float:
+    """Spark F.round semantics: HALF_UP on the EXACT binary value of the
+    double (BigDecimal(double) in Spark) — Python's built-in round() is
+    banker's and diverges on e.g. 1/128 = 0.0078125."""
+    return float(Decimal(x).quantize(_SIX, rounding=ROUND_HALF_UP))
+
+
+def _doc_stats(text: str | None) -> list[float]:
+    """All 13 fractions for one document, n-gram char fractions
+    span-de-overlapped. Pure function — tested directly and replayed
+    relationally by the DuckDB gate oracle (positions-distinct form)."""
+    out: dict[str, float] = {name: 0.0 for name in _OUT_FIELDS}
+    if text is None:
+        return [out[name] for name in _OUT_FIELDS]
+
+    # identical trims to the relational path: F.trim strips 0x20 only
+    lines = [s for s in (p.strip(" ") for p in text.split("\n")) if s]
+    paras = [s for s in (p.strip(" ") for p in _PARA_SPLIT.split(text)) if s]
+    toks = [t for t in _WS_SPLIT.split(text.lower()) if t]
+    lens = [len(t) for t in toks]
+    tchars = sum(lens)
+
+    for items, cname, fname in (
+        (lines, "dup_line_frac", "dup_line_char_frac"),
+        (paras, "dup_para_frac", "dup_para_char_frac"),
+    ):
+        if not items:
+            continue
+        cnt = Counter(items)
+        n_inst, n_distinct = len(items), len(cnt)
+        out[cname] = _round6((n_inst - n_distinct) / n_inst)
+        chars = sum(len(s) for s in items)
+        if chars > 0:
+            dup = sum(c * len(s) for s, c in cnt.items() if c >= 2)
+            out[fname] = _round6(dup / chars)
+
+    if tchars == 0:
+        return [out[name] for name in _OUT_FIELDS]
+
+    for n in NGRAM_NS:
+        m = len(toks) - n + 1
+        if m < 1:
+            continue
+        grams = [" ".join(toks[i : i + n]) for i in range(m)]
+        cnt = Counter(grams)
+        covered = bytearray(len(toks))
+        if n <= 4:
+            # top gram by (count DESC, gram ASC) — the shared tie-break
+            top = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            for i, g in enumerate(grams):
+                if g == top:
+                    for p in range(i, i + n):
+                        covered[p] = 1
+            key = f"top_{n}gram_char_frac"
+        else:
+            for i, g in enumerate(grams):
+                if cnt[g] >= 2:
+                    for p in range(i, i + n):
+                        covered[p] = 1
+            key = f"dup_{n}gram_char_frac"
+        mass = sum(l for l, c in zip(lens, covered) if c)
+        out[key] = _round6(mass / tchars)
+
+    return [out[name] for name in _OUT_FIELDS]
+
+
+def _repetition_stats_exact(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact Gopher repetition stats as ONE Arrow-batched narrow map —
+    zero shuffle (the de-overlap is per-doc-local, so nothing ever needs
+    to leave the document's row, let alone cross an exchange)."""
+    thresholds = list(GOPHER_REPETITION_THRESHOLDS)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [_doc_stats(t) for t in pdf[text_col]]
+            stats = pd.DataFrame(rows, columns=_OUT_FIELDS)
+            stats.insert(0, "doc_id", pdf[id_col].to_numpy())
+            keep = pd.Series(True, index=stats.index)
+            for name, thr in thresholds:
+                keep &= stats[name] <= thr
+            stats["keep_repetition"] = keep
+            yield stats
+
+    return docs.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(compute, schema=_OUT_SCHEMA)
+
+
+def _repetition_stats_upper(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The relational overlap-counting upper bound (``deoverlap=False``):
+    duplicate char masses count every occurrence (``count * mass``), so
+    overlapping occurrences are double-counted and fractions can exceed
+    1.0 on degenerate docs."""
     c = F.col(text_col)
     did = F.col(id_col)
 

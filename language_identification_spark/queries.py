@@ -1655,10 +1655,12 @@ def q_gopher_repetition(spark, sf_dir):
     """Gopher repetition rules (Rae et al. 2021 Table A1) — the duplicate
     line/paragraph (count + character) fractions, top-n-gram character
     fractions (n=2..4) and duplicate-n-gram character fractions (n=5..10),
-    plus the combined keep flag, all JVM-native (operators/repetition.py).
-    Scale shape: one explode partial-aggregated into (doc, n, gram) counts
-    before the single instance-sized exchange; window + per-n + per-doc
-    aggs all run on counts."""
+    plus the combined keep flag. N-gram char fractions are EXACT
+    span-de-overlapped masses (every fraction <= 1.0), computed in ONE
+    zero-shuffle Arrow pass — the de-overlap is per-doc-local, so the
+    narrow map beats any relational formulation (which would shuffle the
+    ~9x-corpus occurrence table). The oracle replays the de-overlap
+    relationally via positions-distinct unions (operators/repetition.py)."""
     from language_identification_spark.operators.repetition import (
         repetition_stats,
     )
@@ -1668,6 +1670,159 @@ def q_gopher_repetition(spark, sf_dir):
 
 
 def _sql_gopher_repetition() -> str:
+    """De-overlapped oracle: replays the Arrow pass's exact semantics
+    relationally — n-gram char masses are sums of token lengths over the
+    DISTINCT token positions covered by the relevant occurrences (top gram
+    for n=2..4, every count>=2 gram for n=5..10), so every fraction is
+    <= 1.0. Line/paragraph stats keep the occurrence-counted form (disjoint
+    spans — already exact)."""
+    from language_identification_spark.operators.repetition import (
+        GOPHER_REPETITION_THRESHOLDS,
+    )
+
+    def frac(cond_n: int, num: str, den: str, alias: str) -> str:
+        return (
+            f"round(coalesce(max(CASE WHEN n = {cond_n} AND {den} > 0 "
+            f"THEN ({num}) * 1.0 / {den} END), 0.0), 6) AS {alias}"
+        )
+
+    stat_cols = [
+        frac(0, "n_inst - n_distinct", "n_inst", "dup_line_frac"),
+        frac(1, "n_inst - n_distinct", "n_inst", "dup_para_frac"),
+        frac(0, "dup_mass", "denom", "dup_line_char_frac"),
+        frac(1, "dup_mass", "denom", "dup_para_char_frac"),
+    ]
+    stat_cols += [
+        frac(k, "top_mass", "denom", f"top_{k}gram_char_frac")
+        for k in (2, 3, 4)
+    ]
+    stat_cols += [
+        frac(k, "dup_mass", "denom", f"dup_{k}gram_char_frac")
+        for k in range(5, 11)
+    ]
+    out_cols = ",\n       ".join(
+        f"coalesce(w.{name}, 0.0) AS {name}"
+        for name, _ in GOPHER_REPETITION_THRESHOLDS
+    )
+    keep = " AND ".join(
+        f"coalesce(w.{name}, 0.0) <= {thr!r}"
+        for name, thr in GOPHER_REPETITION_THRESHOLDS
+    )
+    stats = ",\n    ".join(stat_cols)
+    return rf"""
+WITH ns(n) AS (VALUES (2), (3), (4), (5), (6), (7), (8), (9), (10)),
+base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[\t\n\x0b\f\r ]+'),
+                     w -> w <> '') AS toks,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    s -> trim(s)), s -> s <> '') AS lines,
+         list_filter(list_transform(string_split_regex(text, '\n{{2,}}'),
+                                    s -> trim(s)), s -> s <> '') AS paras
+  FROM documents WHERE text IS NOT NULL
+),
+sums AS (
+  SELECT doc_id, toks, lines, paras,
+         list_sum(list_transform(toks, w -> length(w))) AS tchars,
+         list_sum(list_transform(lines, s -> length(s))) AS lchars,
+         list_sum(list_transform(paras, s -> length(s))) AS pchars
+  FROM base
+),
+-- lines/paragraphs: disjoint spans, occurrence counting is exact
+lp_rows AS (
+  SELECT doc_id, 0 AS n, l AS gram, lchars AS denom
+  FROM sums, unnest(lines) AS u(l)
+  UNION ALL
+  SELECT doc_id, 1 AS n, p AS gram, pchars AS denom
+  FROM sums, unnest(paras) AS u(p)
+),
+lp_counts AS (
+  SELECT doc_id, n, denom, gram, count(*) AS cnt, length(gram) AS mass
+  FROM lp_rows GROUP BY doc_id, n, denom, gram
+),
+lp_per_n AS (
+  SELECT doc_id, n,
+         NULL::BIGINT AS top_mass,
+         coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * mass END), 0) AS dup_mass,
+         max(denom) AS denom,
+         sum(cnt) AS n_inst,
+         count(*) AS n_distinct
+  FROM lp_counts GROUP BY doc_id, n
+),
+-- token n-grams: positions carried so masses de-overlap exactly
+tokpos AS (
+  SELECT doc_id, i AS pos, length(toks[i]) AS toklen
+  FROM sums, unnest(range(1, len(toks) + 1)) AS t(i)
+),
+occ AS (
+  SELECT doc_id, ns.n, i::BIGINT AS i,
+         array_to_string(list_slice(toks, i, i + ns.n - 1), ' ') AS gram,
+         tchars AS denom
+  FROM sums, ns, unnest(range(1, len(toks) - ns.n + 2)) AS t(i)
+  WHERE len(toks) >= ns.n
+),
+gcnt AS (
+  SELECT doc_id, n, gram, max(denom) AS denom, count(*) AS cnt
+  FROM occ GROUP BY doc_id, n, gram
+),
+topg AS (
+  SELECT doc_id, n, gram FROM (
+    SELECT doc_id, n, gram,
+           row_number() OVER (PARTITION BY doc_id, n
+                              ORDER BY cnt DESC, gram ASC) AS rn
+    FROM gcnt) WHERE rn = 1
+),
+top_cov AS (
+  SELECT DISTINCT doc_id, n, p FROM (
+    SELECT o.doc_id, o.n, unnest(range(o.i, o.i + o.n)) AS p
+    FROM occ o JOIN topg USING (doc_id, n, gram))
+),
+top_mass_t AS (
+  SELECT c.doc_id, c.n, sum(tp.toklen) AS top_mass
+  FROM top_cov c JOIN tokpos tp ON c.doc_id = tp.doc_id AND c.p = tp.pos
+  GROUP BY c.doc_id, c.n
+),
+dupg AS (SELECT doc_id, n, gram FROM gcnt WHERE cnt >= 2),
+dup_cov AS (
+  SELECT DISTINCT doc_id, n, p FROM (
+    SELECT o.doc_id, o.n, unnest(range(o.i, o.i + o.n)) AS p
+    FROM occ o JOIN dupg USING (doc_id, n, gram))
+),
+dup_mass_t AS (
+  SELECT c.doc_id, c.n, sum(tp.toklen) AS dup_mass
+  FROM dup_cov c JOIN tokpos tp ON c.doc_id = tp.doc_id AND c.p = tp.pos
+  GROUP BY c.doc_id, c.n
+),
+ng_per_n AS (
+  SELECT g.doc_id, g.n,
+         coalesce(max(tm.top_mass), 0) AS top_mass,
+         coalesce(max(dm.dup_mass), 0) AS dup_mass,
+         max(g.denom) AS denom,
+         NULL::BIGINT AS n_inst,
+         NULL::BIGINT AS n_distinct
+  FROM gcnt g
+  LEFT JOIN top_mass_t tm ON g.doc_id = tm.doc_id AND g.n = tm.n
+  LEFT JOIN dup_mass_t dm ON g.doc_id = dm.doc_id AND g.n = dm.n
+  GROUP BY g.doc_id, g.n
+),
+per_n AS (
+  SELECT * FROM lp_per_n UNION ALL SELECT * FROM ng_per_n
+),
+wide AS (
+  SELECT doc_id,
+    {stats}
+  FROM per_n GROUP BY doc_id
+)
+SELECT d.doc_id,
+       {out_cols},
+       ({keep}) AS keep_repetition
+FROM documents d LEFT JOIN wide w USING (doc_id)
+"""
+
+
+def _sql_gopher_repetition_upper() -> str:
+    """The overlap-counting upper bound (``repetition_stats(...,
+    deoverlap=False)``): duplicate masses count every occurrence."""
     from language_identification_spark.operators.repetition import (
         GOPHER_REPETITION_THRESHOLDS,
     )
@@ -1765,6 +1920,7 @@ FROM documents d LEFT JOIN wide w USING (doc_id)
 
 
 SQL_GOPHER_REPETITION = _sql_gopher_repetition()
+SQL_GOPHER_REPETITION_UPPER = _sql_gopher_repetition_upper()
 
 
 def q_decontaminate(spark, sf_dir):
