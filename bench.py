@@ -158,12 +158,86 @@ def bench_main() -> dict:
         "docs_per_sec": round(n_docs / pipeline_sec, 1) if pipeline_sec else None,
         "sustained_pipeline_docs_per_sec": sustained,
         "cpus": CPUS,
+        "fasttext_ftz": _ftz_bench(spark, SF_DIR, n_docs),
     }
     shared = _shared_subset_vs_previous(times)
     if shared:
         result["shared_subset"] = shared
     spark.stop()
     return result
+
+
+def _ftz_bench(spark, sf_dir: str, n_docs: int) -> dict:
+    """Production-shaped .ftz through the flagship pipeline (round-3 verdict
+    item 3): a TRAINED 176-label / 200k-vocab / 100k-pruneidx / qnorm-PQ
+    model (operators/fasttext_train.py — the published lid.176.ftz's shape)
+    scored by the numpy engine in the pipeline's fused Arrow pass.
+    Records throughput and lid agreement vs the NB path on the same rows.
+    Model build (~5 s, deterministic) is cached and excluded — it stands in
+    for downloading the published weights (sources/fetch.py ensure_model)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from language_identification_spark.fixtures import training_corpus
+    from language_identification_spark.operators.fasttext_train import (
+        build_production_ftz,
+    )
+    from language_identification_spark.oracle.quality import QualityConfig
+    from language_identification_spark.plans.pipeline import (
+        quality_filter_plan,
+    )
+
+    path = os.path.join(tempfile.gettempdir(), "bench_prod_lid.ftz")
+    if not os.path.exists(path):
+        build_production_ftz(path, training_corpus())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.col("text"),
+    )
+    ft_plan = quality_filter_plan(
+        pages,
+        e._model(),
+        config=QualityConfig(),
+        text_col="text",
+        repartition_to=spark.sparkContext.defaultParallelism,
+        fasttext_model_path=path,
+    )
+    _force(ft_plan)  # warm: per-worker lazy model load (decode-once)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _force(ft_plan)
+        best = min(best, time.time() - t0)
+
+    nb_plan = e.queries()["quality_pipeline"](spark, sf_dir)
+    ft_lid = ft_plan.select("url", F.col("lang_pred").alias("ft_lang"))
+    nb_lid = nb_plan.select("url", F.col("lang_pred").alias("nb_lang"))
+    agg = (
+        ft_lid.join(nb_lid, "url")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("ft_lang") == F.col("nb_lang")).cast("int")
+            ).alias("same"),
+        )
+        .collect()[0]
+    )
+    return {
+        "pipeline_sec": round(best, 3),
+        "docs_per_sec": round(n_docs / best, 1),
+        "lid_agreement_vs_nb": round(agg["same"] / agg["n"], 4),
+        "note": (
+            "agreement measured on the sf documents table, whose texts are "
+            "synthetic OOD word-soup for BOTH models (trained on the "
+            "11-language fixture corpus); in-domain agreement on fixture "
+            "pages is asserted >= 0.8 in tests/test_fasttext_production.py"
+        ),
+    }
 
 
 def _shared_subset_vs_previous(times: dict[str, float]) -> dict | None:

@@ -39,20 +39,54 @@ ENRICH_SCHEMA = StructType(
 )
 
 
-def enrich_udf(spark_or_sc, model, kn_models: dict | None = None):
+def enrich_udf(
+    spark_or_sc,
+    model,
+    kn_models: dict | None = None,
+    fasttext_model_path: str | None = None,
+):
     """One fused UDF over the extracted text column. ``model`` is the NB
     langid model; ``kn_models`` an optional {lang: KNModel} for perplexity
-    (null ppl when absent or when the predicted lang has no LM)."""
+    (null ppl when absent or when the predicted lang has no LM).
+
+    ``fasttext_model_path``: when set, language ID comes from the fastText
+    model at that path instead of the NB model — loaded LAZILY once per
+    Python worker (the spark-submit --files pattern of the north_star: the
+    path string is the only thing in the closure; the model object is never
+    pickled or broadcast), scored by the native package when installed or
+    the from-scratch numpy engine otherwise (operators/fasttext_np.py).
+    The pass stays fused: still ONE ArrowEvalPython node."""
     sc = getattr(spark_or_sc, "sparkContext", spark_or_sc)
     bc = sc.broadcast((model, kn_models))
 
     @F.pandas_udf(ENRICH_SCHEMA)
     def _enrich(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         m, kns = bc.value
+        ft = None
+        if fasttext_model_path is not None:
+            from language_identification_spark.operators.lid import (
+                _load_fasttext,
+            )
+
+            ft = _load_fasttext(fasttext_model_path)
         for series in batches:
             texts = series.tolist()
-            # langid vectorized: one numpy matrix pass per Arrow batch
-            lid = m.detect_batch(texts)
+            if ft is not None:
+                # fasttext_wrapper.py:39-45 semantics: predict k=1, strip
+                # the __label__ prefix, newlines folded to spaces
+                fl, fp = ft.predict(
+                    [(t or "").replace("\n", " ") for t in texts], k=1
+                )
+                lid = [
+                    (
+                        l[0].removeprefix("__label__") if l else None,
+                        float(p[0]) if len(p) else 0.0,
+                    )
+                    for l, p in zip(fl, fp)
+                ]
+            else:
+                # langid vectorized: one numpy matrix pass per Arrow batch
+                lid = m.detect_batch(texts)
             stats_rows = []
             ppls = []
             for text, (lang, _conf) in zip(texts, lid):
@@ -75,10 +109,20 @@ def enrich_udf(spark_or_sc, model, kn_models: dict | None = None):
     return _enrich
 
 
-def with_enrichment(df, spark, model, kn_models=None, text_col="extracted_text"):
+def with_enrichment(
+    df,
+    spark,
+    model,
+    kn_models=None,
+    text_col="extracted_text",
+    fasttext_model_path=None,
+):
     """Attach stats/lid/ppl columns in the shape the rule engine expects."""
     enriched = df.withColumn(
-        "_e", enrich_udf(spark, model, kn_models)(F.col(text_col))
+        "_e",
+        enrich_udf(spark, model, kn_models, fasttext_model_path)(
+            F.col(text_col)
+        ),
     )
     return (
         enriched.withColumn("stats", F.col("_e.stats"))

@@ -70,6 +70,7 @@ def quality_filter_plan(
     repartition_to: int | None = None,
     text_col: str | None = None,
     kn_models: dict | None = None,
+    fasttext_model_path: str | None = None,
 ) -> DataFrame:
     """Declare the full pipeline as one DataFrame plan (lazy).
 
@@ -81,6 +82,10 @@ def quality_filter_plan(
     given, each document is scored under its predicted language's LM and the
     ``perplexity_high`` rule participates in keep/drop; the ``ppl`` column is
     always present (null without models) so the result schema is stable.
+
+    ``fasttext_model_path``: when set, the lid stage scores with the
+    fastText model at that path (native package or the numpy engine) —
+    lazily loaded per executor, pipeline still ONE fused Arrow pass.
     """
     config = config or QualityConfig()
     spark = pages.sparkSession
@@ -94,7 +99,9 @@ def quality_filter_plan(
     else:
         df = df.withColumn("extracted_text", F.col(text_col))
     # stats + langid + perplexity fused into ONE Arrow pass (operators/enrich.py)
-    df = with_enrichment(df, spark, model, kn_models)
+    df = with_enrichment(
+        df, spark, model, kn_models, fasttext_model_path=fasttext_model_path
+    )
     df = with_keep_decision(df, config, ppl_col="ppl" if kn_models else None)
     df = df.withColumn("scrubbed_text", scrub_expr(F.col("extracted_text"), badwords))
     return df.select(
