@@ -101,31 +101,48 @@ def _encode_sloppy_cp1252(text: str) -> bytes | None:
 
 
 def fix_mojibake(text: str) -> str:
-    """Minimal ftfy.fix_text-style repair of UTF-8-read-as-cp1252 mojibake
-    ('Ã©' -> 'é'), the pass the reference applies after detwingle
-    (utils.py:33). A repair is accepted only when the sloppy-cp1252 byte
-    form of the WHOLE string strictly decodes as UTF-8 — ordinary Latin
-    text ('café', 'À demain') fails that decode and passes through
-    untouched, which is the same conservative bar ftfy's badness heuristic
-    enforces. Looped to unwind doubly-encoded text, like ftfy.
+    """Minimal ftfy.fix_text-style repair, the pass the reference applies
+    after detwingle (utils.py:33). Three implemented classes:
+
+    - UTF-8-read-as-cp1252 ('Ã©' -> 'é') AND UTF-8-read-as-latin1
+      ('â\\x82¬' -> '€'): one shared inverse, because sloppy-cp1252
+      encoding maps printable cp1252 chars to their cp1252 byte and the
+      0x80-0x9F C1 gap codepoints (what latin-1 mis-decoding produces)
+      back to their raw byte. A repair is accepted only when the sloppy
+      byte form of the WHOLE string strictly decodes as UTF-8 — ordinary
+      Latin text ('café', 'À demain') fails that decode and passes
+      through untouched, the same conservative bar ftfy's badness
+      heuristic enforces. Looped to unwind doubly-encoded text.
+    - stray/double HTML entities ('caf&eacute;', '&amp;eacute;'):
+      unescaped per pass, with ftfy's fix_entities='auto' guard — skipped
+      when the text looks like actual markup (contains both '<' and '>'),
+      so real HTML flowing through decode_html is never mangled before
+      strip_html does its one sanctioned unescape.
 
     Residual divergence from full ftfy (documented): no partial-string
     repair (a single mojibake word inside clean non-Latin-1 text stays),
-    no C1-control/curly-quote normalization, no encoding families beyond
-    cp1252 (latin-1 gap bytes are covered via the sloppy mapping)."""
+    no C1-control/curly-quote normalization, no lossy-replacement-char
+    recovery, no encoding families beyond cp1252/latin-1 (koi8-r,
+    sloppy-windows-1251, macroman are out)."""
     for _ in range(3):
-        if not any("\x80" <= ch <= "\xff" for ch in text):
+        changed = False
+        if "&" in text and not ("<" in text and ">" in text):
+            unescaped = _html.unescape(text)
+            if unescaped and unescaped != text:
+                text = unescaped
+                changed = True
+        if any("\x80" <= ch <= "\xff" for ch in text):
+            data = _encode_sloppy_cp1252(text)
+            if data is not None:
+                try:
+                    fixed = data.decode("utf-8")
+                except UnicodeDecodeError:
+                    fixed = None
+                if fixed and fixed != text:
+                    text = fixed
+                    changed = True
+        if not changed:
             return text
-        data = _encode_sloppy_cp1252(text)
-        if data is None:
-            return text
-        try:
-            fixed = data.decode("utf-8")
-        except UnicodeDecodeError:
-            return text
-        if fixed == text or not fixed:
-            return text
-        text = fixed
     return text
 
 

@@ -102,6 +102,50 @@ def test_fix_mojibake_double_encoded():
     assert decode_html(raw) == "<p>café</p>"
 
 
+def test_fix_mojibake_utf8_as_latin1_class():
+    """Round-4 widening: UTF-8 bytes mis-decoded as latin-1 (C1 gap
+    codepoints instead of cp1252 punctuation) repair through the same
+    sloppy inverse — including chars whose UTF-8 bytes land in 0x80-0x9F
+    ('€' = E2 82 AC) and doubly-encoded variants."""
+    from language_identification_spark.oracle.extract import fix_mojibake
+
+    euro = "€".encode("utf-8").decode("latin-1")  # 'â\x82¬'
+    assert fix_mojibake(euro) == "€"
+    mixed = "héllo wörld €5".encode("utf-8").decode("latin-1")
+    assert fix_mojibake(mixed) == "héllo wörld €5"
+    twice = mixed.encode("utf-8").decode("latin-1")
+    assert fix_mojibake(twice) == "héllo wörld €5"
+    # latin1-read and cp1252-read of the same text both repair ('”' has a
+    # cp1252-undefined byte 0x9D, so only latin-1 can mis-decode it at all)
+    assert fix_mojibake("“quoted”".encode("utf-8").decode("latin-1")) == "“quoted”"
+    assert fix_mojibake("“open".encode("utf-8").decode("cp1252")) == "“open"
+
+
+def test_fix_mojibake_double_entity_class():
+    """Round-4 widening: stray/double HTML entities unescape per pass
+    (ftfy fix_entities='auto'), but NEVER inside text that looks like real
+    markup — decode_html must not pre-unescape pages before strip_html."""
+    from language_identification_spark.oracle.extract import (
+        decode_html,
+        fix_mojibake,
+        strip_html,
+    )
+
+    assert fix_mojibake("caf&eacute;") == "café"
+    assert fix_mojibake("&amp;eacute;") == "é"  # double-escaped
+    assert fix_mojibake("A &amp;amp; B") == "A & B"
+    # entities that decode INTO mojibake then repair in the same loop
+    assert fix_mojibake("caf&Atilde;&copy;") == "café"
+    # markup guard: real HTML passes through decode_html untouched so
+    # strip_html's single unescape produces the literal text the page meant
+    page = b"<p>5 &lt; 6 &amp;amp; x</p>"
+    decoded = decode_html(page)
+    assert decoded == "<p>5 &lt; 6 &amp;amp; x</p>"
+    assert strip_html(decoded).strip() == "5 < 6 &amp; x"
+    # plain ampersand text untouched
+    assert fix_mojibake("AT&T and R&D") == "AT&T and R&D"
+
+
 def test_get_comments_reference_quirks():
     """Greedy + newline-blind, exactly like RE_COMMENT
     (remove_html_tags.py:155)."""
