@@ -289,6 +289,43 @@ def _q_word_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", _ppl("lang", "text").alias("word_ppl"))
 
 
+def _q_word_kn_ppl_o3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-3 word-KN perplexity, fully hash-gated (round-3 verdict item
+    6): the chained-CTE oracle extends one level — raw trigrams,
+    continuation bigrams/unigrams, per-order discounts, two-stage
+    interpolated backoff (oracle/kn_sql.py:SQL_WORD_KN_PPL_O3). The Spark
+    side trains the same order-3 model distributively and scores each doc
+    under its own language's LM."""
+    from pyspark.sql.types import DoubleType
+
+    from language_identification_spark.operators.perplexity import (
+        train_word_kn_spark,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    models = train_word_kn_spark(docs.select("lang", "text"), order=3)
+    bc = spark.sparkContext.broadcast(models)
+
+    @F.pandas_udf(DoubleType())
+    def _ppl(
+        batches: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        ms = bc.value
+        for langs, texts in batches:
+            out = []
+            for lang, text in zip(langs, texts):
+                m = ms.get(lang)
+                out.append(
+                    None if m is None or not text
+                    else round(m.perplexity(text.split()), 6)
+                )
+            yield pd.Series(out, dtype="float64")
+
+    return docs.select(
+        "doc_id", "lang", _ppl("lang", "text").alias("word_ppl3")
+    )
+
+
 def _q_ensemble_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7 ensemble cascade (oracle/langid.py:ensemble_detect_batch — the
     reference's language_identification_test.py:30-68 chain: clean ->
@@ -375,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).withColumn("features", _stringify_floats("features"))
     out["media_frames"] = _q_media_frames
     out["word_kn_ppl"] = _q_word_kn_ppl
+    out["word_kn_ppl_o3"] = _q_word_kn_ppl_o3
     out["char_kn_ppl"] = _q_char_kn_ppl
     out["ensemble_langid"] = _q_ensemble_langid
     return out
@@ -395,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
     from language_identification_spark.oracle.kn_sql import (
         SQL_CHAR_KN_PPL,
         SQL_WORD_KN_PPL,
+        SQL_WORD_KN_PPL_O3,
     )
     from language_identification_spark.oracle.pipeline_sql import (
         quality_pipeline_oracle_sql,
@@ -409,6 +448,7 @@ def oracle_sql() -> dict[str, str]:
     out["multimodal_features"] = SQL_MULTIMODAL_FEATURES
     out["media_frames"] = SQL_MEDIA_FRAMES
     out["word_kn_ppl"] = SQL_WORD_KN_PPL
+    out["word_kn_ppl_o3"] = SQL_WORD_KN_PPL_O3
     out["char_kn_ppl"] = SQL_CHAR_KN_PPL
     out["emd_fuzzy_lookup"] = SQL_EMD_FUZZY_LOOKUP
     from language_identification_spark.oracle.ensemble_sql import (

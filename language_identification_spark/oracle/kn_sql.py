@@ -182,3 +182,143 @@ FROM padded d LEFT JOIN doc_ppl pp ON pp.doc_id = d.doc_id
 
 SQL_WORD_KN_PPL = _WORD_PREFIX + _SCORING_TAIL.format(out_col="word_ppl")
 SQL_CHAR_KN_PPL = _CHAR_PREFIX + _SCORING_TAIL.format(out_col="char_ppl")
+
+
+# ---------------------------------------------------------------------------
+# ORDER-3 word gate (round-3 verdict item 6): the same chained-CTE trick
+# extends one level — raw trigram counts, continuation bigrams/unigrams
+# (distinct left-extensions, modified_kneser_ney.py:644-664), per-order
+# Chen-Goodman discounts, and a two-stage interpolated backoff
+# p3 = max(c3-D3,0)/ctx3 + lam3 * (max(c2-D2,0)/ctx2 + lam2 * p1),
+# with each stage falling back to the next lower order when its context is
+# absent (kneser_ney.py:prob recursion). Padding is TWO BOS symbols + EOS,
+# so every doc (incl. empty) contributes n_units+1 scored positions.
+# ---------------------------------------------------------------------------
+
+_WORD_PREFIX_O3 = f"""
+WITH docs AS (
+  SELECT doc_id, lang, text,
+         list_transform(
+           list_filter(regexp_split_to_array(coalesce(text, ''), '{_WS_SPLIT_RE2}'),
+                       w -> w <> ''),
+           w -> lower(w)) AS ws
+  FROM documents
+),
+padded AS (
+  SELECT doc_id, lang,
+         list_concat(list_concat([chr(2), chr(2)], ws), [chr(3)]) AS seq,
+         len(ws) AS n_units, text
+  FROM docs
+),
+triples AS (
+  SELECT doc_id, lang, i AS pos,
+         seq[i] AS p2, seq[i+1] AS p1, seq[i+2] AS cur
+  FROM padded, unnest(range(1, len(seq) - 1)) AS t(i)
+),"""
+
+_SCORING_TAIL_O3 = f"""
+c3 AS (SELECT lang, p2, p1, cur, count(*) AS c
+       FROM triples GROUP BY lang, p2, p1, cur),
+c2 AS (SELECT lang, p1, cur, count(*) AS c FROM c3 GROUP BY lang, p1, cur),
+c1 AS (SELECT lang, cur, count(*) AS c FROM c2 GROUP BY lang, cur),
+cc3 AS (
+  SELECT lang,
+         count(*) FILTER (WHERE c = 1) AS n1,
+         count(*) FILTER (WHERE c = 2) AS n2,
+         count(*) FILTER (WHERE c = 3) AS n3,
+         count(*) FILTER (WHERE c = 4) AS n4
+  FROM c3 GROUP BY lang
+),
+cc2 AS (
+  SELECT lang,
+         count(*) FILTER (WHERE c = 1) AS n1,
+         count(*) FILTER (WHERE c = 2) AS n2,
+         count(*) FILTER (WHERE c = 3) AS n3,
+         count(*) FILTER (WHERE c = 4) AS n4
+  FROM c2 GROUP BY lang
+),
+cc1 AS (
+  SELECT lang,
+         count(*) FILTER (WHERE c = 1) AS n1,
+         count(*) FILTER (WHERE c = 2) AS n2,
+         count(*) FILTER (WHERE c = 3) AS n3,
+         count(*) FILTER (WHERE c = 4) AS n4
+  FROM c1 GROUP BY lang
+),
+disc3 AS (SELECT lang, {_DISCOUNTS.format(t='cc3')} FROM cc3),
+disc2 AS (SELECT lang, {_DISCOUNTS.format(t='cc2')} FROM cc2),
+disc1 AS (SELECT lang, {_DISCOUNTS.format(t='cc1')} FROM cc1),
+ctx3 AS (
+  SELECT lang, p2, p1, sum(c) AS total,
+         count(*) FILTER (WHERE c = 1) AS n1,
+         count(*) FILTER (WHERE c = 2) AS n2,
+         count(*) FILTER (WHERE c >= 3) AS n3p
+  FROM c3 GROUP BY lang, p2, p1
+),
+ctx2 AS (
+  SELECT lang, p1, sum(c) AS total,
+         count(*) FILTER (WHERE c = 1) AS n1,
+         count(*) FILTER (WHERE c = 2) AS n2,
+         count(*) FILTER (WHERE c >= 3) AS n3p
+  FROM c2 GROUP BY lang, p1
+),
+uni AS (
+  SELECT lang, sum(c) AS uni_total, count(*) AS vocab,
+         count(*) FILTER (WHERE c = 1) AS n1,
+         count(*) FILTER (WHERE c = 2) AS n2,
+         count(*) FILTER (WHERE c >= 3) AS n3p
+  FROM c1 GROUP BY lang
+),
+scored AS (
+  SELECT t.doc_id, t.pos,
+    greatest(coalesce(w1.c, 0) -
+             CASE coalesce(w1.c, 0) WHEN 0 THEN 0.0 WHEN 1 THEN k1.d1
+                  WHEN 2 THEN k1.d2 ELSE k1.d3 END, 0.0) / u.uni_total
+      + ((k1.d1*u.n1 + k1.d2*u.n2 + k1.d3*u.n3p) / u.uni_total)
+        / (u.vocab + 1) AS p1v,
+    x2.total AS t2, x2.n1 AS x2n1, x2.n2 AS x2n2, x2.n3p AS x2n3p,
+    coalesce(w2.c, 0) AS c2c, k2.d1 AS e1, k2.d2 AS e2, k2.d3 AS e3,
+    x3.total AS t3, x3.n1 AS x3n1, x3.n2 AS x3n2, x3.n3p AS x3n3p,
+    coalesce(w3.c, 0) AS c3c, k3.d1 AS f1, k3.d2 AS f2, k3.d3 AS f3
+  FROM triples t
+  JOIN uni u ON u.lang = t.lang
+  JOIN disc1 k1 ON k1.lang = t.lang
+  JOIN disc2 k2 ON k2.lang = t.lang
+  JOIN disc3 k3 ON k3.lang = t.lang
+  LEFT JOIN c1 w1 ON w1.lang = t.lang AND w1.cur = t.cur
+  LEFT JOIN ctx2 x2 ON x2.lang = t.lang AND x2.p1 = t.p1
+  LEFT JOIN c2 w2 ON w2.lang = t.lang AND w2.p1 = t.p1 AND w2.cur = t.cur
+  LEFT JOIN ctx3 x3 ON x3.lang = t.lang AND x3.p2 = t.p2 AND x3.p1 = t.p1
+  LEFT JOIN c3 w3 ON w3.lang = t.lang AND w3.p2 = t.p2 AND w3.p1 = t.p1
+                 AND w3.cur = t.cur
+),
+probs AS (
+  SELECT doc_id, pos,
+    CASE WHEN t3 IS NULL THEN p2v
+         ELSE greatest(c3c - CASE c3c WHEN 0 THEN 0.0 WHEN 1 THEN f1
+                                      WHEN 2 THEN f2 ELSE f3 END, 0.0)
+                / t3
+              + ((f1*x3n1 + f2*x3n2 + f3*x3n3p) / t3) * p2v
+         END AS p
+  FROM (
+    SELECT *,
+      CASE WHEN t2 IS NULL THEN p1v
+           ELSE greatest(c2c - CASE c2c WHEN 0 THEN 0.0 WHEN 1 THEN e1
+                                        WHEN 2 THEN e2 ELSE e3 END, 0.0)
+                  / t2
+                + ((e1*x2n1 + e2*x2n2 + e3*x2n3p) / t2) * p1v
+           END AS p2v
+    FROM scored)
+),
+doc_ppl AS (
+  SELECT doc_id, 2.0 ** (-(sum(log2(p)) / count(*))) AS ppl
+  FROM probs GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       CASE WHEN d.text IS NULL OR d.text = '' THEN NULL
+            WHEN d.n_units = 0 THEN CAST('infinity' AS DOUBLE)
+            ELSE round(pp.ppl, 6) END AS word_ppl3
+FROM padded d LEFT JOIN doc_ppl pp ON pp.doc_id = d.doc_id
+"""
+
+SQL_WORD_KN_PPL_O3 = _WORD_PREFIX_O3 + _SCORING_TAIL_O3
