@@ -159,6 +159,7 @@ def bench_main() -> dict:
         "sustained_pipeline_docs_per_sec": sustained,
         "cpus": CPUS,
         "fasttext_ftz": _ftz_bench(spark, SF_DIR, n_docs),
+        "bhanot": _bhanot_bench(spark),
     }
     shared = _shared_subset_vs_previous(times)
     if shared:
@@ -237,6 +238,71 @@ def _ftz_bench(spark, sf_dir: str, n_docs: int) -> dict:
             "11-language fixture corpus); in-domain agreement on fixture "
             "pages is asserted >= 0.8 in tests/test_fasttext_production.py"
         ),
+    }
+
+
+def _bhanot_bench(spark) -> dict | None:
+    """Full reference bhanot dictionary (~9.6k Malay headwords, ~14k sense
+    rows) through the gate operators at real-vocabulary scale (round-3
+    verdict item 7): lookup_terms with 500 term-derived queries + the
+    bigram-candidate fuzzy join with 200 single-deletion probes. None when
+    the reference blob is absent."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from language_identification_spark.operators.dictionary import (
+        BHANOT_SRC,
+        export_bhanot_csv,
+        lookup_terms,
+        read_bilingual_dictionary,
+    )
+    from language_identification_spark.operators.fuzzy import fuzzy_topk
+
+    if not os.path.exists(BHANOT_SRC):
+        return None
+    with tempfile.TemporaryDirectory() as d:
+        entries = read_bilingual_dictionary(
+            spark, export_bhanot_csv(d)
+        ).cache()
+        n_entries = entries.count()
+        terms = [
+            r["term"]
+            for r in entries.select("term", "entry_id")
+            .filter(F.length("term") >= 6)
+            .orderBy("entry_id")
+            .collect()
+        ]
+        queries = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(terms[::12])],
+            "query_id long, text string",
+        )
+        t0 = time.time()
+        _force(lookup_terms(entries, queries, k=5))
+        lookup_sec = round(time.time() - t0, 3)
+
+        words = sorted(
+            {
+                r["term"]
+                for r in entries.select("term").collect()
+                if " " not in r["term"] and len(r["term"]) >= 7
+            }
+        )
+        vocab = spark.createDataFrame([(w,) for w in words], "word string")
+        probes = spark.createDataFrame(
+            [(w[:3] + w[4:],) for w in words[::20]], "query string"
+        )
+        t0 = time.time()
+        _force(fuzzy_topk(vocab, probes, k=3))
+        fuzzy_sec = round(time.time() - t0, 3)
+        entries.unpersist()
+    return {
+        "n_entries": n_entries,
+        "n_lookup_queries": len(terms[::12]),
+        "lookup_sec": lookup_sec,
+        "n_fuzzy_vocab": len(words),
+        "n_fuzzy_queries": len(words[::20]),
+        "fuzzy_sec": fuzzy_sec,
     }
 
 

@@ -84,6 +84,59 @@ def read_bilingual_dictionary(
     return spark.createDataFrame(rows, schema=ENTRIES_SCHEMA)
 
 
+BHANOT_SRC = "/root/reference/dictionaries/bhanot/bhanot_dictionary.py"
+_BHANOT_SENSE_RE = re.compile(r"\(\d+\)(?P<def>[^(]+)")
+
+
+def export_bhanot_csv(
+    out_path: str, src_path: str = BHANOT_SRC
+) -> str:
+    """Convert the reference's full bhanot Malay-English dictionary DATA
+    blob to its own ``[zsm] Malay-English.csv`` shape, replaying the
+    conversion the reference ships in the blob's __main__ tail
+    (bhanot/bhanot_dictionary.py:15570-15589): numbered senses
+    ``(1) a (2) b`` expand one row per sense, each definition then splits
+    on ';', both sides stripped + casefolded. The blob is parsed with
+    ``ast.literal_eval`` — scraped dictionary CONTENT ingested as data,
+    no reference code imported or executed. Returns ``out_path`` (named
+    ``[zsm] Malay-English.csv`` inside, so ``read_bilingual_dictionary``'s
+    filename-metadata contract applies unchanged)."""
+    import ast
+    import csv
+
+    tree = ast.parse(Path(src_path).read_text(encoding="utf-8"))
+    definitions = None
+    for node in tree.body:
+        if (
+            isinstance(node, ast.Assign)
+            and getattr(node.targets[0], "id", None) == "definitions"
+        ):
+            definitions = ast.literal_eval(node.value)
+            break
+    if not isinstance(definitions, dict):
+        raise ValueError(f"no definitions dict found in {src_path}")
+    rows: list[tuple[str, str]] = []
+    for other, eng in definitions.items():
+        if re.search(r"\(\d", eng):
+            for m in _BHANOT_SENSE_RE.finditer(eng):
+                rows.append((other, m.group("def")))
+        else:
+            rows.append((other, eng))
+    rows = [
+        (other.strip().casefold(), x.strip().casefold())
+        for other, eng in rows
+        for x in eng.split(";")
+    ]
+    out = Path(out_path)
+    out.mkdir(parents=True, exist_ok=True)
+    csv_path = out / "[zsm] Malay-English.csv"
+    with open(csv_path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(["Other", "English"])
+        w.writerows(rows)
+    return str(csv_path)
+
+
 def read_bilingual_dictionaries(spark: SparkSession, paths: list[str]) -> DataFrame:
     """MultiDictionary ingestion: union of per-file entries (J6 layout —
     dict_id keys the routing)."""
