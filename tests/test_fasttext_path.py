@@ -85,7 +85,16 @@ def test_availability_probes_header_without_native_lib(monkeypatch, tmp_path):
 
 FAKE_FASTTEXT_SRC = '''\
 """Deterministic stand-in for the fasttext package (test-only), implementing
-the public API shape the engine uses: load_model(path).predict(texts, k)."""
+the public API shape the engine uses: load_model(path).predict(texts, k).
+
+addPyFile is SESSION-PERMANENT: every later worker task in the shared test
+Spark session resolves `import fasttext` to this module. So for REAL model
+files (correct magic) it delegates to the numpy engine — identical
+behavior to no-fake-present — and only canned-answers the junk file the
+plumbing test feeds it. Without the delegation, every fastText test that
+runs after this one in the suite would silently score with the fake.
+"""
+import struct
 
 
 class _FakeModel:
@@ -108,6 +117,20 @@ class _FakeModel:
 
 
 def load_model(path):
+    try:
+        with open(path, "rb") as f:
+            (magic,) = struct.unpack("<i", f.read(4))
+    except (OSError, struct.error):
+        magic = None
+    if magic == 793712314:  # a real fastText file: behave like the engine
+        from language_identification_spark.operators.fasttext_np import (
+            NativeApiShim,
+        )
+        from language_identification_spark.operators.fasttext_np import (
+            load_model as _np_load,
+        )
+
+        return NativeApiShim(_np_load(path))
     return _FakeModel(path)
 '''
 
