@@ -5013,6 +5013,68 @@ FROM cum CROSS JOIN tot WHERE rank <= 50
 """
 
 
+def q_vocab_coverage_binned(spark, sf_dir):
+    """The FULL vocabulary coverage curve at scale (round-3 verdict's
+    binning suggestion, shipped as its own gate): words bucket by
+    floor(log2(count)) — a ~40-row table at ANY corpus size — and the
+    cumulative window runs over those bins in descending frequency order,
+    never over the raw vocabulary. Answers 'how many words / what token
+    mass sits at or above each frequency scale' with NO unbounded
+    single-partition exchange anywhere; the truncated exact top-50 curve
+    remains q_vocab_coverage."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    bins = counts.groupBy(
+        F.floor(F.log2("n")).cast("bigint").alias("freq_bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("n").cast("bigint").alias("tokens"),
+    )
+    total = counts.select(F.sum("n").alias("tot"))
+    w = Window.orderBy(F.desc("freq_bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        bins.withColumn("cum_words", F.sum("n_words").over(w).cast("bigint"))
+        .withColumn("cum_tokens", F.sum("tokens").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "freq_bin",
+            "n_words",
+            "tokens",
+            "cum_words",
+            F.round(F.col("cum_tokens") / F.col("tot"), 6).alias("coverage"),
+        )
+    )
+
+
+SQL_VOCAB_COVERAGE_BINNED = """
+WITH counts AS (
+  SELECT word, count(*)::BIGINT AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+bins AS (
+  SELECT floor(log2(n))::BIGINT AS freq_bin,
+         count(*)::BIGINT AS n_words,
+         sum(n)::BIGINT AS tokens
+  FROM counts GROUP BY 1
+),
+tot AS (SELECT sum(n)::BIGINT AS tot FROM counts)
+SELECT freq_bin, n_words, tokens,
+       sum(n_words) OVER (ORDER BY freq_bin DESC
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_words,
+       round(sum(tokens) OVER (ORDER BY freq_bin DESC
+                               ROWS UNBOUNDED PRECEDING) * 1.0
+             / tot.tot, 6) AS coverage
+FROM bins CROSS JOIN tot
+"""
+
+
 def q_langid_calibration(spark, sf_dir):
     """Calibration curve for the L2 NB langid: bucket held-out top-1
     confidence into deciles and measure accuracy per bucket — whether
@@ -5182,6 +5244,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_merge": q_snapshot_merge,
     "cdc_chunks": q_cdc_chunks,
     "vocab_coverage": q_vocab_coverage,
+    "vocab_coverage_binned": q_vocab_coverage_binned,
     "langid_calibration": q_langid_calibration,
     "split_token_budget": q_split_token_budget,
     "host_stats_salted": q_host_stats_salted,
@@ -5269,6 +5332,7 @@ ORACLE_SQL: dict[str, str] = {
     "snapshot_merge": SQL_SNAPSHOT_MERGE,
     "cdc_chunks": SQL_CDC_CHUNKS,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "vocab_coverage_binned": SQL_VOCAB_COVERAGE_BINNED,
     "langid_calibration": SQL_LANGID_CALIBRATION,
     "split_token_budget": SQL_SPLIT_TOKEN_BUDGET,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
