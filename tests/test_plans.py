@@ -301,8 +301,17 @@ def test_no_unbounded_single_partition_exchange_anywhere(spark):
         "Limit",  # GlobalLimit / LocalLimit / CollectLimit
         "ReusedExchange",
     )
+    # bounded by CONSTRUCTION (not structurally visible in the plan):
+    # the group key's cardinality is mathematically capped
+    allowlisted = {
+        # window input = the log2-frequency bin table: freq_bin =
+        # floor(log2(count)) <= 64 rows at ANY corpus size
+        "vocab_coverage_binned",
+    }
     offenders = []
     for name, fn in sorted(QUERIES.items()):
+        if name in allowlisted:
+            continue
         plan = plan_of(fn(spark, SF))
         lines = plan.splitlines()
         for i, ln in enumerate(lines):
