@@ -76,6 +76,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--max-ppl", type=float, default=None, help="perplexity gate threshold")
     p.add_argument("--no-kn", action="store_true", help="skip KN perplexity scoring")
     p.add_argument("--cores", type=int, default=None, help="local[N] cores (omit under spark-submit on a cluster)")
+    p.add_argument(
+        "--fasttext-model",
+        default=None,
+        help="fastText .bin/.ftz path: lid scores with this model instead "
+        "of the NB model (native lib or the numpy engine); shipped to "
+        "executors via addFile / spark-submit --files",
+    )
     args = p.parse_args(argv)
 
     from language_identification_spark.operators.lid import train_ngram_model_spark
@@ -120,6 +127,10 @@ def main(argv: list[str] | None = None) -> None:
         )
     else:
         pages = spark.read.parquet(args.input)
+    if args.fasttext_model and os.path.exists(args.fasttext_model):
+        # ship to executors (no-op when already distributed via
+        # spark-submit --files; workers resolve via SparkFiles fallback)
+        spark.sparkContext.addFile(args.fasttext_model)
     manifest = run_resumable(
         spark,
         pages,
@@ -129,6 +140,7 @@ def main(argv: list[str] | None = None) -> None:
         config=config,
         text_col=args.text_col,
         kn_models=kn,
+        fasttext_model_path=args.fasttext_model,
     )
     results = read_results(spark, args.output)
     metrics_plan(results).write.mode("overwrite").parquet(f"{args.output}/_metrics")

@@ -134,21 +134,32 @@ def _load_fasttext(model_path: str):
     """Native package when installed; otherwise the from-scratch numpy
     engine (operators/fasttext_np.py) reads the same ``.bin``/``.ftz``
     formats — so the real model path is exercisable even without the C++
-    lib."""
+    lib. When the path does not exist on this worker, fall back to
+    ``SparkFiles.get(basename)`` — the ``spark-submit --files lid.176.ftz``
+    distribution path of the north rule (executors see the shipped copy
+    under their own SparkFiles root, not the driver's path)."""
     if model_path not in _FASTTEXT_SINGLETON:
+        path = model_path
+        if not os.path.exists(path):
+            try:
+                from pyspark import SparkFiles
+
+                cand = SparkFiles.get(os.path.basename(path))
+                if os.path.exists(cand):
+                    path = cand
+            except Exception:  # noqa: BLE001 — fall through to the open error
+                pass
         try:
             import fasttext  # native path (preferred when installed)
 
-            _FASTTEXT_SINGLETON[model_path] = fasttext.load_model(model_path)
+            _FASTTEXT_SINGLETON[model_path] = fasttext.load_model(path)
         except ImportError:
             from language_identification_spark.operators.fasttext_np import (
                 NativeApiShim,
                 load_model,
             )
 
-            _FASTTEXT_SINGLETON[model_path] = NativeApiShim(
-                load_model(model_path)
-            )
+            _FASTTEXT_SINGLETON[model_path] = NativeApiShim(load_model(path))
     return _FASTTEXT_SINGLETON[model_path]
 
 

@@ -169,6 +169,7 @@ def run_resumable(
     fail_after_bucket: int | None = None,
     text_col: str | None = None,
     kn_models: dict | None = None,
+    fasttext_model_path: str | None = None,
 ) -> dict:
     """Run the pipeline with checkpoint/resume: ALL pending buckets are
     written in ONE ``partitionBy("bucket")`` job (dynamic partition
@@ -196,7 +197,12 @@ def run_resumable(
     manifest = read_manifest(out_dir)
     done = set(manifest["buckets_done"])
     plan = quality_filter_plan(
-        pages, model, config=config, text_col=text_col, kn_models=kn_models
+        pages,
+        model,
+        config=config,
+        text_col=text_col,
+        kn_models=kn_models,
+        fasttext_model_path=fasttext_model_path,
     )
     plan = plan.withColumn(
         "bucket", F.pmod(F.crc32(F.col("url")), F.lit(buckets)).cast("int")

@@ -32,9 +32,23 @@ df["warc_ts"] = df["warc_ts"].astype("datetime64[us, UTC]")
 df.to_parquet(sys.argv[1] + "/pages.parquet")
 PY
 
+# the north rule's model-distribution path: the (production-shaped,
+# trained) .ftz ships via --files; the CLI gets the BARE FILENAME, so
+# executors must resolve it through SparkFiles — exactly the cluster shape
+python3 - "$WORK" <<'PY'
+import sys
+from language_identification_spark.fixtures import training_corpus
+from language_identification_spark.operators.fasttext_train import (
+    build_production_ftz,
+)
+build_production_ftz(sys.argv[1] + "/lid_prod.ftz", training_corpus())
+PY
+
 spark-submit --master "$MASTER" \
     --py-files "$WORK/language_identification_spark.zip" \
+    --files "$WORK/lid_prod.ftz" \
     "$WORK/driver.py" \
-    --input "$WORK/pages.parquet" --output "$WORK/out" --buckets 4 --no-kn
+    --input "$WORK/pages.parquet" --output "$WORK/out" --buckets 4 --no-kn \
+    --fasttext-model lid_prod.ftz
 echo "results: $WORK/out"
 cat "$WORK/out/_progress.json"
