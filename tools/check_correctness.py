@@ -59,8 +59,14 @@ def frame_hash(pdf: pd.DataFrame) -> tuple[str, int, list[str]]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     # exactly what the driver runs: the entry module's registries (includes
     # the rows-only entries the battery module alone does not)
@@ -80,6 +86,16 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     failures = []
+    report: dict[str, dict] = {}
+
+    def record(name, *, rows_match=False, schema_match=False, hash_match=False,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -89,9 +105,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark/canon error: {e}")
             failures.append(name)
+            record(name, err=f"spark: {e}")
             continue
         if name not in ORACLE_SQL:
             print(f"okNA {name}: rows={sn} (no oracle, rows-only)")
+            record(name, spark_rows=sn, err="no oracle (rows-only)")
             continue
         try:
             d_pdf = con.execute(ORACLE_SQL[name]).df()
@@ -99,7 +117,10 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb/canon error: {e}")
             failures.append(name)
+            record(name, spark_rows=sn, err=f"duckdb: {e}")
             continue
+        record(name, rows_match=sn == dn, schema_match=sc == dc,
+               hash_match=sh == dh, spark_rows=sn, oracle_rows=dn)
         if sc != dc:
             print(f"FAIL {name}: columns {sc} vs {dc}")
             failures.append(name)
@@ -124,6 +145,12 @@ def main() -> int:
         else:
             print(f"OK   {name}: rows={sn} hash={sh[:12]}")
     spark.stop()
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as f:
+            _json.dump(report, f, indent=2)
+        print(f"wrote {json_path} ({len(report)} entries)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
