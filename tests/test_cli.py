@@ -67,6 +67,40 @@ def test_cli_end_to_end_and_resume(pages_parquet, tmp_path):
     assert summary2["rows"] == 60
 
 
+def test_cli_fasttext_model_flag(spark, pages_parquet, tmp_path):
+    """--fasttext-model: the lid stage scores with the given .ftz (compact
+    production-shaped build) through the same fused pass; langdist ends up
+    multi-language, proving the model actually ran in the subprocess's
+    workers."""
+    from language_identification_spark.fixtures import training_corpus
+    from language_identification_spark.operators.fasttext_train import (
+        build_production_ftz,
+    )
+
+    model_path = str(tmp_path / "mini_prod.ftz")
+    build_production_ftz(
+        model_path, training_corpus(), nwords=2_000, cutoff=4_000,
+        bucket=50_000,
+    )
+    out = str(tmp_path / "out_ft")
+    summary = _run_cli(
+        [
+            "--input", pages_parquet,
+            "--output", out,
+            "--buckets", "2",
+            "--cores", "2",
+            "--no-kn",
+            "--fasttext-model", model_path,
+        ]
+    )
+    assert summary["rows"] == 60
+    langs = {
+        r["lang_pred"]
+        for r in spark.read.parquet(os.path.join(out, "_langdist")).collect()
+    }
+    assert len(langs) >= 5, langs
+
+
 def test_spark_submit_py_files_launch(tmp_path):
     """North-rule launch path: the SAME CLI through spark-submit --py-files
     (package imported from the shipped zip, not the repo checkout)."""
