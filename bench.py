@@ -85,6 +85,9 @@ HEADLINE = [
     "vocab_coverage",
     "langid_calibration",
     "split_token_budget",
+    # round-4 additions
+    "word_kn_ppl_o3",
+    "vocab_coverage_binned",
     # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
     # 500-doc universe — verified at the gate, not a headline path
 ]
