@@ -8,8 +8,10 @@ chain mirrors the reference's semantics:
   + ftfy.fix_text; neither library is available in this environment, so we use
   our own detwingle port, a deterministic utf-8 -> cp1252 -> latin-1 cascade
   (latin-1 never fails — the dominant real-world behavior of UnicodeDammit for
-  web text), then ``fix_mojibake`` — a minimal ftfy-style utf8-as-cp1252
-  re-decode pass covering the double-encoded 'Ã©' class.
+  web text), then ``fix_mojibake`` — a minimal ftfy-style re-decode pass
+  covering the utf8-as-cp1252 'Ã©' class (incl. double-encoded), the
+  utf8-as-latin1 C1-gap class, the utf8-as-cp1251 Cyrillic class, and
+  stray/double HTML entities.
 - ``strip_html``     ~ remove_html_tags (/root/reference/remove_html_tags.py:146-164):
   comments first, then whole <script>/<style> blocks, then any remaining tag,
   each replaced by a single space, followed by HTML entity unescape
@@ -100,9 +102,27 @@ def _encode_sloppy_cp1252(text: str) -> bytes | None:
     return bytes(out)
 
 
+def _encode_sloppy_cp1251(text: str) -> bytes | None:
+    """Chars -> their cp1251 bytes (ftfy's 'sloppy-windows-1251' codec
+    semantics): cp1251's one undefined byte (0x98) and any other <=0xFF
+    codepoint without a cp1251 form map back to their raw byte. None when
+    any char has no single-byte form (not cp1251-mojibake-shaped)."""
+    out = bytearray()
+    for ch in text:
+        try:
+            out += ch.encode("cp1251")
+        except UnicodeEncodeError:
+            cp = ord(ch)
+            if cp <= 0xFF:
+                out.append(cp)
+            else:
+                return None
+    return bytes(out)
+
+
 def fix_mojibake(text: str) -> str:
     """Minimal ftfy.fix_text-style repair, the pass the reference applies
-    after detwingle (utils.py:33). Three implemented classes:
+    after detwingle (utils.py:33). Implemented classes:
 
     - UTF-8-read-as-cp1252 ('Ã©' -> 'é') AND UTF-8-read-as-latin1
       ('â\\x82¬' -> '€'): one shared inverse, because sloppy-cp1252
@@ -113,6 +133,12 @@ def fix_mojibake(text: str) -> str:
       Latin text ('café', 'À demain') fails that decode and passes
       through untouched, the same conservative bar ftfy's badness
       heuristic enforces. Looped to unwind doubly-encoded text.
+    - UTF-8-read-as-cp1251 ('РїСЂРёРІРµС‚' -> 'привет'), the dominant
+      Cyrillic-web mojibake class, via the sloppy-windows-1251 inverse
+      under the same whole-string strict-UTF-8 accept bar. Tried AFTER
+      the cp1252 inverse (ftfy's Western-first preference); clean
+      Cyrillic text survives because real-word cp1251 byte runs are not
+      valid UTF-8 continuation patterns (pinned by fixture).
     - stray/double HTML entities ('caf&eacute;', '&amp;eacute;'):
       unescaped per pass, with ftfy's fix_entities='auto' guard — skipped
       when the text looks like actual markup (contains both '<' and '>'),
@@ -122,8 +148,8 @@ def fix_mojibake(text: str) -> str:
     Residual divergence from full ftfy (documented): no partial-string
     repair (a single mojibake word inside clean non-Latin-1 text stays),
     no C1-control/curly-quote normalization, no lossy-replacement-char
-    recovery, no encoding families beyond cp1252/latin-1 (koi8-r,
-    sloppy-windows-1251, macroman are out)."""
+    recovery, no encoding families beyond cp1252/latin-1/cp1251 (koi8-r
+    and macroman are out)."""
     for _ in range(3):
         changed = False
         if "&" in text and not ("<" in text and ">" in text):
@@ -131,16 +157,19 @@ def fix_mojibake(text: str) -> str:
             if unescaped and unescaped != text:
                 text = unescaped
                 changed = True
-        if any("\x80" <= ch <= "\xff" for ch in text):
-            data = _encode_sloppy_cp1252(text)
-            if data is not None:
+        if any(ord(ch) > 0x7F for ch in text):
+            for encoder in (_encode_sloppy_cp1252, _encode_sloppy_cp1251):
+                data = encoder(text)
+                if data is None:
+                    continue
                 try:
                     fixed = data.decode("utf-8")
                 except UnicodeDecodeError:
-                    fixed = None
+                    continue
                 if fixed and fixed != text:
                     text = fixed
                     changed = True
+                    break
         if not changed:
             return text
     return text

@@ -121,6 +121,37 @@ def test_fix_mojibake_utf8_as_latin1_class():
     assert fix_mojibake("“open".encode("utf-8").decode("cp1252")) == "“open"
 
 
+def test_fix_mojibake_utf8_as_cp1251_class():
+    """Round-4 widening #2: UTF-8 bytes mis-decoded as windows-1251 — the
+    dominant Cyrillic-web mojibake class (ftfy sloppy-windows-1251) — is
+    unwound under the same whole-string strict-UTF-8 accept bar; clean
+    Cyrillic text is never touched (real cp1251 word bytes are not valid
+    UTF-8 continuation runs)."""
+    from language_identification_spark.oracle.extract import fix_mojibake
+
+    def sloppy1251(data: bytes) -> str:
+        # how real systems mis-decode: cp1251 with the one undefined byte
+        # (0x98) passed through raw — ftfy's sloppy-windows-1251
+        return "".join(
+            "\x98" if b == 0x98 else bytes([b]).decode("cp1251") for b in data
+        )
+
+    moji = sloppy1251("привет мир".encode("utf-8"))  # 'РїСЂРёРІРµС‚ ...'
+    assert fix_mojibake(moji) == "привет мир"
+    # doubly-encoded (second mis-decode hits the 0x98 gap -> sloppy)
+    twice = sloppy1251(moji.encode("utf-8"))
+    assert fix_mojibake(twice) == "привет мир"
+    # sentence-shaped, with ASCII interleaved
+    s = "Это test страница 2024".encode("utf-8").decode("cp1251")
+    assert fix_mojibake(s) == "Это test страница 2024"
+    # clean Cyrillic passes through untouched (incl. short words and the
+    # chars whose cp1251 bytes sit in the UTF-8 continuation range)
+    for clean in ("привет мир", "Вы", "Ђђ", "москва", "ASCII only"):
+        assert fix_mojibake(clean) == clean
+    # cp1252 class still takes precedence and repairs as before
+    assert fix_mojibake("cafÃ©") == "café"
+
+
 def test_fix_mojibake_double_entity_class():
     """Round-4 widening: stray/double HTML entities unescape per pass
     (ftfy fix_entities='auto'), but NEVER inside text that looks like real
