@@ -970,6 +970,42 @@ def q_dedup_keep_list(spark, sf_dir):
     )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware cluster representative selection — the keep-LONGEST
+    policy (FineWeb / Dolma dedup keeps the highest-quality member, not the
+    lowest id; length is the standard proxy): within each near-dup cluster
+    (same simhash CC as dedup_clusters), keep the member with the largest
+    UTF-8 byte length, ties broken by min doc_id. Byte length
+    (octet_length) is the engine-exact score — character-length semantics
+    differ across engines on astral codepoints.
+
+    Scale shape: labels are candidate-sized (only docs in >= 1 near-dup
+    edge); one groupBy for the per-cluster max + count, one equi-join back
+    on (cluster, score) to resolve ties, one final min-aggregate — all on
+    candidate-sized tables, never corpus-quadratic, no windows."""
+    labels = _near_dup_labels(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("bigint")
+        .alias("score"),
+    )
+    scored = labels.join(docs, "doc_id")
+    mx = scored.groupBy(F.col("lbl").alias("cluster")).agg(
+        F.max("score").alias("keep_score"),
+        F.count("*").alias("n_docs"),
+    )
+    return (
+        scored.join(
+            mx,
+            (scored["lbl"] == mx["cluster"])
+            & (scored["score"] == mx["keep_score"]),
+        )
+        .groupBy("cluster", "n_docs", "keep_score")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+
+
 # shared candidate-pair CTE chain (sim -> banded -> cands) for the near-dup
 # histogram and the connected-components clustering oracle
 _SQL_SIMHASH_CANDS = """sim AS ({simhash}),
@@ -1053,6 +1089,37 @@ SELECT CASE WHEN e.doc_id <> e.keep_id THEN 'exact_dup'
        count(*) AS n_docs
 FROM exact e LEFT JOIN final f ON f.doc_id = e.doc_id
 GROUP BY 1
+"""
+)
+
+SQL_DEDUP_KEEP_BEST = (
+    "WITH RECURSIVE "
+    + _SQL_SIMHASH_CANDS
+    + """,
+edges AS (
+  SELECT x AS a, y AS b FROM cands WHERE hamming <= 3
+  UNION ALL
+  SELECT y, x FROM cands WHERE hamming <= 3
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+),
+final AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node),
+scored AS (
+  SELECT f.cluster, f.doc_id,
+         CAST(octet_length(encode(COALESCE(d.text, ''))) AS BIGINT) AS score
+  FROM final f JOIN documents d ON d.doc_id = f.doc_id
+),
+mx AS (
+  SELECT cluster, max(score) AS keep_score, count(*) AS n_docs
+  FROM scored GROUP BY cluster
+)
+SELECT s.cluster, m.n_docs, m.keep_score, min(s.doc_id) AS keep_id
+FROM scored s
+JOIN mx m ON s.cluster = m.cluster AND s.score = m.keep_score
+GROUP BY s.cluster, m.n_docs, m.keep_score
 """
 )
 
@@ -5209,6 +5276,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": q_simhash_near_dup,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
+    "dedup_keep_best": q_dedup_keep_best,
     "bloom_dedup": q_bloom_dedup,
     "lsh_band_buckets": q_lsh_band_buckets,
     "stopword_anti_join": q_stopword_anti_join,
@@ -5297,6 +5365,7 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_list": SQL_DEDUP_KEEP_LIST,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "bloom_dedup": SQL_BLOOM_DEDUP,
     "lsh_band_buckets": SQL_LSH_BAND_BUCKETS,
     "stopword_anti_join": SQL_STOPWORD_ANTI_JOIN,
