@@ -31,6 +31,50 @@ def _model() -> NgramNBModel:
     return _MODEL
 
 
+_QCLF = None
+
+
+def _quality_clf() -> dict:
+    """The PINNED learned-quality-filter artifact (operators/qualityclf.py):
+    trained once, driver-side, on the sf0.001 curated sample (bounded —
+    500 rows — the DCLM/FineWeb-Edu architecture: the classifier is an
+    offline artifact, scoring is corpus-scale), labels from the
+    deterministic curation heuristic, integer-quantized export. Reading
+    the sample via duckdb keeps oracle_sql() Spark-free."""
+    global _QCLF
+    if _QCLF is None:
+        import duckdb
+
+        from language_identification_spark.operators.qualityclf import (
+            label_heuristic,
+            train_quality_classifier,
+        )
+
+        rows = duckdb.connect().execute(
+            "SELECT text FROM "
+            "'/root/testdata/sf0.001/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+        _QCLF = train_quality_classifier(
+            [(label_heuristic(t), t) for (t,) in rows]
+        )
+    return _QCLF
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (DCLM-style second signal next to the
+    heuristic rule battery): the pinned integer-quantized classifier scores
+    every document as a pure relational plan — explode -> broadcast vocab
+    join -> one doc_id partial agg -> literal-coefficient integer margin.
+    Zero Python, zero floats in the scoring path; the oracle replays the
+    identical integer arithmetic (operators/qualityclf.py)."""
+    from language_identification_spark.operators.qualityclf import score_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return score_plan(docs, _quality_clf())
+
+
 def _pipeline(
     spark: SparkSession, sf_dir: str, config: QualityConfig | None = None
 ) -> DataFrame:
@@ -415,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["word_kn_ppl_o3"] = _q_word_kn_ppl_o3
     out["char_kn_ppl"] = _q_char_kn_ppl
     out["ensemble_langid"] = _q_ensemble_langid
+    out["quality_classifier"] = _q_quality_classifier
     return out
 
 
@@ -456,4 +501,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["ensemble_langid"] = ensemble_oracle_sql(_model())
+    from language_identification_spark.operators.qualityclf import export_sql
+
+    out["quality_classifier"] = export_sql(_quality_clf())
     return out

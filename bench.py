@@ -88,6 +88,7 @@ HEADLINE = [
     # round-4 additions
     "word_kn_ppl_o3",
     "vocab_coverage_binned",
+    "quality_classifier",
     # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
     # 500-doc universe — verified at the gate, not a headline path
 ]
