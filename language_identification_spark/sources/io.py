@@ -196,6 +196,29 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def write_charsets_json(charsets: DataFrame, path: str | None = None) -> str:
+    """K2's second shape: the single-document charset-ranges JSON of
+    MultiCharSet.to_json (reference datatypes.py:549-561 — scripts.json is
+    built this way in parse-ucd.ipynb cell 19): ``{script: [[lo, hi],
+    ...]}``, indent=4. Input is the (sc, cp_lo, cp_hi) frame of
+    ucd_script_charsets. The collect is DIMENSION-sized (92 scripts x
+    <=few hundred coalesced ranges — UCD-bounded, corpus-independent), so
+    driver assembly is the correct shape; script order is sorted name
+    (deterministic; the reference uses charset insertion order). Returns
+    the JSON string, writing it to ``path`` when given, like to_json."""
+    import json as _json
+
+    rows = charsets.select("sc", "cp_lo", "cp_hi").collect()
+    out: dict[str, list[list[int]]] = {}
+    for r in sorted(rows, key=lambda r: (r["sc"], r["cp_lo"])):
+        out.setdefault(r["sc"], []).append([r["cp_lo"], r["cp_hi"]])
+    text = _json.dumps(out, indent=4, ensure_ascii=False)
+    if path is not None:
+        with open(path, "w", encoding="ascii") as f:
+            f.write(text)
+    return text
+
+
 def write_partitioned_by_lang(df: DataFrame, path: str) -> None:
     """K1: one directory per language — the reference's per-language file
     fan-out (split-ngram-langs.ipynb cells 1-4) as a partitioned write; reads

@@ -215,6 +215,34 @@ def test_ucd_xml_scan(spark, tmp_path):
     }
 
 
+def test_charsets_json_sink(spark, tmp_path):
+    """K2's MultiCharSet.to_json shape (reference datatypes.py:549-561):
+    one JSON document {script: [[lo, hi], ...]}, indent=4, range pairs as
+    sorted coalesced int lists — byte-comparable to what the reference's
+    scripts.json build emits for the same ranges."""
+    import json
+
+    from language_identification_spark.sources.io import write_charsets_json
+
+    charsets = spark.createDataFrame(
+        [
+            ("Latn", 0x41, 0x43),
+            ("Latn", 0x61, 0x7A),
+            ("Dsrt", 0x10400, 0x10400),
+        ],
+        schema="sc string, cp_lo long, cp_hi long",
+    )
+    path = str(tmp_path / "scripts.json")
+    text = write_charsets_json(charsets, path)
+    assert open(path).read() == text
+    assert json.loads(text) == {
+        "Dsrt": [[0x10400, 0x10400]],
+        "Latn": [[0x41, 0x43], [0x61, 0x7A]],
+    }
+    # the reference writes with indent=4: a nested list renders multi-line
+    assert text.startswith('{\n    "Dsrt": [')
+
+
 def test_partitioned_sink_and_pruned_read(spark, tmp_path):
     docs = spark.createDataFrame(
         [("en", "hello"), ("en", "world"), ("ms", "rumah")],
