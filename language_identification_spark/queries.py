@@ -318,6 +318,41 @@ FROM bg GROUP BY bigram HAVING count(DISTINCT lang) = 1
 """
 
 
+def q_merge_wordlists(spark, sf_dir):
+    """SO5: union word lists across sources then dedupe
+    (merge_wordlists.ipynb cells 1-2) through the NAMED operator
+    (sources/io.py:merge_wordlists). Two sources are derived from the
+    corpus (even/odd doc_id halves — the stand-in for two wordlist files),
+    each a per-language distinct bigram list; the merge must dedupe both
+    within and ACROSS sources. Scale shape: unionByName is plan-level
+    (free); the one exchange is the distinct's hash aggregate."""
+    from language_identification_spark.sources.io import merge_wordlists
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    lists = [
+        docs.filter(F.col("doc_id") % 2 == parity)
+        .select("lang", F.explode(word_ngrams_expr("text", 2)).alias("bigram"))
+        .distinct()
+        for parity in (0, 1)
+    ]
+    return merge_wordlists(lists)
+
+
+SQL_MERGE_WORDLISTS = """
+WITH words AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+), bg AS (
+  SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS bigram
+  FROM words, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)
+)
+SELECT DISTINCT lang, bigram FROM (
+  SELECT lang, bigram FROM bg WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT lang, bigram FROM bg WHERE doc_id % 2 = 1
+)
+"""
+
+
 def q_dictionary_lookup(spark, sf_dir):
     """J5: Dictionary.lookup_terms semantics (datatypes.py:632-656) — rank
     dictionary entries by the number of DISTINCT query words they share.
@@ -5263,6 +5298,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_doc_freq": q_word_doc_freq,
     "top_words_per_lang": q_top_words_per_lang,
     "unique_words_per_lang": q_unique_words_per_lang,
+    "merge_wordlists": q_merge_wordlists,
     "dictionary_lookup": q_dictionary_lookup,
     "multidict_lookup": q_multidict_lookup,
     "length_quantiles": q_length_quantiles,
@@ -5352,6 +5388,7 @@ ORACLE_SQL: dict[str, str] = {
     "word_doc_freq": SQL_WORD_DOC_FREQ,
     "top_words_per_lang": SQL_TOP_WORDS_PER_LANG,
     "unique_words_per_lang": SQL_UNIQUE_WORDS_PER_LANG,
+    "merge_wordlists": SQL_MERGE_WORDLISTS,
     "dictionary_lookup": SQL_DICTIONARY_LOOKUP,
     "multidict_lookup": SQL_MULTIDICT_LOOKUP,
     "length_quantiles": SQL_LENGTH_QUANTILES,
