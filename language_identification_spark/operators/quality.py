@@ -125,6 +125,63 @@ def char_entropy_col(text_col: str = "text"):
     return F.when(n > 0, F.log2(n.cast("double")) - ssum / n)
 
 
+def ccnet_buckets_histogram(
+    df: DataFrame,
+    score_col: str,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    bin_scale: int = 100,
+) -> DataFrame:
+    """The 10^12-doc form of ``ccnet_lang_buckets`` — the histogram variant
+    its docstring promises, shipped: instead of a full per-language sort of
+    the corpus, bucket cuts come from a per-language SCORE HISTOGRAM.
+
+    1. bin = floor(score * bin_scale) — a narrow map.
+    2. histogram = groupBy(lang, bin).count() — the ONLY corpus-wide
+       exchange, and it map-side-combines to |langs x bins| rows (hundreds
+       per language at bin_scale=100), independent of corpus size.
+    3. cumulative counts + the two cut bins (smallest bin whose cumulative
+       reaches 1/3 and 2/3 of the language total) via a window over the
+       HISTOGRAM — thousands of rows, partitioned by lang, never the
+       corpus. Exact integer arithmetic (cum*3 >= n), no float percentile.
+    4. cuts (one row per language) broadcast-join back; bucketing is a
+       comparison — another narrow map.
+
+    Semantics vs the exact form: identical up to score-bin granularity —
+    every doc in a boundary bin lands in the lower bucket wholesale (CCNet
+    itself cuts on score thresholds, not rank ties, so this IS the
+    published semantics; the exact-rank form is the stricter gate). The
+    corpus is never sorted and never shuffled on the skewed language key."""
+    from pyspark.sql import functions as F
+
+    scored = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.col(score_col).alias("score"),
+    ).withColumn("bin", F.floor(F.col("score") * bin_scale).cast("long"))
+    hist = scored.groupBy("lang", "bin").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("lang"))
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("n"), F.col("bin"))
+        ).alias("cut1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("bin"))
+        ).alias("cut2"),
+    )
+    bucket = (
+        F.when(F.col("bin") <= F.col("cut1"), "head")
+        .when(F.col("bin") <= F.col("cut2"), "middle")
+        .otherwise("tail")
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "score", "bin", bucket.alias("bucket")
+    )
+
+
 def ccnet_lang_buckets(
     df: DataFrame,
     score_col: str,

@@ -2481,6 +2481,65 @@ def q_ccnet_lang_buckets(spark, sf_dir):
     )
 
 
+def q_ccnet_buckets_approx(spark, sf_dir):
+    """The histogram form of CCNet bucketing at 10^12-doc scale
+    (operators/quality.py:ccnet_buckets_histogram): cut scores come from a
+    per-language score histogram — the corpus is never sorted and never
+    shuffled on the (maximally skewed) language key; the only corpus-wide
+    exchange is the map-side-combined (lang, bin) count. Same score column
+    as ccnet_lang_buckets; buckets are exact up to 0.01 score-bin
+    granularity (CCNet's own threshold-cut semantics)."""
+    from language_identification_spark.operators.quality import (
+        ccnet_buckets_histogram,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = F.size(
+        F.filter(
+            F.split(F.col("text"), r"[\t\n\x0b\f\r ]+"), lambda x: x != ""
+        )
+    )
+    score = F.round(F.col("n_chars").cast("double") / toks, 6)
+    return ccnet_buckets_histogram(
+        docs.select("doc_id", "lang", score.alias("score")), "score"
+    )
+
+
+SQL_CCNET_BUCKETS_APPROX = r"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         round(n_chars::DOUBLE /
+               len(list_filter(string_split_regex(text, '[\t\n\x0b\f\r ]+'),
+                               w -> w <> '')), 6) AS score
+  FROM documents
+),
+binned AS (
+  SELECT doc_id, lang, score, CAST(floor(score * 100) AS BIGINT) AS bin
+  FROM scored
+),
+hist AS (
+  SELECT lang, bin, count(*) AS c FROM binned GROUP BY lang, bin
+),
+cum AS (
+  SELECT lang, bin, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+cuts AS (
+  SELECT lang,
+         min(CASE WHEN cum * 3 >= n THEN bin END) AS cut1,
+         min(CASE WHEN cum * 3 >= 2 * n THEN bin END) AS cut2
+  FROM cum GROUP BY lang
+)
+SELECT b.doc_id, b.lang, b.score, b.bin,
+       CASE WHEN b.bin <= k.cut1 THEN 'head'
+            WHEN b.bin <= k.cut2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM binned b JOIN cuts k ON k.lang = b.lang
+"""
+
+
 SQL_CCNET_LANG_BUCKETS = r"""
 WITH scored AS (
   SELECT doc_id, lang,
@@ -5208,7 +5267,19 @@ def q_langid_calibration(spark, sf_dir):
             / F.count("*"),
             6,
         ).alias("accuracy"),
-        F.round(F.avg("prob"), 6).alias("mean_conf"),
+        # mean_conf summed in EXACT integer space: prob is already 6 dp
+        # (both engines agree per row), so sum(round(prob*1e6)) is an
+        # order-independent BIGINT — a float64 avg() here flipped the 6th
+        # decimal between runs whenever the mean sat on a .5e-6 boundary
+        # (summation order varies with task scheduling)
+        F.round(
+            (
+                F.sum(F.round(F.col("prob") * 1e6, 0).cast("long"))
+                / F.count("*")
+            )
+            / 1e6,
+            6,
+        ).alias("mean_conf"),
     )
 
 
@@ -5225,7 +5296,7 @@ SELECT bucket,
        count(*)::BIGINT AS n,
        sum(CASE WHEN label = pred THEN 1 ELSE 0 END)::BIGINT AS n_correct,
        round(sum(CASE WHEN label = pred THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS accuracy,
-       round(avg(prob), 6) AS mean_conf
+       round((sum(CAST(round(prob * 1000000, 0) AS BIGINT))::DOUBLE / count(*)) / 1000000, 6) AS mean_conf
 FROM j GROUP BY bucket
 """
 SQL_LANGID_CALIBRATION = SQL_LANGID_CALIBRATION.format(
@@ -5353,6 +5424,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_token_budget": q_split_token_budget,
     "host_stats_salted": q_host_stats_salted,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
+    "ccnet_buckets_approx": q_ccnet_buckets_approx,
     "span_dedup": q_span_dedup,
     "scrub_sql": q_scrub_sql,
     "pii_cards": q_pii_cards,
@@ -5443,6 +5515,7 @@ ORACLE_SQL: dict[str, str] = {
     "split_token_budget": SQL_SPLIT_TOKEN_BUDGET,
     "host_stats_salted": SQL_HOST_STATS_SALTED,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
+    "ccnet_buckets_approx": SQL_CCNET_BUCKETS_APPROX,
     "span_dedup": SQL_SPAN_DEDUP,
     "scrub_sql": SQL_SCRUB,
     "pii_cards": SQL_PII_CARDS,

@@ -128,3 +128,42 @@ def test_ccnet_lang_buckets_exact_thirds(spark):
     # Tiny groups legitimately have no head — the integer cut never
     # over-promotes when n < 3.
     assert got[101] == (1, "middle") and got[100] == (2, "tail")
+
+
+def test_ccnet_histogram_variant_matches_exact_up_to_bin_granularity(spark):
+    """The 10^12-doc histogram form (ccnet_buckets_histogram): cut bins
+    cover >= 1/3 and >= 2/3 of each language; on scores with distinct bins
+    per rank position it agrees with the exact-rank form; and its plan
+    contains NO corpus sort on the language key (the whole point)."""
+    from language_identification_spark.operators.quality import (
+        ccnet_buckets_histogram,
+        ccnet_lang_buckets,
+    )
+
+    # 9 docs, all-distinct bins -> histogram cuts == exact thirds
+    rows = [(i, "en", 1.0 + i) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, score double")
+    exact = {r.doc_id: r.bucket for r in ccnet_lang_buckets(df, "score").collect()}
+    approx = {
+        r.doc_id: r.bucket for r in ccnet_buckets_histogram(df, "score").collect()
+    }
+    assert exact == approx
+    # tied scores share a bin and land in ONE bucket wholesale (the
+    # documented granularity semantics): 6 docs of score 2.0 + 3 of 9.0 —
+    # the 2.0 bin alone reaches 2/3, so all six are 'head', rest 'tail'
+    rows = [(i, "en", 2.0) for i in range(6)] + [(i, "en", 9.0) for i in range(6, 9)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, score double")
+    got = {r.doc_id: r.bucket for r in ccnet_buckets_histogram(df, "score").collect()}
+    assert all(got[i] == "head" for i in range(6))
+    assert all(got[i] == "tail" for i in range(6, 9))
+    # plan: the only Sort is inside the window over the HISTOGRAM (post
+    # partial-agg); assert no sort-merge join and no global sort of the
+    # input relation — the scored side reaches the cuts via BroadcastHashJoin
+    plan = (
+        ccnet_buckets_histogram(df, "score")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
