@@ -75,6 +75,39 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_plan(docs, _quality_clf())
 
 
+def _q_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation a pipeline publishes for its learned filter (DCLM
+    reports agreement of the classifier with its curation signal): the
+    confusion matrix of the pinned classifier's keep/drop vs the curation
+    rule recomputed natively on the SCORED corpus (held-out whenever
+    sf_dir != the sf0.001 training sample). All-integer composition of the
+    quality_classifier plan with a narrow-map truth column — one
+    (q_label, rule_keep) groupBy over corpus rows."""
+    from language_identification_spark.operators.qualityclf import score_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    truth = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        (
+            F.size(
+                F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+            )
+            >= 40
+        ).alias("rule_keep"),
+    )
+    clf = score_plan(docs, _quality_clf())
+    return (
+        clf.join(truth, "doc_id")
+        .groupBy("q_label", "rule_keep")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_hits").cast("bigint").alias("sum_hits"),
+        )
+    )
+
+
 def _pipeline(
     spark: SparkSession, sf_dir: str, config: QualityConfig | None = None
 ) -> DataFrame:
@@ -460,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["char_kn_ppl"] = _q_char_kn_ppl
     out["ensemble_langid"] = _q_ensemble_langid
     out["quality_classifier"] = _q_quality_classifier
+    out["quality_classifier_eval"] = _q_quality_classifier_eval
     return out
 
 
@@ -504,4 +538,17 @@ def oracle_sql() -> dict[str, str]:
     from language_identification_spark.operators.qualityclf import export_sql
 
     out["quality_classifier"] = export_sql(_quality_clf())
+    out["quality_classifier_eval"] = f"""
+SELECT c.q_label, t.rule_keep,
+       count(*)::BIGINT AS n_docs,
+       sum(c.n_hits)::BIGINT AS sum_hits
+FROM ({export_sql(_quality_clf())}) c
+JOIN (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) >= 40
+           AS rule_keep
+  FROM documents WHERE text IS NOT NULL
+) t USING (doc_id)
+GROUP BY 1, 2
+"""
     return out
