@@ -89,6 +89,8 @@ HEADLINE = [
     "word_kn_ppl_o3",
     "vocab_coverage_binned",
     "quality_classifier",
+    "ccnet_buckets_approx",
+    "dedup_keep_best",
     # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
     # 500-doc universe — verified at the gate, not a headline path
 ]
