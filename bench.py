@@ -91,6 +91,8 @@ HEADLINE = [
     "quality_classifier",
     "ccnet_buckets_approx",
     "dedup_keep_best",
+    "host_pagerank",
+    "readability_scores",
     # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
     # 500-doc universe — verified at the gate, not a headline path
 ]

@@ -2374,6 +2374,129 @@ FROM canon
 """
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Crawl-frontier host ranking: outlinks are parsed out of real html
+    anchors with a native regexp (Common-Crawl-shaped pages synthesized per
+    doc from the literal 25-host / outdegree-4 graph of
+    operators/linkgraph.py, every host's links fixed by a VALUES-style dim
+    replayed identically by the oracle), aggregated to the distinct
+    host->host edge list in ONE map-side-combined corpus exchange, then
+    ranked with 3 PageRank iterations (damping 0.85) in EXACT INTEGER
+    arithmetic — S_k = 12*80^(k-1) + 17*sum(in-neighbor S_{k-1}), an
+    order-independent closed form, so rank_scaled hashes exactly. All rank
+    iterations are |hosts|-sized broadcast joins; the corpus is scanned
+    once. Public-knowledge anchor: Page et al. 1999; Common Crawl host-rank
+    releases."""
+    from language_identification_spark.operators.linkgraph import (
+        host_pagerank,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return host_pagerank(docs.select("doc_id"), k=3)
+
+
+SQL_HOST_PAGERANK = r"""
+WITH host_links(h, t1, t2, t3, t4) AS (VALUES
+  (0, 6, 14, 16, 21), (1, 10, 21, 22, 24), (2, 7, 14, 18, 19),
+  (3, 7, 14, 20, 21), (4, 14, 20, 22, 23), (5, 11, 13, 17, 24),
+  (6, 11, 21, 22, 23), (7, 17, 20, 23, 24), (8, 20, 21, 22, 23),
+  (9, 8, 10, 15, 16), (10, 11, 15, 16, 21), (11, 14, 15, 17, 24),
+  (12, 13, 17, 21, 22), (13, 20, 21, 23, 24), (14, 7, 15, 16, 22),
+  (15, 14, 16, 23, 24), (16, 18, 19, 21, 24), (17, 15, 18, 20, 24),
+  (18, 10, 14, 19, 24), (19, 8, 11, 21, 23), (20, 9, 17, 18, 24),
+  (21, 5, 20, 23, 24), (22, 11, 15, 20, 21), (23, 15, 18, 19, 24),
+  (24, 13, 16, 19, 23)),
+pages AS (
+  SELECT d.doc_id, d.doc_id % 25 AS h,
+         '<html><body><h1>site' || (d.doc_id % 25) || '</h1>'
+         || '<a href="http://site' || hl.t1 || '.example.com/d' || d.doc_id || '">l</a>'
+         || '<a href="http://site' || hl.t2 || '.example.com/d' || d.doc_id || '">l</a>'
+         || '<a href="http://site' || hl.t3 || '.example.com/d' || d.doc_id || '">l</a>'
+         || '<a href="http://site' || hl.t4 || '.example.com/d' || d.doc_id || '">l</a>'
+         || '</body></html>' AS html
+  FROM documents d JOIN host_links hl ON hl.h = d.doc_id % 25
+),
+exploded AS (
+  SELECT h AS src,
+         CAST(unnest(regexp_extract_all(
+           html, 'href="http://site([0-9]+)\.example\.com/', 1)) AS INT) AS dst
+  FROM pages
+),
+edges AS (SELECT src, dst, count(*) AS n_docs FROM exploded GROUP BY src, dst),
+hosts AS (SELECT src AS h, max(n_docs) AS n_docs FROM edges GROUP BY src),
+live AS (SELECT e.src, e.dst FROM edges e JOIN hosts t ON t.h = e.dst),
+r0 AS (SELECT h, CAST(1 AS BIGINT) AS s FROM hosts),
+r1 AS (SELECT hs.h, CAST(12 + 17 * COALESCE(SUM(r0.s), 0) AS BIGINT) AS s
+       FROM hosts hs
+       LEFT JOIN live e ON e.dst = hs.h
+       LEFT JOIN r0 ON r0.h = e.src
+       GROUP BY hs.h),
+r2 AS (SELECT hs.h, CAST(960 + 17 * COALESCE(SUM(r1.s), 0) AS BIGINT) AS s
+       FROM hosts hs
+       LEFT JOIN live e ON e.dst = hs.h
+       LEFT JOIN r1 ON r1.h = e.src
+       GROUP BY hs.h),
+r3 AS (SELECT hs.h, CAST(76800 + 17 * COALESCE(SUM(r2.s), 0) AS BIGINT) AS s
+       FROM hosts hs
+       LEFT JOIN live e ON e.dst = hs.h
+       LEFT JOIN r2 ON r2.h = e.src
+       GROUP BY hs.h)
+SELECT 'site' || r3.h || '.example.com' AS host,
+       CAST(hs.n_docs AS BIGINT) AS n_docs,
+       r3.s AS rank_scaled,
+       round(r3.s / ((SELECT count(*) FROM hosts) * 512000.0), 8) AS rank
+FROM r3 JOIN hosts hs ON hs.h = r3.h
+"""
+
+
+def q_readability_scores(spark, sf_dir):
+    """Per-language Flesch reading-ease / Flesch-Kincaid grade
+    (operators/readability.py): per-doc word / sentence-terminator /
+    vowel-group counts as EXACT bigints via two native regexp_counts + the
+    engine's split-token primitive, summed per language (one map-side-
+    combined exchange), scores computed as ONE float expression over the
+    exact sums (corpus-as-one-text) — order-independent, bit-identical
+    across engines. The fluency prior FineWeb-Edu-style educational
+    filters band documents by."""
+    from language_identification_spark.operators.readability import (
+        readability_by_lang,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return readability_by_lang(docs.select("lang", "text"))
+
+
+SQL_READABILITY_SCORES = r"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+           AS words,
+         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS syllables
+  FROM documents WHERE text IS NOT NULL
+),
+agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(words) AS BIGINT) AS sum_words,
+         CAST(sum(sentences) AS BIGINT) AS sum_sentences,
+         CAST(sum(syllables) AS BIGINT) AS sum_syllables
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, sum_words, sum_sentences, sum_syllables,
+       CASE WHEN sum_sentences > 0 AND sum_words > 0 THEN
+         round(206.835 - 1.015 * (sum_words / sum_sentences)
+                       - 84.6 * (sum_syllables / sum_words), 6)
+       END AS reading_ease,
+       CASE WHEN sum_sentences > 0 AND sum_words > 0 THEN
+         round(0.39 * (sum_words / sum_sentences)
+               + 11.8 * (sum_syllables / sum_words) - 15.59, 6)
+       END AS fk_grade
+FROM agg
+"""
+
+
 def q_host_stats_salted(spark, sf_dir):
     """Salted two-phase host aggregation (operators/hoststats.py). A hot
     host is synthesized (even doc_ids all collapse onto one host — 50% of
@@ -5401,6 +5524,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "c4_line_filter": q_c4_line_filter,
     "url_dedup": q_url_dedup,
+    "host_pagerank": q_host_pagerank,
+    "readability_scores": q_readability_scores,
     "domain_blocklist": q_domain_blocklist,
     "bm25_topk": q_bm25_topk,
     "pack_sequences": q_pack_sequences,
@@ -5492,6 +5617,8 @@ ORACLE_SQL: dict[str, str] = {
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "c4_line_filter": SQL_C4_LINE_FILTER,
     "url_dedup": SQL_URL_DEDUP,
+    "host_pagerank": SQL_HOST_PAGERANK,
+    "readability_scores": SQL_READABILITY_SCORES,
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "bm25_topk": SQL_BM25_TOPK,
     "pack_sequences": SQL_PACK_SEQUENCES,

@@ -1,0 +1,94 @@
+"""Host link graph + exact-integer PageRank (operators/linkgraph.py):
+graph invariants, extraction parity, and the integer recurrence pinned
+against an independent pure-Python simulation — including the
+leaking-mass case where some hosts have no crawled pages."""
+
+from __future__ import annotations
+
+from language_identification_spark.operators.linkgraph import (
+    HOST_LINKS,
+    N_HOST_SLOTS,
+    OUTDEG,
+    extract_host_edges,
+    host_pagerank,
+    synth_linked_pages,
+)
+
+
+def test_graph_invariants():
+    assert len(HOST_LINKS) == N_HOST_SLOTS
+    indeg: dict[int, int] = {}
+    for h, ts in HOST_LINKS:
+        assert len(ts) == OUTDEG
+        assert len(set(ts)) == OUTDEG
+        assert h not in ts
+        assert all(0 <= t < N_HOST_SLOTS for t in ts)
+        for t in ts:
+            indeg[t] = indeg.get(t, 0) + 1
+    # the point of the fixture: a SKEWED indegree (non-trivial ranks)
+    assert min(indeg.get(t, 0) for t in range(N_HOST_SLOTS)) == 0
+    assert max(indeg.values()) >= 10
+
+
+def _simulate(present: set[int], k: int = 3) -> dict[int, int]:
+    """Independent integer PageRank: S_0 = 1, S_k = 12*80^(k-1) + 17 * sum
+    of in-neighbor S_{k-1}, edges restricted to present->present."""
+    links = {h: [t for t in ts if t in present] for h, ts in HOST_LINKS}
+    s = {h: 1 for h in present}
+    for i in range(1, k + 1):
+        s = {
+            v: 12 * 80 ** (i - 1)
+            + 17 * sum(s[u] for u in present if v in links[u])
+            for v in present
+        }
+    return s
+
+
+def test_extraction_counts_and_edges(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(100)], schema="doc_id bigint"
+    )
+    edges = extract_host_edges(synth_linked_pages(docs)).collect()
+    # 100 docs over 25 hosts -> 4 docs/host, 4 targets each
+    assert len(edges) == N_HOST_SLOTS * OUTDEG
+    expected = {(h, t) for h, ts in HOST_LINKS for t in ts}
+    assert {(r.src, r.dst) for r in edges} == expected
+    assert all(r.n_docs == 4 for r in edges)
+
+
+def test_exact_rank_full_graph(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(250)], schema="doc_id bigint"
+    )
+    got = {
+        int(r.host.removeprefix("site").removesuffix(".example.com")): r
+        for r in host_pagerank(docs).collect()
+    }
+    want = _simulate(set(range(N_HOST_SLOTS)))
+    assert len(got) == N_HOST_SLOTS
+    for h, s in want.items():
+        assert got[h].rank_scaled == s
+        assert got[h].n_docs == 10
+        assert abs(got[h].rank - s / (25 * 512000.0)) < 1e-8
+    # mass conservation bound: total rank <= 1 (leak-free on the full graph
+    # since every target host is crawled): sum S_3 == 25 * 512000 exactly
+    assert sum(want.values()) == 25 * 512000
+
+
+def test_exact_rank_with_absent_hosts(spark):
+    # only hosts 0..9 crawled: edges to 10..24 leak their mass
+    docs = spark.createDataFrame(
+        [(i,) for i in range(500) if i % N_HOST_SLOTS < 10],
+        schema="doc_id bigint",
+    )
+    present = set(range(10))
+    got = {
+        int(r.host.removeprefix("site").removesuffix(".example.com")): r
+        for r in host_pagerank(docs).collect()
+    }
+    want = _simulate(present)
+    assert set(got) == present
+    for h in present:
+        assert got[h].rank_scaled == want[h]
+    # leaked mass: strictly less total rank than the leak-free bound
+    assert sum(want.values()) < 10 * 512000
