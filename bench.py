@@ -93,6 +93,7 @@ HEADLINE = [
     "dedup_keep_best",
     "host_pagerank",
     "readability_scores",
+    "template_scrub",
     # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
     # 500-doc universe — verified at the gate, not a headline path
 ]

@@ -84,15 +84,17 @@ def detwingle(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _encode_sloppy_cp1252(text: str) -> bytes | None:
-    """Chars -> their cp1252 bytes, with the 0x80-0x9F gap codepoints mapped
-    back to their raw byte (ftfy's 'sloppy-windows-1252' codec semantics —
-    the inverse of how mojibake text was mis-decoded in the first place).
-    None when any char has no single-byte form (not mojibake-shaped)."""
+def _encode_sloppy(text: str, codec: str) -> bytes | None:
+    """Chars -> their single-byte form under ``codec``, with any <=0xFF
+    codepoint the codec cannot encode mapped back to its raw byte (ftfy's
+    'sloppy-' codec semantics — the inverse of how mojibake text was
+    mis-decoded in the first place: cp1252's 0x80-0x9F gap and cp1251's
+    0x98 surface as those raw codepoints). None when any char has no
+    single-byte form at all (not mojibake-shaped for this codec)."""
     out = bytearray()
     for ch in text:
         try:
-            out += ch.encode("cp1252")
+            out += ch.encode(codec)
         except UnicodeEncodeError:
             cp = ord(ch)
             if cp <= 0xFF:
@@ -100,24 +102,22 @@ def _encode_sloppy_cp1252(text: str) -> bytes | None:
             else:
                 return None
     return bytes(out)
+
+
+def _encode_sloppy_cp1252(text: str) -> bytes | None:
+    return _encode_sloppy(text, "cp1252")
 
 
 def _encode_sloppy_cp1251(text: str) -> bytes | None:
-    """Chars -> their cp1251 bytes (ftfy's 'sloppy-windows-1251' codec
-    semantics): cp1251's one undefined byte (0x98) and any other <=0xFF
-    codepoint without a cp1251 form map back to their raw byte. None when
-    any char has no single-byte form (not cp1251-mojibake-shaped)."""
-    out = bytearray()
-    for ch in text:
-        try:
-            out += ch.encode("cp1251")
-        except UnicodeEncodeError:
-            cp = ord(ch)
-            if cp <= 0xFF:
-                out.append(cp)
-            else:
-                return None
-    return bytes(out)
+    return _encode_sloppy(text, "cp1251")
+
+
+def _encode_sloppy_koi8r(text: str) -> bytes | None:
+    return _encode_sloppy(text, "koi8_r")
+
+
+def _encode_sloppy_macroman(text: str) -> bytes | None:
+    return _encode_sloppy(text, "mac_roman")
 
 
 def fix_mojibake(text: str) -> str:
@@ -139,6 +139,14 @@ def fix_mojibake(text: str) -> str:
       the cp1252 inverse (ftfy's Western-first preference); clean
       Cyrillic text survives because real-word cp1251 byte runs are not
       valid UTF-8 continuation patterns (pinned by fixture).
+    - UTF-8-read-as-koi8-r ('п©я─п╦п╡п╣я┌' -> 'привет'), the older
+      Unix-Cyrillic mojibake class, and UTF-8-read-as-macroman
+      ('caf√©' -> 'café', '‚Äúquoted‚Äù' -> '“quoted”'), the classic
+      Mac-origin class — same sloppy-inverse + whole-string strict-UTF-8
+      accept bar. Preference order is cp1252, cp1251, koi8-r, macroman
+      (ftfy's Western-first convention): a cp1252-mojibake string also
+      re-encodes to valid UTF-8 under the koi8-r/macroman inverses with a
+      WRONG repair, so the earlier class must win (pinned by fixture).
     - stray/double HTML entities ('caf&eacute;', '&amp;eacute;'):
       unescaped per pass, with ftfy's fix_entities='auto' guard — skipped
       when the text looks like actual markup (contains both '<' and '>'),
@@ -148,8 +156,8 @@ def fix_mojibake(text: str) -> str:
     Residual divergence from full ftfy (documented): no partial-string
     repair (a single mojibake word inside clean non-Latin-1 text stays),
     no C1-control/curly-quote normalization, no lossy-replacement-char
-    recovery, no encoding families beyond cp1252/latin-1/cp1251 (koi8-r
-    and macroman are out)."""
+    recovery, no encoding families beyond cp1252/latin-1/cp1251/koi8-r/
+    macroman (cp437 and the East-Asian double-byte families are out)."""
     for _ in range(3):
         changed = False
         if "&" in text and not ("<" in text and ">" in text):
@@ -158,7 +166,12 @@ def fix_mojibake(text: str) -> str:
                 text = unescaped
                 changed = True
         if any(ord(ch) > 0x7F for ch in text):
-            for encoder in (_encode_sloppy_cp1252, _encode_sloppy_cp1251):
+            for encoder in (
+                _encode_sloppy_cp1252,
+                _encode_sloppy_cp1251,
+                _encode_sloppy_koi8r,
+                _encode_sloppy_macroman,
+            ):
                 data = encoder(text)
                 if data is None:
                     continue

@@ -2497,6 +2497,168 @@ FROM agg
 """
 
 
+def _templated_docs(spark, sf_dir):
+    """Shared fixture for the host-template gates: 40 hosts (doc_id mod),
+    per-host boilerplate injected deterministically so every detection
+    branch fires — a nav line on 100% of a host's pages, a cookie banner
+    on exactly 50% (the integer-exact >= boundary), a footer on 75%, and
+    a per-doc unique promo line that must never be called a template. The
+    oracle replays the identical synthesis."""
+    docs = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    did = F.col("doc_id")
+    h = (did % 40).cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("site"), h).alias("host"),
+        F.concat(
+            F.lit("home | products | about site"),
+            h,
+            F.lit("\n"),
+            F.when(
+                did % 2 == 0,
+                F.lit("this website uses cookies - accept?\n"),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                did % 4 != 3,
+                F.concat(F.lit("\n(c) site"), h, F.lit(" all rights reserved")),
+            ).otherwise(F.lit("")),
+            F.lit("\npromo of the day "),
+            did.cast("string"),
+        ).alias("text"),
+    )
+
+
+def q_host_template_lines(spark, sf_dir):
+    """Host-level boilerplate detection (operators/templates.py): lines
+    present in an integer-exact majority (2*n_pages >= n_host_docs, min 2
+    pages) of a host's pages — the CCNet-common-line / trafilatura
+    inter-page boilerplate model, which global line rules (c4_line_filter)
+    and global paragraph dedup (paragraph_dedup) cannot express. ONE
+    map-side-combined (host, line) exchange + a broadcast host-count
+    join."""
+    from language_identification_spark.operators.templates import (
+        host_template_lines,
+    )
+
+    return host_template_lines(_templated_docs(spark, sf_dir))
+
+
+SQL_HOST_TEMPLATE_LINES = r"""
+WITH base AS (
+  SELECT doc_id, 'site' || (doc_id % 40) AS host,
+         'home | products | about site' || (doc_id % 40) || chr(10)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN 'this website uses cookies - accept?' || chr(10)
+                 ELSE '' END
+         || text
+         || CASE WHEN doc_id % 4 <> 3
+                 THEN chr(10) || '(c) site' || (doc_id % 40)
+                      || ' all rights reserved'
+                 ELSE '' END
+         || chr(10) || 'promo of the day ' || doc_id AS text
+  FROM documents WHERE text IS NOT NULL
+),
+page_lines AS (
+  SELECT host,
+         unnest(list_distinct(list_filter(
+           list_transform(string_split(text, chr(10)), s -> trim(s)),
+           s -> s <> ''))) AS line
+  FROM base
+),
+line_counts AS (
+  SELECT host, line, CAST(count(*) AS BIGINT) AS n_pages
+  FROM page_lines GROUP BY host, line
+),
+host_counts AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_host_docs
+  FROM base GROUP BY host
+)
+SELECT lc.host, lc.line, lc.n_pages, hc.n_host_docs,
+       round(lc.n_pages / hc.n_host_docs, 6) AS page_frac
+FROM line_counts lc JOIN host_counts hc ON hc.host = lc.host
+WHERE 2 * lc.n_pages >= hc.n_host_docs AND lc.n_pages >= 2
+"""
+
+
+def q_template_scrub(spark, sf_dir):
+    """Template scrubbing (operators/templates.py): every detected
+    template line of the document's host removed, surviving-line order
+    preserved; per-doc removed-count (exact bigint) + md5 of the scrubbed
+    text. The template table is host-dim-sized, so the apply side is a
+    broadcast left join + a narrow array filter — the detect+apply
+    composition a production cleaner runs."""
+    from language_identification_spark.operators.templates import (
+        host_template_lines,
+        scrub_template_lines,
+    )
+
+    docs = _templated_docs(spark, sf_dir)
+    scrubbed = scrub_template_lines(docs, host_template_lines(docs))
+    return scrubbed.select(
+        "doc_id",
+        "host",
+        "n_lines_removed",
+        F.md5(F.col("scrubbed_text").cast("binary")).alias("scrub_sig"),
+    )
+
+
+SQL_TEMPLATE_SCRUB = r"""
+WITH base AS (
+  SELECT doc_id, 'site' || (doc_id % 40) AS host,
+         'home | products | about site' || (doc_id % 40) || chr(10)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN 'this website uses cookies - accept?' || chr(10)
+                 ELSE '' END
+         || text
+         || CASE WHEN doc_id % 4 <> 3
+                 THEN chr(10) || '(c) site' || (doc_id % 40)
+                      || ' all rights reserved'
+                 ELSE '' END
+         || chr(10) || 'promo of the day ' || doc_id AS text
+  FROM documents WHERE text IS NOT NULL
+),
+lines AS (
+  SELECT doc_id, host,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    s -> trim(s)), s -> s <> '') AS ls
+  FROM base
+),
+page_lines AS (
+  SELECT host, unnest(list_distinct(ls)) AS line FROM lines
+),
+line_counts AS (
+  SELECT host, line, CAST(count(*) AS BIGINT) AS n_pages
+  FROM page_lines GROUP BY host, line
+),
+host_counts AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_host_docs
+  FROM base GROUP BY host
+),
+templates AS (
+  SELECT lc.host, lc.line
+  FROM line_counts lc JOIN host_counts hc ON hc.host = lc.host
+  WHERE 2 * lc.n_pages >= hc.n_host_docs AND lc.n_pages >= 2
+),
+tpl_sets AS (
+  SELECT host, list(line) AS tpl_lines FROM templates GROUP BY host
+),
+scrubbed AS (
+  SELECT l.doc_id, l.host,
+         list_filter(l.ls,
+           s -> NOT list_contains(COALESCE(t.tpl_lines, []), s)) AS kept,
+         l.ls
+  FROM lines l LEFT JOIN tpl_sets t ON t.host = l.host
+)
+SELECT doc_id, host,
+       CAST(len(ls) - len(kept) AS BIGINT) AS n_lines_removed,
+       md5(array_to_string(kept, chr(10))) AS scrub_sig
+FROM scrubbed
+"""
+
+
 def q_host_stats_salted(spark, sf_dir):
     """Salted two-phase host aggregation (operators/hoststats.py). A hot
     host is synthesized (even doc_ids all collapse onto one host — 50% of
@@ -5526,6 +5688,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_dedup": q_url_dedup,
     "host_pagerank": q_host_pagerank,
     "readability_scores": q_readability_scores,
+    "host_template_lines": q_host_template_lines,
+    "template_scrub": q_template_scrub,
     "domain_blocklist": q_domain_blocklist,
     "bm25_topk": q_bm25_topk,
     "pack_sequences": q_pack_sequences,
@@ -5619,6 +5783,8 @@ ORACLE_SQL: dict[str, str] = {
     "url_dedup": SQL_URL_DEDUP,
     "host_pagerank": SQL_HOST_PAGERANK,
     "readability_scores": SQL_READABILITY_SCORES,
+    "host_template_lines": SQL_HOST_TEMPLATE_LINES,
+    "template_scrub": SQL_TEMPLATE_SCRUB,
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "bm25_topk": SQL_BM25_TOPK,
     "pack_sequences": SQL_PACK_SEQUENCES,

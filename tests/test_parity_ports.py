@@ -152,6 +152,48 @@ def test_fix_mojibake_utf8_as_cp1251_class():
     assert fix_mojibake("cafÃ©") == "café"
 
 
+def test_fix_mojibake_utf8_as_koi8r_class():
+    """Round-4 widening #3: UTF-8 bytes mis-decoded as koi8-r — the older
+    Unix-Cyrillic mojibake class (box-drawing chars interleaved with
+    lowercase Cyrillic are its signature) — repairs under the same
+    whole-string strict-UTF-8 accept bar."""
+    from language_identification_spark.oracle.extract import fix_mojibake
+
+    moji = "привет".encode("utf-8").decode("koi8_r")  # 'п©я─п╦п╡п╣я┌'
+    assert fix_mojibake(moji) == "привет"
+    assert (
+        fix_mojibake("Москва 2024".encode("utf-8").decode("koi8_r"))
+        == "Москва 2024"
+    )
+    # clean Cyrillic still passes through; the cp1251 class still wins its
+    # own inputs (preference order is documented and load-bearing)
+    assert fix_mojibake("привет мир") == "привет мир"
+    assert (
+        fix_mojibake("привет".encode("utf-8").decode("cp1251")) == "привет"
+    )
+
+
+def test_fix_mojibake_utf8_as_macroman_class():
+    """Round-4 widening #4: UTF-8 bytes mis-decoded as MacRoman — the
+    classic Mac-origin class ('√©' for 'é', '‚Äú' for '“') — repairs
+    under the same accept bar; the cp1252 inverse must keep winning
+    cp1252-shaped inputs (its macroman re-encode is also valid UTF-8 but
+    a WRONG repair)."""
+    from language_identification_spark.oracle.extract import fix_mojibake
+
+    assert fix_mojibake("caf√©") == "café"
+    moji = "“quoted” – dash".encode("utf-8").decode("mac_roman")
+    assert fix_mojibake(moji) == "“quoted” – dash"
+    # doubly-encoded macroman unwinds too
+    twice = moji.encode("utf-8").decode("mac_roman")
+    assert fix_mojibake(twice) == "“quoted” – dash"
+    # preference pin: cp1252 mojibake repairs via cp1252, not macroman
+    assert fix_mojibake("cafÃ©") == "café"
+    # clean text with macroman-encodable accents is untouched
+    for clean in ("café à demain", "schön größer", "√2 = 1.41"):
+        assert fix_mojibake(clean) == clean
+
+
 def test_fix_mojibake_double_entity_class():
     """Round-4 widening: stray/double HTML entities unescape per pass
     (ftfy fix_entities='auto'), but NEVER inside text that looks like real
