@@ -94,6 +94,7 @@ HEADLINE = [
     "host_pagerank",
     "readability_scores",
     "template_scrub",
+    "crawl_priority",
     # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
     # 500-doc universe — verified at the gate, not a headline path
 ]

@@ -2395,8 +2395,9 @@ def q_host_pagerank(spark, sf_dir):
     return host_pagerank(docs.select("doc_id"), k=3)
 
 
-SQL_HOST_PAGERANK = r"""
-WITH host_links(h, t1, t2, t3, t4) AS (VALUES
+# shared CTE chain for the link-graph gates (host_pagerank reports the
+# ranks; crawl_priority composes them with a per-host quality keep-rate)
+_SQL_PAGERANK_CTES = r"""host_links(h, t1, t2, t3, t4) AS (VALUES
   (0, 6, 14, 16, 21), (1, 10, 21, 22, 24), (2, 7, 14, 18, 19),
   (3, 7, 14, 20, 21), (4, 14, 20, 22, 23), (5, 11, 13, 17, 24),
   (6, 11, 21, 22, 23), (7, 17, 20, 23, 24), (8, 20, 21, 22, 23),
@@ -2440,13 +2441,105 @@ r3 AS (SELECT hs.h, CAST(76800 + 17 * COALESCE(SUM(r2.s), 0) AS BIGINT) AS s
        FROM hosts hs
        LEFT JOIN live e ON e.dst = hs.h
        LEFT JOIN r2 ON r2.h = e.src
-       GROUP BY hs.h)
+       GROUP BY hs.h)"""
+
+SQL_HOST_PAGERANK = (
+    "WITH "
+    + _SQL_PAGERANK_CTES
+    + r"""
 SELECT 'site' || r3.h || '.example.com' AS host,
        CAST(hs.n_docs AS BIGINT) AS n_docs,
        r3.s AS rank_scaled,
        round(r3.s / ((SELECT count(*) FROM hosts) * 512000.0), 8) AS rank
 FROM r3 JOIN hosts hs ON hs.h = r3.h
 """
+)
+
+
+def q_crawl_priority(spark, sf_dir):
+    """Quality-weighted crawl prioritization — the composition a frontier
+    scheduler actually runs: link-graph authority (host_pagerank's exact
+    integer ranks) x the host's measured content quality (keep-rate under
+    the curation word-count rule, the quality_classifier_eval truth
+    signal). priority_scaled = rank_scaled * n_kept is EXACT bigint
+    (hash-exact); the float priority divides it once by the combined
+    normalizer. One extra corpus aggregate (per-host keep counts,
+    map-side combined) + host-dim joins; everything downstream of the two
+    corpus exchanges is |hosts|-sized."""
+    from language_identification_spark.operators.linkgraph import (
+        N_HOST_SLOTS,
+        host_pagerank,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pr = host_pagerank(docs.select("doc_id"), k=3)
+    kept = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            F.concat(
+                F.lit("site"), (F.col("doc_id") % N_HOST_SLOTS).cast("string"),
+                F.lit(".example.com"),
+            ).alias("host"),
+            (
+                F.size(
+                    F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+                )
+                >= 40
+            )
+            .cast("bigint")
+            .alias("keep"),
+        )
+        .groupBy("host")
+        .agg(F.sum("keep").cast("bigint").alias("n_kept"))
+    )
+    nh = pr.agg(F.count(F.lit(1)).alias("nh"))
+    return (
+        pr.join(F.broadcast(kept), "host", "left")
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "host",
+            "n_docs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias(
+                "n_kept"
+            ),
+            "rank_scaled",
+            (F.col("rank_scaled") * F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("priority_scaled"),
+            F.round(
+                (F.col("rank_scaled") * F.coalesce(F.col("n_kept"), F.lit(0)))
+                / (F.col("nh") * F.lit(512000.0) * F.col("n_docs")),
+                10,
+            ).alias("priority"),
+        )
+    )
+
+
+SQL_CRAWL_PRIORITY = (
+    "WITH "
+    + _SQL_PAGERANK_CTES
+    + r""",
+kept AS (
+  SELECT 'site' || (doc_id % 25) || '.example.com' AS host,
+         CAST(sum(CASE WHEN len(list_filter(string_split(text, ' '),
+                                            w -> w <> '')) >= 40
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY doc_id % 25
+)
+SELECT 'site' || r3.h || '.example.com' AS host,
+       CAST(hs.n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       r3.s AS rank_scaled,
+       CAST(r3.s * COALESCE(k.n_kept, 0) AS BIGINT) AS priority_scaled,
+       round((r3.s * COALESCE(k.n_kept, 0))
+             / ((SELECT count(*) FROM hosts) * 512000.0 * hs.n_docs),
+             10) AS priority
+FROM r3
+JOIN hosts hs ON hs.h = r3.h
+LEFT JOIN kept k ON k.host = 'site' || r3.h || '.example.com'
+"""
+)
 
 
 def q_readability_scores(spark, sf_dir):
@@ -5690,6 +5783,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability_scores": q_readability_scores,
     "host_template_lines": q_host_template_lines,
     "template_scrub": q_template_scrub,
+    "crawl_priority": q_crawl_priority,
     "domain_blocklist": q_domain_blocklist,
     "bm25_topk": q_bm25_topk,
     "pack_sequences": q_pack_sequences,
@@ -5785,6 +5879,7 @@ ORACLE_SQL: dict[str, str] = {
     "readability_scores": SQL_READABILITY_SCORES,
     "host_template_lines": SQL_HOST_TEMPLATE_LINES,
     "template_scrub": SQL_TEMPLATE_SCRUB,
+    "crawl_priority": SQL_CRAWL_PRIORITY,
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "bm25_topk": SQL_BM25_TOPK,
     "pack_sequences": SQL_PACK_SEQUENCES,
