@@ -95,6 +95,7 @@ HEADLINE = [
     "readability_scores",
     "template_scrub",
     "crawl_priority",
+    "corpus_drift",
     # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
     # 500-doc universe — verified at the gate, not a headline path
 ]

@@ -2542,6 +2542,105 @@ LEFT JOIN kept k ON k.host = 'site' || r3.h || '.example.com'
 )
 
 
+def q_corpus_drift(spark, sf_dir):
+    """Snapshot-over-snapshot distribution drift — the monitoring job a
+    continuous-crawl pipeline runs before retraining decisions: per-language
+    Laplace-smoothed KL divergence of the word distribution between two
+    crawl slices (snapshot A = even doc_ids, B = odd — the deterministic
+    stand-in for consecutive dumps). Both directions reported.
+
+    Exactness discipline (the dsir_select integer-quantization pattern):
+    each token's contribution p*ln(p/q) is quantized to MICRO-NATS
+    (round(term * 1e6) as bigint) BEFORE summation, so the per-language sum
+    is an exact integer — order-independent across engines and partitions.
+    A 1-ulp libm log divergence perturbs a term by ~p*1e-10 micro-nats, so
+    quantization-boundary flips are ~1e-9-probability events corpus-wide
+    (vs near-certain hash mismatch if raw doubles were summed in engine-
+    specific order).
+
+    Scale shape: ONE corpus exchange — groupBy(lang, word) with both
+    slices' counts as conditional sums (no self-join of the two slices) —
+    then per-lang totals re-enter via a broadcast |langs|-row join and the
+    final |langs|-sized aggregate."""
+    docs = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    words = docs.select(
+        "lang",
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+        F.explode(_words(F.lower(F.col("text")))).alias("word"),
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("lang", "word").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("ca"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("cb"),
+    )
+    totals = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum("ca").cast("bigint").alias("ta"),
+        F.sum("cb").cast("bigint").alias("tb"),
+    )
+    joined = counts.join(F.broadcast(totals), "lang")
+    p = (F.col("ca") + F.lit(1)) / (F.col("ta") + F.col("v"))
+    q = (F.col("cb") + F.lit(1)) / (F.col("tb") + F.col("v"))
+    term_ab = F.round(p * F.log(p / q) * F.lit(1000000.0)).cast("bigint")
+    term_ba = F.round(q * F.log(q / p) * F.lit(1000000.0)).cast("bigint")
+    return (
+        joined.select("lang", "v", "ta", "tb", term_ab.alias("uab"),
+                      term_ba.alias("uba"))
+        .groupBy("lang")
+        .agg(
+            F.max("v").alias("n_vocab"),
+            F.max("ta").alias("tokens_a"),
+            F.max("tb").alias("tokens_b"),
+            F.sum("uab").cast("bigint").alias("kl_ab_micro"),
+            F.sum("uba").cast("bigint").alias("kl_ba_micro"),
+        )
+        .select(
+            "lang", "n_vocab", "tokens_a", "tokens_b",
+            "kl_ab_micro", "kl_ba_micro",
+            (F.col("kl_ab_micro") / F.lit(1000000.0)).alias("kl_ab"),
+            (F.col("kl_ba_micro") / F.lit(1000000.0)).alias("kl_ba"),
+        )
+    )
+
+
+SQL_CORPUS_DRIFT = r"""
+WITH words AS (
+  SELECT lang, doc_id % 2 = 0 AS in_a,
+         unnest(string_split(lower(text), ' ')) AS word
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (
+  SELECT lang, word,
+         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM words WHERE word <> '' GROUP BY lang, word
+),
+totals AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS v,
+         CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb
+  FROM counts GROUP BY lang
+),
+terms AS (
+  SELECT c.lang, t.v, t.ta, t.tb,
+         CAST(round(((c.ca + 1) / (t.ta + t.v))
+               * ln(((c.ca + 1) / (t.ta + t.v)) / ((c.cb + 1) / (t.tb + t.v)))
+               * 1000000.0) AS BIGINT) AS uab,
+         CAST(round(((c.cb + 1) / (t.tb + t.v))
+               * ln(((c.cb + 1) / (t.tb + t.v)) / ((c.ca + 1) / (t.ta + t.v)))
+               * 1000000.0) AS BIGINT) AS uba
+  FROM counts c JOIN totals t ON t.lang = c.lang
+)
+SELECT lang,
+       max(v) AS n_vocab, max(ta) AS tokens_a, max(tb) AS tokens_b,
+       CAST(sum(uab) AS BIGINT) AS kl_ab_micro,
+       CAST(sum(uba) AS BIGINT) AS kl_ba_micro,
+       CAST(sum(uab) AS BIGINT) / 1000000.0 AS kl_ab,
+       CAST(sum(uba) AS BIGINT) / 1000000.0 AS kl_ba
+FROM terms GROUP BY lang
+"""
+
+
 def q_readability_scores(spark, sf_dir):
     """Per-language Flesch reading-ease / Flesch-Kincaid grade
     (operators/readability.py): per-doc word / sentence-terminator /
@@ -5784,6 +5883,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_template_lines": q_host_template_lines,
     "template_scrub": q_template_scrub,
     "crawl_priority": q_crawl_priority,
+    "corpus_drift": q_corpus_drift,
     "domain_blocklist": q_domain_blocklist,
     "bm25_topk": q_bm25_topk,
     "pack_sequences": q_pack_sequences,
@@ -5880,6 +5980,7 @@ ORACLE_SQL: dict[str, str] = {
     "host_template_lines": SQL_HOST_TEMPLATE_LINES,
     "template_scrub": SQL_TEMPLATE_SCRUB,
     "crawl_priority": SQL_CRAWL_PRIORITY,
+    "corpus_drift": SQL_CORPUS_DRIFT,
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "bm25_topk": SQL_BM25_TOPK,
     "pack_sequences": SQL_PACK_SEQUENCES,

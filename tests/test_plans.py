@@ -300,6 +300,10 @@ def test_no_unbounded_single_partition_exchange_anywhere(spark):
         "TakeOrderedAndProject",
         "Limit",  # GlobalLimit / LocalLimit / CollectLimit
         "ReusedExchange",
+        # a grouping with NO keys emits at most ONE row per upstream
+        # partition whatever its functions list looks like (crawl_priority's
+        # scalar host-count plans as functions=[] — still bounded)
+        "HashAggregate(keys=[]",
     )
     # bounded by CONSTRUCTION (not structurally visible in the plan):
     # the group key's cardinality is mathematically capped
