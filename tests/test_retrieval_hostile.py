@@ -26,6 +26,16 @@ GATES = [
     "corpus_curation",
     "winnow_fingerprints",
     "cdc_chunks",
+    # round-4 additions: the new text-consuming gates — lower() casing
+    # (Turkish İ, German ß, Greek Σ), line splits, sentence/vowel regexp
+    # classes, and the link/keep-rate chains must all match cross-engine
+    # on this corpus too
+    "readability_scores",
+    "host_template_lines",
+    "template_scrub",
+    "corpus_drift",
+    "host_pagerank",
+    "crawl_priority",
 ]
 
 
@@ -37,6 +47,12 @@ def _hostile_corpus() -> list[tuple]:
         "spark", "vector", "stream", "window", "the", "a", "word",
         "naïve", "Ωmega", "東京", "データ", "🙂🙂", "𐐷astral", "x" * 300,
         "tab\tinside", "semi;colon",
+        # round-4 probes: lower()-casing edge chars (Turkish dotted İ and
+        # dotless ı, German ß, Greek Σ/final ς), multi-line text for the
+        # template line-splitter, sentence terminators and y-vowel runs
+        # for the readability regexp classes
+        "İstanbul", "ışık", "STRAßE", "ΣΟΦΟΣ", "τέλος…",
+        "line\nbreak", "end.", "wow!!", "what?!", "rhythm", "syzygy",
     ]
     rows = []
     for i in range(120):
