@@ -289,3 +289,82 @@ def test_propagate_min_labels_random_graphs(spark):
         nodes = {a for a, _ in edges} | {b for _, b in edges}
         want = uf_components(edges, nodes)
         assert got == want, (edges, got, want)
+
+
+# --------------------------------------------------------------------------
+# round-4 link-graph: the exact-integer recurrence equals true rational
+# PageRank (Fraction arithmetic), for ANY present-host subset
+# --------------------------------------------------------------------------
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=24), min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_pagerank_integer_recurrence_equals_rational_pagerank(present, k):
+    from fractions import Fraction
+
+    from language_identification_spark.operators.linkgraph import HOST_LINKS
+
+    links = {h: [t for t in ts if t in present] for h, ts in HOST_LINKS if h in present}
+    n = len(present)
+    # the exact-integer recurrence (what the operator and its SQL oracle run)
+    s = {h: 1 for h in present}
+    for i in range(1, k + 1):
+        s = {
+            v: 12 * 80 ** (i - 1)
+            + 17 * sum(s[u] for u in present if v in links[u])
+            for v in present
+        }
+    # true rational PageRank with per-link mass rank/4 and discarded
+    # dangling leak (the documented convention)
+    r = {h: Fraction(1, n) for h in present}
+    for _ in range(k):
+        r = {
+            v: Fraction(3, 20) / n
+            + Fraction(17, 20)
+            * sum((r[u] / 4 for u in present if v in links[u]), Fraction(0))
+            for v in present
+        }
+    scale = n * 80**k
+    for h in present:
+        assert Fraction(s[h], scale) == r[h], (h, k, sorted(present))
+
+
+# --------------------------------------------------------------------------
+# round-4 langdetect backend: determinism + probability-form invariants +
+# corpus-duplication invariance on random corpora
+# --------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.sampled_from(["abc ab", "xyz yx zz", "mn mm nn", "pq qq pp"]),
+        min_size=2,
+        max_size=6,
+    ),
+    st.text(alphabet="abcxyzmnpq ", min_size=1, max_size=40),
+    st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=40, deadline=None)
+def test_langdetect_gibbs_invariants(texts, query, seed):
+    from language_identification_spark.operators.langdetect_gibbs import (
+        PROB_THRESHOLD,
+        LangdetectProfiles,
+        detect_langs,
+    )
+
+    corpus = [(f"l{i % 3}", t) for i, t in enumerate(texts)]
+    prof = LangdetectProfiles.train(corpus)
+    got = detect_langs(query, prof, seed=seed)
+    # bit-deterministic under the same seed
+    assert got == detect_langs(query, prof, seed=seed)
+    # probability form: filtered at threshold, sorted desc, total <= 1
+    assert all(p > PROB_THRESHOLD for _, p in got)
+    assert got == sorted(got, key=lambda t: (-t[1], t[0]))
+    assert sum(p for _, p in got) <= 1.0 + 1e-9
+    # duplicating the whole corpus leaves every P(g|l) — hence the result —
+    # unchanged
+    prof2 = LangdetectProfiles.train(corpus + corpus)
+    assert detect_langs(query, prof2, seed=seed) == got
