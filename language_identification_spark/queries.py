@@ -2692,15 +2692,20 @@ FROM agg
 def _templated_docs(spark, sf_dir):
     """Shared fixture for the host-template gates: 40 hosts (doc_id mod),
     per-host boilerplate injected deterministically so every detection
-    branch fires — a nav line on 100% of a host's pages, a cookie banner
-    on exactly 50% (the integer-exact >= boundary), a footer on 75%, and
-    a per-doc unique promo line that must never be called a template. The
-    oracle replays the identical synthesis."""
+    branch fires. Banner/footer keys off the per-host PAGE INDEX
+    (doc_id // 40, which enumerates 0,1,2,... within each host — doc_id
+    parity would fix the branch per host and never mix): a nav line on
+    100% of a host's pages, a cookie banner on the even page indexes
+    (ceil(n/2) pages — on even-sized hosts exactly the integer-exact
+    2*n_pages >= n_host_docs boundary), a footer on page indexes % 4 != 3
+    (~75%), and a per-doc unique promo line that must never be called a
+    template. The oracle replays the identical synthesis."""
     docs = _spread(_t(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
     did = F.col("doc_id")
     h = (did % 40).cast("string")
+    page_idx = F.expr("doc_id DIV 40")
     return docs.select(
         "doc_id",
         F.concat(F.lit("site"), h).alias("host"),
@@ -2709,12 +2714,12 @@ def _templated_docs(spark, sf_dir):
             h,
             F.lit("\n"),
             F.when(
-                did % 2 == 0,
+                page_idx % 2 == 0,
                 F.lit("this website uses cookies - accept?\n"),
             ).otherwise(F.lit("")),
             F.col("text"),
             F.when(
-                did % 4 != 3,
+                page_idx % 4 != 3,
                 F.concat(F.lit("\n(c) site"), h, F.lit(" all rights reserved")),
             ).otherwise(F.lit("")),
             F.lit("\npromo of the day "),
@@ -2738,27 +2743,33 @@ def q_host_template_lines(spark, sf_dir):
     return host_template_lines(_templated_docs(spark, sf_dir))
 
 
-SQL_HOST_TEMPLATE_LINES = r"""
+# Shared CTE prefix for both template gates (the pagerank gates'
+# _SQL_PAGERANK_CTES pattern): the fixture synthesis + line explosion +
+# per-(host,line) / per-host counts exist exactly once, so the two
+# oracles cannot drift apart.
+_SQL_TEMPLATE_CTES = r"""
 WITH base AS (
   SELECT doc_id, 'site' || (doc_id % 40) AS host,
          'home | products | about site' || (doc_id % 40) || chr(10)
-         || CASE WHEN doc_id % 2 = 0
+         || CASE WHEN (doc_id // 40) % 2 = 0
                  THEN 'this website uses cookies - accept?' || chr(10)
                  ELSE '' END
          || text
-         || CASE WHEN doc_id % 4 <> 3
+         || CASE WHEN (doc_id // 40) % 4 <> 3
                  THEN chr(10) || '(c) site' || (doc_id % 40)
                       || ' all rights reserved'
                  ELSE '' END
          || chr(10) || 'promo of the day ' || doc_id AS text
   FROM documents WHERE text IS NOT NULL
 ),
-page_lines AS (
-  SELECT host,
-         unnest(list_distinct(list_filter(
-           list_transform(string_split(text, chr(10)), s -> trim(s)),
-           s -> s <> ''))) AS line
+lines AS (
+  SELECT doc_id, host,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    s -> trim(s)), s -> s <> '') AS ls
   FROM base
+),
+page_lines AS (
+  SELECT host, unnest(list_distinct(ls)) AS line FROM lines
 ),
 line_counts AS (
   SELECT host, line, CAST(count(*) AS BIGINT) AS n_pages
@@ -2767,7 +2778,9 @@ line_counts AS (
 host_counts AS (
   SELECT host, CAST(count(*) AS BIGINT) AS n_host_docs
   FROM base GROUP BY host
-)
+)"""
+
+SQL_HOST_TEMPLATE_LINES = _SQL_TEMPLATE_CTES + r"""
 SELECT lc.host, lc.line, lc.n_pages, hc.n_host_docs,
        round(lc.n_pages / hc.n_host_docs, 6) AS page_frac
 FROM line_counts lc JOIN host_counts hc ON hc.host = lc.host
@@ -2797,38 +2810,7 @@ def q_template_scrub(spark, sf_dir):
     )
 
 
-SQL_TEMPLATE_SCRUB = r"""
-WITH base AS (
-  SELECT doc_id, 'site' || (doc_id % 40) AS host,
-         'home | products | about site' || (doc_id % 40) || chr(10)
-         || CASE WHEN doc_id % 2 = 0
-                 THEN 'this website uses cookies - accept?' || chr(10)
-                 ELSE '' END
-         || text
-         || CASE WHEN doc_id % 4 <> 3
-                 THEN chr(10) || '(c) site' || (doc_id % 40)
-                      || ' all rights reserved'
-                 ELSE '' END
-         || chr(10) || 'promo of the day ' || doc_id AS text
-  FROM documents WHERE text IS NOT NULL
-),
-lines AS (
-  SELECT doc_id, host,
-         list_filter(list_transform(string_split(text, chr(10)),
-                                    s -> trim(s)), s -> s <> '') AS ls
-  FROM base
-),
-page_lines AS (
-  SELECT host, unnest(list_distinct(ls)) AS line FROM lines
-),
-line_counts AS (
-  SELECT host, line, CAST(count(*) AS BIGINT) AS n_pages
-  FROM page_lines GROUP BY host, line
-),
-host_counts AS (
-  SELECT host, CAST(count(*) AS BIGINT) AS n_host_docs
-  FROM base GROUP BY host
-),
+SQL_TEMPLATE_SCRUB = _SQL_TEMPLATE_CTES + r""",
 templates AS (
   SELECT lc.host, lc.line
   FROM line_counts lc JOIN host_counts hc ON hc.host = lc.host
