@@ -96,6 +96,8 @@ HEADLINE = [
     "template_scrub",
     "crawl_priority",
     "corpus_drift",
+    "content_blocks",
+    "main_content_extract",
     # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
     # 500-doc universe — verified at the gate, not a headline path
 ]

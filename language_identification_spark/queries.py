@@ -2833,6 +2833,212 @@ FROM scrubbed
 """
 
 
+# --- jusText-style block classification (operators/blocks.py) ---------
+# Stopword-dense English fillers shared by the Spark fixture and the SQL
+# oracle. LONG: 222 bytes (> LENGTH_HIGH), density 36/55 -> good.
+# MED: 71 bytes (LENGTH_LOW <= 71 <= LENGTH_HIGH), density 10/17 ->
+# neargood — the context-pass probe.
+_JUSTEXT_FILLER_LONG = (
+    "the story of the page and the reasons to read it are a matter of "
+    "the day and of the hour to come and the rest is a tale of the web "
+    "and of the world to see and to hold and the end of it all is a "
+    "note of thanks to the reader"
+)
+_JUSTEXT_FILLER_MED = (
+    "a word of note to the reader about the page and the site as it is today"
+)
+
+
+def _justext_docs(spark, sf_dir):
+    """Shared fixture for the block-classification gates: each document
+    becomes a synthetic page whose block sequence fires every branch —
+    a nav div (link density 1.0 -> bad), a short h1 (promoted good: next
+    confident neighbor is the good filler), a long stopword-dense
+    paragraph (good), the REAL document text as its own paragraph (class
+    varies with the corpus — the uncontrolled-input branch), a link-heavy
+    sidebar (bad), a medium stopword-dense paragraph placed AFTER the good
+    filler on odd doc_ids (neargood -> promoted) but BETWEEN the bad
+    sidebar and the short footer on even doc_ids (neargood -> demoted:
+    nearest confident neighbors are bad/absent), and a short copyright td
+    (prev confident neighbor bad -> bad). The oracle replays the identical
+    synthesis."""
+    docs = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    h = (F.col("doc_id") % 40).cast("string")
+    did = F.col("doc_id").cast("string")
+    med = F.concat(
+        F.lit("<p>"), F.lit(_JUSTEXT_FILLER_MED), F.lit("</p>")
+    )
+    html = F.concat(
+        F.lit('<div><a href="/">home</a> <a href="/products">products</a>'
+              ' <a href="/about">about site'),
+        h,
+        F.lit("</a></div><h1>page "),
+        did,
+        F.lit(" of site"),
+        h,
+        F.lit("</h1><p>"),
+        F.lit(_JUSTEXT_FILLER_LONG),
+        F.lit("</p>"),
+        F.when(F.col("doc_id") % 2 == 1, med).otherwise(F.lit("")),
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit('</p><div>sidebar <a href="/x">more links</a>'
+              ' <a href="/y">and more</a> <a href="/z">links here</a></div>'),
+        F.when(F.col("doc_id") % 2 == 0, med).otherwise(F.lit("")),
+        F.lit("<td>(c) site"),
+        h,
+        F.lit(" all rights reserved</td>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def q_content_blocks(spark, sf_dir):
+    """jusText-style per-block classification (operators/blocks.py):
+    link-density / stopword-density / byte-length features as exact
+    bigints, context-free class, and the neighbor-context final class —
+    computed ZERO-SHUFFLE in array land (the context pass is a
+    slice+filter over the per-row class array); the oracle uses the
+    relational explode+window formulation, so the gate doubles as an
+    equivalence proof between the two forms."""
+    from language_identification_spark.operators.blocks import content_blocks
+
+    return content_blocks(_justext_docs(spark, sf_dir))
+
+
+def q_main_content_extract(spark, sf_dir):
+    """Per-document main-content extraction: final-good block norms joined
+    in block order (md5-pinned), plus exact block/good/byte counts — the
+    whole thing one narrow projection, no exchange."""
+    from language_identification_spark.operators.blocks import (
+        extract_main_text,
+    )
+
+    return extract_main_text(_justext_docs(spark, sf_dir))
+
+
+def _justext_sql_ctes() -> str:
+    from language_identification_spark.operators.blocks import (
+        BLOCK_TAG_RE,
+        JUSTEXT_STOPS,
+        LENGTH_HIGH,
+        LENGTH_LOW,
+    )
+
+    stops = ", ".join(f"'{w}'" for w in JUSTEXT_STOPS)
+    norm = (
+        "trim(regexp_replace(regexp_replace({x}, '<[^>]*>', ' ', 'g'),"
+        " '[ \t\n\x0b\f\r]+', ' ', 'g'))"
+    )
+    return r"""
+WITH base AS (
+  SELECT doc_id,
+         '<div><a href="/">home</a> <a href="/products">products</a>'
+         || ' <a href="/about">about site' || (doc_id % 40) || '</a></div>'
+         || '<h1>page ' || doc_id || ' of site' || (doc_id % 40) || '</h1>'
+         || '<p>{LONG}</p>'
+         || CASE WHEN doc_id % 2 = 1 THEN '<p>{MED}</p>' ELSE '' END
+         || '<p>' || text || '</p>'
+         || '<div>sidebar <a href="/x">more links</a>'
+         || ' <a href="/y">and more</a> <a href="/z">links here</a></div>'
+         || CASE WHEN doc_id % 2 = 0 THEN '<p>{MED}</p>' ELSE '' END
+         || '<td>(c) site' || (doc_id % 40) || ' all rights reserved</td>'
+         AS html
+  FROM documents WHERE text IS NOT NULL
+),
+rawblk AS (
+  SELECT doc_id,
+         unnest(list_transform(string_split_regex(html, '{BLOCK_RE}'),
+                               (s, i) -> struct_pack(i := i, s := s))) AS b
+  FROM base
+),
+feat AS (
+  SELECT doc_id, CAST(b.i AS INT) AS block_idx,
+         {NORM_BS} AS norm,
+         CAST(COALESCE(list_sum(list_transform(
+           list_concat(
+             regexp_extract_all(b.s,
+               '(?is)<a[ {TAB}{NL}{CR}{FF}][^>]*>(.*?)</a>', 1),
+             regexp_extract_all(b.s, '(?is)<a>(.*?)</a>', 1)),
+           a -> strlen({NORM_A}))), 0) AS BIGINT) AS link_bytes
+  FROM rawblk
+),
+feat2 AS (
+  SELECT doc_id, block_idx, norm, link_bytes,
+         CAST(strlen(norm) AS BIGINT) AS n_bytes,
+         CAST(CASE WHEN norm = '' THEN 0
+                   ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_words,
+         CAST(CASE WHEN norm = '' THEN 0
+                   ELSE len(list_filter(string_split(norm, ' '),
+                            w -> lower(w) IN ({STOPS}))) END AS BIGINT)
+           AS n_stop
+  FROM feat
+),
+cls0 AS (
+  SELECT *, CASE
+    WHEN n_bytes = 0 THEN 'empty'
+    WHEN 5 * link_bytes > n_bytes THEN 'bad'
+    WHEN n_bytes < {LOW} THEN 'short'
+    WHEN 10 * n_stop >= 3 * n_words AND n_bytes > {HIGH} THEN 'good'
+    WHEN 10 * n_stop >= 3 * n_words THEN 'neargood'
+    ELSE 'bad' END AS cls_ctx
+  FROM feat2
+),
+ctx AS (
+  SELECT *,
+    last_value(CASE WHEN cls_ctx IN ('good', 'bad') THEN cls_ctx END
+               IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY block_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_c,
+    first_value(CASE WHEN cls_ctx IN ('good', 'bad') THEN cls_ctx END
+                IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY block_idx
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c
+  FROM cls0
+),
+final AS (
+  SELECT *, CASE
+    WHEN cls_ctx IN ('good', 'bad', 'empty') THEN cls_ctx
+    WHEN prev_c = 'good' OR next_c = 'good' THEN 'good'
+    ELSE 'bad' END AS cls
+  FROM ctx
+)""".replace("{LONG}", _JUSTEXT_FILLER_LONG).replace(
+        "{MED}", _JUSTEXT_FILLER_MED
+    ).replace("{BLOCK_RE}", BLOCK_TAG_RE).replace(
+        "{NORM_BS}", norm.format(x="b.s")
+    ).replace("{NORM_A}", norm.format(x="a")).replace(
+        "{STOPS}", stops
+    ).replace("{LOW}", str(LENGTH_LOW)).replace(
+        "{HIGH}", str(LENGTH_HIGH)
+    ).replace("{TAB}", "\t").replace("{NL}", "\n").replace(
+        "{CR}", "\r"
+    ).replace("{FF}", "\f")
+
+
+SQL_CONTENT_BLOCKS = _justext_sql_ctes() + r"""
+SELECT doc_id, block_idx, n_bytes, link_bytes, n_words, n_stop,
+       cls_ctx, cls, md5(norm) AS block_md5
+FROM final WHERE cls_ctx <> 'empty'
+"""
+
+SQL_MAIN_CONTENT_EXTRACT = _justext_sql_ctes() + r""",
+main AS (
+  SELECT doc_id,
+         array_to_string(list(norm ORDER BY block_idx)
+           FILTER (WHERE cls = 'good'), chr(10)) AS main_text,
+         CAST(count(*) FILTER (WHERE cls_ctx <> 'empty') AS BIGINT)
+           AS n_blocks,
+         CAST(count(*) FILTER (WHERE cls = 'good') AS BIGINT) AS n_good
+  FROM final GROUP BY doc_id
+)
+SELECT doc_id, n_blocks, n_good,
+       CAST(strlen(COALESCE(main_text, '')) AS BIGINT) AS main_bytes,
+       md5(COALESCE(main_text, '')) AS main_md5
+FROM main
+"""
+
+
 def q_host_stats_salted(spark, sf_dir):
     """Salted two-phase host aggregation (operators/hoststats.py). A hot
     host is synthesized (even doc_ids all collapse onto one host — 50% of
@@ -5864,6 +6070,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability_scores": q_readability_scores,
     "host_template_lines": q_host_template_lines,
     "template_scrub": q_template_scrub,
+    "content_blocks": q_content_blocks,
+    "main_content_extract": q_main_content_extract,
     "crawl_priority": q_crawl_priority,
     "corpus_drift": q_corpus_drift,
     "domain_blocklist": q_domain_blocklist,
@@ -5961,6 +6169,8 @@ ORACLE_SQL: dict[str, str] = {
     "readability_scores": SQL_READABILITY_SCORES,
     "host_template_lines": SQL_HOST_TEMPLATE_LINES,
     "template_scrub": SQL_TEMPLATE_SCRUB,
+    "content_blocks": SQL_CONTENT_BLOCKS,
+    "main_content_extract": SQL_MAIN_CONTENT_EXTRACT,
     "crawl_priority": SQL_CRAWL_PRIORITY,
     "corpus_drift": SQL_CORPUS_DRIFT,
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
