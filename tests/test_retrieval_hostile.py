@@ -36,6 +36,12 @@ GATES = [
     "corpus_drift",
     "host_pagerank",
     "crawl_priority",
+    # block-classification gates: the fixture embeds raw corpus text inside
+    # <p>...</p>, so the tag-injection vocab below flows through the block
+    # splitter, the (?i) tag-name folding, the anchor extractor, and the
+    # \x0b whitespace class in BOTH engines
+    "content_blocks",
+    "main_content_extract",
 ]
 
 
@@ -53,6 +59,14 @@ def _hostile_corpus() -> list[tuple]:
         # for the readability regexp classes
         "İstanbul", "ışık", "STRAßE", "ΣΟΦΟΣ", "τέλος…",
         "line\nbreak", "end.", "wow!!", "what?!", "rhythm", "syzygy",
+        # block-gate probes: tag injection inside corpus text — extra block
+        # boundaries, uppercase/attributed/self-closed tags, anchors (bare,
+        # attributed, unterminated), bare angle brackets, and the \x0b
+        # vertical tab (Java \s includes it, RE2's does not — the operators
+        # pin explicit ASCII classes so both engines must agree)
+        "<p>inner</p>", "<DIV CLASS='X'>shout</DIV>", "<br/>",
+        '<a href="/e">evil link</a>', "<a>bare anchor</a>", "<a href='x'",
+        "2<3", "a>b", "v\x0btab", "</TD >",
     ]
     rows = []
     for i in range(120):
