@@ -98,6 +98,7 @@ HEADLINE = [
     "corpus_drift",
     "content_blocks",
     "main_content_extract",
+    "anchor_text_profile",
     # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
     # 500-doc universe — verified at the gate, not a headline path
 ]

@@ -218,3 +218,115 @@ def host_pagerank(docs: DataFrame, k: int = 3) -> DataFrame:
     return host_pagerank_exact(
         extract_host_edges(synth_linked_pages(docs)), k=k
     )
+
+
+# --- incoming anchor-text profiles --------------------------------------
+
+# Small deterministic anchor-text pool: link d->t carries
+# "<pool[(d+t) % 10]> site<t>" as its anchor body, so every target host
+# accumulates a varied but exactly replayable incoming-term profile.
+ANCHOR_WORDS: tuple[str, ...] = (
+    "visit", "best", "official", "news", "cheap",
+    "blog", "shop", "guide", "top", "review",
+)
+
+# One regex run captures BOTH pieces of every anchor; two extract_all
+# calls (group 1 = target host, group 2 = body) return match-ordered
+# lists, so positional pairing is exact in both engines.
+ANCHOR_PAIR_RE = r'href="http://site([0-9]+)\.example\.com/[^"]*">([^<]*)</a>'
+
+
+def synth_anchored_pages(docs: DataFrame) -> DataFrame:
+    """synth_linked_pages with meaningful anchor bodies (fixture for the
+    anchor-text operator; a real deployment feeds WARC html)."""
+    spark = docs.sparkSession
+    dim = F.broadcast(_host_links_dim(spark))
+    with_h = docs.select(
+        "doc_id", (F.col("doc_id") % N_HOST_SLOTS).alias("h")
+    )
+    pool = F.array(*[F.lit(w) for w in ANCHOR_WORDS])
+
+    def _anchor(t):
+        word = F.element_at(
+            pool, ((F.col("doc_id") + F.col(t)) % 10 + 1).cast("int")
+        )
+        return F.concat(
+            F.lit('<a href="http://site'),
+            F.col(t).cast("string"),
+            F.lit(".example.com/d"),
+            F.col("doc_id").cast("string"),
+            F.lit('">'),
+            word,
+            F.lit(" site"),
+            F.col(t).cast("string"),
+            F.lit("</a>"),
+        )
+
+    return with_h.join(dim, "h").select(
+        "doc_id",
+        "h",
+        F.concat(
+            F.lit("<html><body><h1>site"),
+            F.col("h").cast("string"),
+            F.lit("</h1>"),
+            _anchor("t1"),
+            _anchor("t2"),
+            _anchor("t3"),
+            _anchor("t4"),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+
+
+def anchor_text_profile(pages: DataFrame) -> DataFrame:
+    """Incoming anchor-term profile per target host — the classic web-IR
+    quality/relevance prior (anchor text describes the TARGET better than
+    the target's own text; search and curation stacks aggregate it per
+    host/URL alongside link-based ranks).
+
+    (host, term, n_links, n_src_hosts): term = lowercased space-split
+    token of the anchor body; n_links = total incoming anchors carrying
+    the term; n_src_hosts = DISTINCT linking hosts carrying it (the
+    spam-resistance count — one host repeating an anchor a million times
+    moves n_links but not n_src_hosts).
+
+    Scale shape: the corpus is touched once — a narrow map (two
+    regexp_extract_all runs over the same pattern, zipped positionally,
+    exploded ~4x then ~2x) into ONE (dst, term) hash aggregate with
+    map-side combine; count(DISTINCT src) rides the same exchange as a
+    two-phase partial-distinct. Output is bounded by
+    |hosts| x |anchor vocab|, never by the corpus — the same
+    corpus-once/dim-sized-after discipline as extract_host_edges.
+    """
+    dsts = F.regexp_extract_all(F.col("html"), F.lit(ANCHOR_PAIR_RE), F.lit(1))
+    txts = F.regexp_extract_all(F.col("html"), F.lit(ANCHOR_PAIR_RE), F.lit(2))
+    pairs = F.zip_with(
+        dsts,
+        txts,
+        lambda d, t: F.struct(d.alias("dst"), t.alias("txt")),
+    )
+    anchors = pages.select(
+        F.col("h").alias("src"), F.explode(pairs).alias("a")
+    ).select(
+        "src",
+        F.col("a.dst").cast("int").alias("dst"),
+        F.col("a.txt").alias("txt"),
+    )
+    terms = anchors.select(
+        "src",
+        "dst",
+        F.explode(
+            F.filter(F.split(F.lower("txt"), " "), lambda w: w != "")
+        ).alias("term"),
+    )
+    return terms.groupBy("dst", "term").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("src").alias("n_src_hosts"),
+    ).select(
+        F.concat(
+            F.lit("site"), F.col("dst").cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        "term",
+        F.col("n_links").cast("bigint").alias("n_links"),
+        F.col("n_src_hosts").cast("bigint").alias("n_src_hosts"),
+    )

@@ -2542,6 +2542,76 @@ LEFT JOIN kept k ON k.host = 'site' || r3.h || '.example.com'
 )
 
 
+def q_anchor_text_profile(spark, sf_dir):
+    """Incoming anchor-term profiles per target host
+    (operators/linkgraph.py: anchor_text_profile) — anchor text describes
+    the TARGET, so web curation aggregates it per host as a
+    quality/relevance prior next to link ranks. The html is synthesized
+    with varied anchor bodies (pool word keyed off (doc_id + target)),
+    re-parsed with ONE pattern whose two capture groups are extracted in
+    match order and zipped positionally — the oracle rebuilds the same
+    html and replays the same regex, so the pairing discipline itself is
+    hash-gated. n_src_hosts (distinct linking hosts) is the
+    spam-resistance count."""
+    from language_identification_spark.operators.linkgraph import (
+        anchor_text_profile,
+        synth_anchored_pages,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return anchor_text_profile(synth_anchored_pages(docs))
+
+
+SQL_ANCHOR_TEXT_PROFILE = (
+    "WITH "
+    + _SQL_PAGERANK_CTES.split(",\npages AS")[0]  # host_links VALUES only
+    + r""",
+pool(ws) AS (VALUES (['visit', 'best', 'official', 'news', 'cheap',
+                      'blog', 'shop', 'guide', 'top', 'review'])),
+pages AS (
+  SELECT d.doc_id, d.doc_id % 25 AS h,
+         '<html><body><h1>site' || (d.doc_id % 25) || '</h1>'
+         || '<a href="http://site' || hl.t1 || '.example.com/d' || d.doc_id
+         || '">' || p.ws[CAST((d.doc_id + hl.t1) % 10 + 1 AS INT)]
+         || ' site' || hl.t1 || '</a>'
+         || '<a href="http://site' || hl.t2 || '.example.com/d' || d.doc_id
+         || '">' || p.ws[CAST((d.doc_id + hl.t2) % 10 + 1 AS INT)]
+         || ' site' || hl.t2 || '</a>'
+         || '<a href="http://site' || hl.t3 || '.example.com/d' || d.doc_id
+         || '">' || p.ws[CAST((d.doc_id + hl.t3) % 10 + 1 AS INT)]
+         || ' site' || hl.t3 || '</a>'
+         || '<a href="http://site' || hl.t4 || '.example.com/d' || d.doc_id
+         || '">' || p.ws[CAST((d.doc_id + hl.t4) % 10 + 1 AS INT)]
+         || ' site' || hl.t4 || '</a>'
+         || '</body></html>' AS html
+  FROM documents d
+  JOIN host_links hl ON hl.h = d.doc_id % 25
+  CROSS JOIN pool p
+),
+anchors AS (
+  SELECT h AS src, unnest(list_transform(
+           regexp_extract_all(html,
+             'href="http://site([0-9]+)\.example\.com/[^"]*">([^<]*)</a>', 1),
+           (x, i) -> struct_pack(dst := x, txt :=
+             regexp_extract_all(html,
+               'href="http://site([0-9]+)\.example\.com/[^"]*">([^<]*)</a>',
+               2)[i]))) AS a
+  FROM pages
+),
+terms AS (
+  SELECT src, CAST(a.dst AS INT) AS dst,
+         unnest(list_filter(string_split(lower(a.txt), ' '),
+                            w -> w <> '')) AS term
+  FROM anchors
+)
+SELECT 'site' || dst || '.example.com' AS host, term,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_src_hosts
+FROM terms GROUP BY dst, term
+"""
+)
+
+
 def q_corpus_drift(spark, sf_dir):
     """Snapshot-over-snapshot distribution drift — the monitoring job a
     continuous-crawl pipeline runs before retraining decisions: per-language
@@ -6073,6 +6143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "content_blocks": q_content_blocks,
     "main_content_extract": q_main_content_extract,
     "crawl_priority": q_crawl_priority,
+    "anchor_text_profile": q_anchor_text_profile,
     "corpus_drift": q_corpus_drift,
     "domain_blocklist": q_domain_blocklist,
     "bm25_topk": q_bm25_topk,
@@ -6172,6 +6243,7 @@ ORACLE_SQL: dict[str, str] = {
     "content_blocks": SQL_CONTENT_BLOCKS,
     "main_content_extract": SQL_MAIN_CONTENT_EXTRACT,
     "crawl_priority": SQL_CRAWL_PRIORITY,
+    "anchor_text_profile": SQL_ANCHOR_TEXT_PROFILE,
     "corpus_drift": SQL_CORPUS_DRIFT,
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "bm25_topk": SQL_BM25_TOPK,

@@ -92,3 +92,58 @@ def test_exact_rank_with_absent_hosts(spark):
         assert got[h].rank_scaled == want[h]
     # leaked mass: strictly less total rank than the leak-free bound
     assert sum(want.values()) < 10 * 512000
+
+
+def test_anchor_text_profile_counts(spark):
+    from language_identification_spark.operators.linkgraph import (
+        ANCHOR_WORDS,
+        anchor_text_profile,
+        synth_anchored_pages,
+    )
+
+    # 50 docs -> every host slot has exactly 2 pages (doc_id % 25)
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id bigint")
+    pages = synth_anchored_pages(docs)
+    prof = anchor_text_profile(pages).collect()
+
+    # independent simulation of the synthesis
+    from language_identification_spark.operators.linkgraph import HOST_LINKS
+
+    links = {}  # (dst, term) -> [n_links, set(src)]
+    for d in range(50):
+        h = d % 25
+        for t in dict(HOST_LINKS)[h]:
+            for term in (ANCHOR_WORDS[(d + t) % 10], f"site{t}"):
+                k = (t, term)
+                links.setdefault(k, [0, set()])
+                links[k][0] += 1
+                links[k][1].add(h)
+    got = {
+        (int(r.host.removeprefix("site").removesuffix(".example.com")), r.term):
+            (r.n_links, r.n_src_hosts)
+        for r in prof
+    }
+    want = {k: (v[0], len(v[1])) for k, v in links.items()}
+    assert got == want
+    # the spam-resistance distinction is actually exercised: some term has
+    # more links than distinct linking hosts
+    assert any(nl > ns for nl, ns in got.values())
+
+
+def test_anchor_profile_plan_shape(spark):
+    from language_identification_spark.operators.linkgraph import (
+        anchor_text_profile,
+        synth_anchored_pages,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id bigint")
+    plan = (
+        anchor_text_profile(synth_anchored_pages(docs))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one corpus exchange (the (dst, term) agg; the distinct-src partial
+    # rides it as the expand/partial-agg pair), dim join broadcast, no
+    # Python, no sort-merge join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
