@@ -99,6 +99,7 @@ HEADLINE = [
     "content_blocks",
     "main_content_extract",
     "anchor_text_profile",
+    "host_cap_sample",
     # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
     # 500-doc universe — verified at the gate, not a headline path
 ]

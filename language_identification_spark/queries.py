@@ -3128,6 +3128,43 @@ def q_host_stats_salted(spark, sf_dir):
     return host_stats_salted(docs.withColumn("host", host))
 
 
+def q_host_cap_sample(spark, sf_dir):
+    """Per-host document cap (operators/hostcap.py) — domain-diversity
+    curation: keep a deterministic (md5-ordered) top-7 docs per host via
+    the salted two-phase exact top-K, on the same hot-host fixture as
+    host_stats_salted (even doc_ids collapse onto one host = 50% of the
+    corpus). The oracle is the NAIVE single window — the gate proves the
+    skew-proof plan selects exactly what the direct plan would."""
+    from language_identification_spark.operators.hostcap import (
+        host_cap_sample,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    host = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("hot.example.com")
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    capped = host_cap_sample(docs.withColumn("host", host), k=7)
+    return capped.select("host", "doc_id", "pick_rank")
+
+
+SQL_HOST_CAP_SAMPLE = r"""
+WITH hosts AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'hot.example.com'
+              ELSE source || '.example.com' END AS host,
+         md5(CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+),
+ranked AS (
+  SELECT host, doc_id,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY key, doc_id)
+              AS INT) AS pick_rank
+  FROM hosts
+)
+SELECT host, doc_id, pick_rank FROM ranked WHERE pick_rank <= 7
+"""
+
+
 def q_domain_blocklist(spark, sf_dir):
     """UT1-style domain blocklist filter (operators/urlnorm.py:
     domain_blocked): hosts synthesized per doc_id so every branch fires —
@@ -6144,6 +6181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "main_content_extract": q_main_content_extract,
     "crawl_priority": q_crawl_priority,
     "anchor_text_profile": q_anchor_text_profile,
+    "host_cap_sample": q_host_cap_sample,
     "corpus_drift": q_corpus_drift,
     "domain_blocklist": q_domain_blocklist,
     "bm25_topk": q_bm25_topk,
@@ -6244,6 +6282,7 @@ ORACLE_SQL: dict[str, str] = {
     "main_content_extract": SQL_MAIN_CONTENT_EXTRACT,
     "crawl_priority": SQL_CRAWL_PRIORITY,
     "anchor_text_profile": SQL_ANCHOR_TEXT_PROFILE,
+    "host_cap_sample": SQL_HOST_CAP_SAMPLE,
     "corpus_drift": SQL_CORPUS_DRIFT,
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "bm25_topk": SQL_BM25_TOPK,
