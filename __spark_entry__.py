@@ -75,6 +75,30 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_plan(docs, _quality_clf())
 
 
+def _q_drop_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule drop accounting over the FLAGSHIP pipeline's output — the
+    ops dashboard a production filter publishes next to its metrics table:
+    for every drop rule, how many documents it fired on (n_hit) and how
+    many it ALONE condemned (n_sole — removing the rule would flip exactly
+    these documents to keep, since keep == zero reasons). One explode +
+    one (rule) hash aggregate over the pipeline's rows; the oracle replays
+    the entire pipeline in SQL (oracle/pipeline_sql.py) and re-derives the
+    same accounting from the '|'-joined reasons string, so the gate also
+    re-verifies the full rule chain end-to-end. Runs at the PRODUCTION
+    (Gopher-paper) thresholds — the default config drops this corpus almost
+    exclusively via too_few_stopwords, which would make the report a
+    one-row degenerate."""
+    pipe = _pipeline(spark, sf_dir, QualityConfig().production())
+    ex = pipe.select(
+        F.explode("drop_reasons").alias("rule"),
+        (F.size("drop_reasons") == 1).cast("int").alias("sole"),
+    )
+    return ex.groupBy("rule").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+        F.sum("sole").cast("bigint").alias("n_sole"),
+    )
+
+
 def _q_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The evaluation a pipeline publishes for its learned filter (DCLM
     reports agreement of the classifier with its curation signal): the
@@ -494,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ensemble_langid"] = _q_ensemble_langid
     out["quality_classifier"] = _q_quality_classifier
     out["quality_classifier_eval"] = _q_quality_classifier_eval
+    out["drop_rule_ablation"] = _q_drop_rule_ablation
     return out
 
 
@@ -550,5 +575,17 @@ JOIN (
   FROM documents WHERE text IS NOT NULL
 ) t USING (doc_id)
 GROUP BY 1, 2
+"""
+    out["drop_rule_ablation"] = f"""
+SELECT rule,
+       CAST(count(*) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN sole THEN 1 ELSE 0 END) AS BIGINT) AS n_sole
+FROM (
+  SELECT unnest(string_split(drop_reasons, '|')) AS rule,
+         len(string_split(drop_reasons, '|')) = 1 AS sole
+  FROM ({quality_pipeline_oracle_sql(_model(), QualityConfig().production())}) p
+  WHERE drop_reasons <> ''
+)
+GROUP BY rule
 """
     return out
