@@ -100,6 +100,7 @@ HEADLINE = [
     "main_content_extract",
     "anchor_text_profile",
     "host_cap_sample",
+    "host_harmonic",
     # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
     # 500-doc universe — verified at the gate, not a headline path
 ]

@@ -330,3 +330,104 @@ def anchor_text_profile(pages: DataFrame) -> DataFrame:
         F.col("n_links").cast("bigint").alias("n_links"),
         F.col("n_src_hosts").cast("bigint").alias("n_src_hosts"),
     )
+
+
+# --- harmonic centrality (radius-truncated, exact) -----------------------
+
+HC_RADIUS = 4
+# lcm(1..4) = 12 makes every 1/d term integral: 12, 6, 4, 3
+_HC_WEIGHTS = {1: 12, 2: 6, 3: 4, 4: 3}
+
+
+def host_harmonic_exact(edges: DataFrame, radius: int = HC_RADIUS) -> DataFrame:
+    """Radius-truncated harmonic centrality over the extracted host graph —
+    the OTHER rank Common Crawl publishes for its host web graph (harmonic
+    centrality; Boldi & Vigna 2014 "Axioms for centrality"):
+
+        HC(v) = sum_{u != v, d(u,v) <= radius} 1 / d(u,v)
+
+    with d = directed shortest-path distance INTO v. Truncation at a fixed
+    radius is the standard bounded variant; with lcm(1..4) = 12 every term
+    is integral, so ``hc_scaled = 12*n1 + 6*n2 + 4*n3 + 3*n4`` is an EXACT
+    bigint (n_d = hosts at shortest distance exactly d) and the float
+    ``harmonic = hc_scaled / 12`` is one division at the end — the same
+    exact-integer discipline as host_pagerank_exact.
+
+    Shape: breadth-first expansion of the distance table, one round per
+    radius step — every table is bounded by the radius-ball pair count of
+    the HOST graph (never the corpus; the corpus was spent building
+    ``edges``). Each round is a dim-sized join + left_anti against the
+    known-distance table, cached per round (dedup_clusters' lineage
+    discipline). Honest scale note: exact all-pairs-within-R is for the
+    dim-sized host graphs a curation pipeline ranks (10^5-10^6 quality
+    hosts); full-web harmonic centrality at 10^8+ hosts is HyperBall
+    (HLL counters per node) — approximate by construction and out of
+    scope for a hash-exact gate.
+
+    Same discard-dangling convention as PageRank: only crawled hosts
+    (sources of at least one edge) count as sources and targets.
+    """
+    e = edges.select("src", "dst").distinct()
+    crawled = e.select(F.col("src").alias("h")).distinct()
+    live = (
+        e.join(F.broadcast(crawled.select(F.col("h").alias("dst"))), "dst")
+        .select("src", "dst")
+        .cache()
+    )
+    dist = live.withColumn("d", F.lit(1)).cache()
+    frontier = dist
+    for r in range(2, radius + 1):
+        step = (
+            frontier.select(F.col("src"), F.col("dst").alias("mid"))
+            .join(
+                F.broadcast(live.select(F.col("src").alias("mid"), "dst")),
+                "mid",
+            )
+            .select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        nxt = step.join(
+            dist.select("src", "dst"), ["src", "dst"], "left_anti"
+        ).withColumn("d", F.lit(r)).cache()
+        dist = dist.unionByName(nxt).cache()
+        frontier = nxt
+    counts = (
+        dist.where(F.col("src") != F.col("dst"))
+        .groupBy("dst")
+        .pivot("d", list(range(1, radius + 1)))
+        .count()
+        .na.fill(0)
+    )
+    ncols = [F.coalesce(F.col(str(d)), F.lit(0)).cast("bigint") for d in range(1, radius + 1)]
+    scaled = sum(
+        (F.lit(_HC_WEIGHTS[d]) * ncols[d - 1] for d in range(1, radius + 1)),
+        F.lit(0),
+    )
+    out = counts.select(
+        F.concat(
+            F.lit("site"), F.col("dst").cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        *[ncols[d - 1].alias(f"n_d{d}") for d in range(1, radius + 1)],
+        scaled.cast("bigint").alias("hc_scaled"),
+    )
+    # crawled hosts nobody links to within R still appear (hc = 0)
+    all_hosts = crawled.select(
+        F.concat(
+            F.lit("site"), F.col("h").cast("string"), F.lit(".example.com")
+        ).alias("host")
+    )
+    out = all_hosts.join(out, "host", "left").na.fill(0)
+    return out.select(
+        "host",
+        *[F.col(f"n_d{d}").cast("bigint").alias(f"n_d{d}") for d in range(1, radius + 1)],
+        F.col("hc_scaled").cast("bigint").alias("hc_scaled"),
+        F.round(F.col("hc_scaled") / 12.0, 6).alias("harmonic"),
+    )
+
+
+def host_harmonic(docs: DataFrame, radius: int = HC_RADIUS) -> DataFrame:
+    """Full chain: synth pages -> extract outlinks -> harmonic centrality."""
+    return host_harmonic_exact(
+        extract_host_edges(synth_linked_pages(docs)), radius=radius
+    )

@@ -3128,6 +3128,68 @@ def q_host_stats_salted(spark, sf_dir):
     return host_stats_salted(docs.withColumn("host", host))
 
 
+def q_host_harmonic(spark, sf_dir):
+    """Radius-4 truncated harmonic centrality over the extracted host
+    graph (operators/linkgraph.py: host_harmonic_exact) — the other rank
+    Common Crawl publishes next to PageRank. Exact-integer scaled score
+    (lcm(1..4)=12 clears every 1/d denominator); Spark computes it as
+    4 rounds of breadth-first distance-table expansion (dim-sized joins),
+    the oracle as a DuckDB WITH RECURSIVE shortest-path — two maximally
+    different formulations, one hash."""
+    from language_identification_spark.operators.linkgraph import (
+        host_harmonic,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return host_harmonic(docs)
+
+
+SQL_HOST_HARMONIC = (
+    "WITH RECURSIVE "
+    + _SQL_PAGERANK_CTES.split(",\npages AS")[0]  # host_links VALUES only
+    + r""",
+crawled AS (SELECT DISTINCT doc_id % 25 AS h FROM documents),
+edges0 AS (
+  SELECT h AS src, unnest([t1, t2, t3, t4]) AS dst FROM host_links
+  WHERE h IN (SELECT h FROM crawled)
+),
+live AS (
+  SELECT DISTINCT src, dst FROM edges0
+  WHERE dst IN (SELECT h FROM crawled)
+),
+paths(src, dst, d) AS (
+  SELECT src, dst, 1 FROM live
+  UNION ALL
+  SELECT p.src, e.dst, p.d + 1
+  FROM paths p JOIN live e ON e.src = p.dst
+  WHERE p.d < 4
+),
+mind AS (
+  SELECT src, dst, min(d) AS d FROM paths WHERE src <> dst
+  GROUP BY src, dst
+),
+counts AS (
+  SELECT dst,
+         CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+         CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
+         CAST(sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_d3,
+         CAST(sum(CASE WHEN d = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_d4
+  FROM mind GROUP BY dst
+)
+SELECT 'site' || c.h || '.example.com' AS host,
+       COALESCE(n_d1, 0) AS n_d1, COALESCE(n_d2, 0) AS n_d2,
+       COALESCE(n_d3, 0) AS n_d3, COALESCE(n_d4, 0) AS n_d4,
+       CAST(12 * COALESCE(n_d1, 0) + 6 * COALESCE(n_d2, 0)
+            + 4 * COALESCE(n_d3, 0) + 3 * COALESCE(n_d4, 0) AS BIGINT)
+         AS hc_scaled,
+       round((12 * COALESCE(n_d1, 0) + 6 * COALESCE(n_d2, 0)
+              + 4 * COALESCE(n_d3, 0) + 3 * COALESCE(n_d4, 0)) / 12.0, 6)
+         AS harmonic
+FROM crawled c LEFT JOIN counts ct ON ct.dst = c.h
+"""
+)
+
+
 def q_host_cap_sample(spark, sf_dir):
     """Per-host document cap (operators/hostcap.py) — domain-diversity
     curation: keep a deterministic (md5-ordered) top-7 docs per host via
@@ -6182,6 +6244,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_priority": q_crawl_priority,
     "anchor_text_profile": q_anchor_text_profile,
     "host_cap_sample": q_host_cap_sample,
+    "host_harmonic": q_host_harmonic,
     "corpus_drift": q_corpus_drift,
     "domain_blocklist": q_domain_blocklist,
     "bm25_topk": q_bm25_topk,
@@ -6283,6 +6346,7 @@ ORACLE_SQL: dict[str, str] = {
     "crawl_priority": SQL_CRAWL_PRIORITY,
     "anchor_text_profile": SQL_ANCHOR_TEXT_PROFILE,
     "host_cap_sample": SQL_HOST_CAP_SAMPLE,
+    "host_harmonic": SQL_HOST_HARMONIC,
     "corpus_drift": SQL_CORPUS_DRIFT,
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "bm25_topk": SQL_BM25_TOPK,

@@ -147,3 +147,73 @@ def test_anchor_profile_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
+
+
+def _simulate_harmonic(present):
+    """Independent BFS: (n_d1..n_d4, hc_scaled) per present host."""
+    from language_identification_spark.operators.linkgraph import HOST_LINKS
+
+    links = {
+        h: [t for t in ts if t in present]
+        for h, ts in HOST_LINKS
+        if h in present
+    }
+    out = {}
+    for v in links:
+        # shortest distance INTO v from every other present host
+        nd = {1: 0, 2: 0, 3: 0, 4: 0}
+        for u in links:
+            if u == v:
+                continue
+            # BFS from u
+            seen, frontier, d = {u}, {u}, 0
+            found = None
+            while frontier and d < 4:
+                d += 1
+                frontier = {
+                    t for s in frontier for t in links.get(s, [])
+                    if t not in seen
+                }
+                seen |= frontier
+                if v in frontier:
+                    found = d
+                    break
+            if found:
+                nd[found] += 1
+        out[v] = (
+            nd[1], nd[2], nd[3], nd[4],
+            12 * nd[1] + 6 * nd[2] + 4 * nd[3] + 3 * nd[4],
+        )
+    return out
+
+
+def test_harmonic_full_graph(spark):
+    from language_identification_spark.operators.linkgraph import host_harmonic
+
+    docs = spark.createDataFrame([(i,) for i in range(250)], "doc_id bigint")
+    got = {
+        int(r.host.removeprefix("site").removesuffix(".example.com")):
+            (r.n_d1, r.n_d2, r.n_d3, r.n_d4, r.hc_scaled)
+        for r in host_harmonic(docs).collect()
+    }
+    want = _simulate_harmonic(set(range(N_HOST_SLOTS)))
+    assert got == want
+    # the 6-dp-rounded float rides the exact int
+    for r in host_harmonic(docs).collect():
+        assert r.harmonic == round(r.hc_scaled / 12.0, 6)
+
+
+def test_harmonic_absent_hosts(spark):
+    from language_identification_spark.operators.linkgraph import host_harmonic
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(500) if i % N_HOST_SLOTS < 10],
+        "doc_id bigint",
+    )
+    got = {
+        int(r.host.removeprefix("site").removesuffix(".example.com")):
+            (r.n_d1, r.n_d2, r.n_d3, r.n_d4, r.hc_scaled)
+        for r in host_harmonic(docs).collect()
+    }
+    want = _simulate_harmonic(set(range(10)))
+    assert got == want
