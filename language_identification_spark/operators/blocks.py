@@ -163,28 +163,55 @@ def block_features(df: DataFrame, html_col: str = "html") -> DataFrame:
         )
 
     feats = F.transform(parts, feat)
-    cls_arr = F.transform(feats, lambda s: s["cls_ctx"])
 
-    def resolve(s: Column, i: Column) -> Column:
-        """Context pass over the per-row class array — the neighbor search
-        is slice+filter on cls_arr (array-local), not a window."""
-        c = s["cls_ctx"]
-        confident = lambda p: (p == GOOD) | (p == BAD)  # noqa: E731
-        before = F.filter(F.slice(cls_arr, F.lit(1), i), confident)
-        after = F.filter(
-            F.slice(cls_arr, i + 2, F.size(cls_arr)), confident
+    # Context pass as LINEAR scans, not per-element slices. Subtlety that
+    # decides the runtime: a column expression referenced inside a
+    # higher-order-function lambda is RE-EVALUATED per element (Catalyst
+    # clones the subtree; no CSE inside HOF lambdas) — the first version
+    # sliced the class array per element and was O(B^2) full-regex
+    # evaluations per row (measured 24 s vs 2 s on the gate fixture).
+    # Here every expensive subtree is an ARGUMENT of aggregate/zip_with,
+    # so it is evaluated once per row: prev/next "nearest confident
+    # class" arrays come from one forward and one backward running scan,
+    # then two zip_with passes attach them element-wise.
+    def _confident(c: Column) -> Column:
+        return (c == GOOD) | (c == BAD)
+
+    def _prev_scan(cls_arr: Column) -> Column:
+        """out[i] = last confident class strictly before i (null if none)."""
+        zero = F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("last"),
         )
-        prev_c = F.get(F.reverse(before), 0)
-        next_c = F.get(after, 0)
-        promoted = (prev_c == GOOD) | (next_c == GOOD)
+        return F.aggregate(
+            cls_arr,
+            zero,
+            lambda acc, c: F.struct(
+                F.concat(acc["out"], F.array(acc["last"])).alias("out"),
+                F.when(_confident(c), c).otherwise(acc["last"]).alias("last"),
+            ),
+            lambda acc: acc["out"],
+        )
+
+    cls0 = F.transform(feats, lambda s: s["cls_ctx"])
+    prev_arr = _prev_scan(cls0)
+    next_arr = F.reverse(_prev_scan(F.reverse(cls0)))
+
+    with_prev = F.zip_with(
+        feats, prev_arr, lambda s, p: s.withField("prev_c", p)
+    )
+
+    def resolve(s: Column, next_c: Column) -> Column:
+        c = s["cls_ctx"]
+        promoted = (s["prev_c"] == GOOD) | (next_c == GOOD)
         final = (
             F.when((c == GOOD) | (c == BAD) | (c == EMPTY), c)
             .when(promoted, F.lit(GOOD))
             .otherwise(F.lit(BAD))
         )
-        return s.withField("cls", final)
+        return s.withField("cls", final).dropFields("prev_c")
 
-    return df.withColumn("blocks", F.transform(feats, resolve))
+    return df.withColumn("blocks", F.zip_with(with_prev, next_arr, resolve))
 
 
 def content_blocks(df: DataFrame, html_col: str = "html", id_col: str = "doc_id") -> DataFrame:
@@ -194,8 +221,15 @@ def content_blocks(df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
     assignment so block_idx is the raw split position.
     """
     b = block_features(df, html_col)
+    # explode_OUTER, deliberately: plain explode lets the optimizer infer
+    # `size(blocks) > 0` from the Generate and push it into the SCAN as a
+    # data filter — re-evaluating the whole block expression per row on
+    # the pre-repartition (possibly single-split) scan, single-threaded
+    # (measured: 3x the query's wall time on the gate fixture). outer
+    # generates null rows for empty arrays instead of implying a filter;
+    # the cls_ctx predicate below drops them (null fails != EMPTY).
     return (
-        b.select(id_col, F.explode("blocks").alias("blk"))
+        b.select(id_col, F.explode_outer("blocks").alias("blk"))
         .where(F.col("blk.cls_ctx") != EMPTY)
         .select(
             id_col,
