@@ -33,8 +33,15 @@ def _tokens(c: Column) -> Column:
     return F.filter(F.split(F.lower(c), WS_RE), lambda x: x != "")
 
 
-def _grams(c: Column, n: int) -> Column:
-    toks = _tokens(c)
+def _grams_of(toks: Column, n: int) -> Column:
+    """n-grams of a token array. ``toks`` MUST be a materialized column
+    (projected in its own select), never an inline expression: a column
+    expression referenced inside a higher-order-function lambda is
+    re-evaluated PER ELEMENT (no CSE inside lambdas — the content_blocks
+    lesson, operators/blocks.py), so an inline split here re-tokenizes
+    the whole text once per gram position: O(T^2) chars per doc
+    (measured 2.3x on the short-doc testdata; far worse on real
+    1000-token pages). Slicing a materialized column is free."""
     body = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
@@ -51,7 +58,8 @@ def benchmark_grams(
     BEFORE the broadcast so duplicated eval text costs nothing."""
     return (
         bench.filter(F.col(text_col).isNotNull())
-        .select(F.explode(_grams(F.col(text_col), n)).alias("gram"))
+        .select(_tokens(F.col(text_col)).alias("toks"))
+        .select(F.explode(_grams_of(F.col("toks"), n)).alias("gram"))
         .distinct()
     )
 
@@ -68,9 +76,18 @@ def contaminated_docs(
     broadcast explicitly; corpus grams are deduped per doc BEFORE the join
     (array_distinct inside the row — no extra shuffle), so the join output
     is distinct matches and the per-doc count is exact."""
-    grams = corpus.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(_grams(F.col(text_col), n))).alias("gram"),
+    grams = (
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            _tokens(F.col(text_col)).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(_grams_of(F.col("toks"), n))).alias(
+                "gram"
+            ),
+        )
     )
     hits = grams.join(F.broadcast(bench_grams_df), "gram", "inner")
     return hits.groupBy("doc_id").agg(
