@@ -55,7 +55,14 @@ def word_ngrams_expr(col: Column | str, n: int, sep: str = " ") -> Column:
     Same short-input guard as char_ngrams_expr. ``sep`` is escaped both as a
     Java regex (split pattern) and as a SQL string literal, so separators
     containing regex metacharacters or quotes cannot mis-split or break the
-    generated expression."""
+    generated expression.
+
+    The token array is LET-BOUND via a single-element ``transform`` (the
+    ``toks`` lambda variable) so the split runs ONCE per row: expressions
+    referenced inside HOF lambdas are re-evaluated per element (no CSE —
+    the content_blocks lesson, operators/blocks.py), so inlining the
+    split into the per-gram lambda re-tokenizes the whole text once per
+    gram position, O(T^2) chars per doc."""
     import re as _re
 
     c = F.col(col) if isinstance(col, str) else col
@@ -64,8 +71,9 @@ def word_ngrams_expr(col: Column | str, n: int, sep: str = " ") -> Column:
     sql_sep_re = _re.escape(sep).replace("\\", "\\\\").replace("'", "''")
     size = F.size(F.split(c, _re.escape(sep)))
     body = F.expr(
-        f"transform(sequence(1, size(split({_sql(c)}, '{sql_sep_re}')) - {n - 1}),"
-        f" i -> concat_ws('{sql_sep}', slice(split({_sql(c)}, '{sql_sep_re}'), i, {n})))"
+        f"transform(array(split({_sql(c)}, '{sql_sep_re}')), toks ->"
+        f" transform(sequence(1, size(toks) - {n - 1}),"
+        f" i -> concat_ws('{sql_sep}', slice(toks, i, {n}))))[0]"
     )
     return F.when(size >= n, body).otherwise(F.array().cast("array<string>"))
 
