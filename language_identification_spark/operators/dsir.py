@@ -48,14 +48,18 @@ QUANT = 1_000_000  # log-ratio fixed-point scale
 def grams_col(text_col: str) -> Column:
     """array<string> of word unigrams + bigrams ('w1 w2') in position order."""
     ws = f"filter(split(lower({text_col}), ' '), w -> w != '')"
+    # let-bind the token array via a single-element transform so the split
+    # runs once per row — inlined, each element_at() re-evaluated the whole
+    # split per element (no CSE inside HOF lambdas: the content_blocks
+    # lesson, operators/blocks.py), O(T^2) chars per doc
     return F.expr(
-        f"""concat(
-            {ws},
-            CASE WHEN size({ws}) >= 2
-                 THEN transform(sequence(1, size({ws}) - 1),
-                      i -> concat(element_at({ws}, i), ' ',
-                                  element_at({ws}, i + 1)))
-                 ELSE array() END)"""
+        f"""transform(array({ws}), toks -> concat(
+            toks,
+            CASE WHEN size(toks) >= 2
+                 THEN transform(sequence(1, size(toks) - 1),
+                      i -> concat(element_at(toks, i), ' ',
+                                  element_at(toks, i + 1)))
+                 ELSE array() END))[0]"""
     )
 
 
