@@ -112,17 +112,27 @@ def char_entropy_col(text_col: str = "text"):
     form (char_freq's plan) only for book-length rows."""
     from pyspark.sql import functions as F
 
+    # the char array is let-bound via a single-element transform so the
+    # split runs once per row — inlined, the per-distinct-char filter
+    # re-evaluated it per element (no CSE inside HOF lambdas: the
+    # content_blocks lesson, operators/blocks.py)
     cs = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
-    n = F.size(cs)
-    dist = F.array_sort(F.array_distinct(cs))
-    counts = F.transform(
-        dist,
-        lambda c: F.size(F.filter(cs, lambda x: x == c)).cast("double"),
-    )
-    ssum = F.aggregate(
-        counts, F.lit(0.0), lambda acc, x: acc + x * F.log2(x)
-    )
-    return F.when(n > 0, F.log2(n.cast("double")) - ssum / n)
+
+    def _entropy(chars):
+        n = F.size(chars)
+        dist = F.array_sort(F.array_distinct(chars))
+        counts = F.transform(
+            dist,
+            lambda c: F.size(F.filter(chars, lambda x: x == c)).cast(
+                "double"
+            ),
+        )
+        ssum = F.aggregate(
+            counts, F.lit(0.0), lambda acc, x: acc + x * F.log2(x)
+        )
+        return F.when(n > 0, F.log2(n.cast("double")) - ssum / n)
+
+    return F.get(F.transform(F.array(cs), _entropy), 0)
 
 
 def ccnet_buckets_histogram(
