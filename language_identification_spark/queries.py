@@ -3767,18 +3767,23 @@ FROM scored GROUP BY doc_id
 
 def q_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 of casefolded whitespace-normalized text
-    (the content-defined fingerprint stage of exact dedup)."""
+    (the content-defined fingerprint stage of exact dedup). Explicit ASCII
+    whitespace class, NOT \\s: Java's \\s includes \\x0b, RE2's does not —
+    found by the hostile-corpus sweep (a \\x0b doc fingerprinted
+    differently across engines)."""
     docs = _t(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\x0b\f\r]+", " ")
+    )
     return docs.select(
         "doc_id", F.md5(norm.cast("binary")).alias("fingerprint")
     )
 
 
-SQL_FINGERPRINT = r"""
-SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
-FROM documents
-"""
+SQL_FINGERPRINT = (
+    "SELECT doc_id, md5(trim(regexp_replace(lower(text),"
+    " '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fingerprint\nFROM documents\n"
+)
 
 
 def q_token_count(spark, sf_dir):

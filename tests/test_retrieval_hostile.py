@@ -42,7 +42,34 @@ GATES = [
     # \x0b whitespace class in BOTH engines
     "content_blocks",
     "main_content_extract",
+    # session-final sweep widening: every remaining text-consuming gate
+    # that IS adversarially identical across engines
+    "char_entropy",
+    "span_dedup",
+    "token_count",
+    "c4_line_filter",
+    "quality_stats_sql",
+    "paragraph_dedup",
+    "exact_dedup",
 ]
+
+# Gates probed against this corpus and EXCLUDED with root causes — known
+# cross-engine unicode divergence classes, not engine bugs (each gate is
+# hash-green on the realistic corpora at sf0.01 AND sf0.1):
+# - decontaminate, dsir_select: Java's String.toLowerCase is
+#   CONTEXT-SENSITIVE for Greek capital sigma (trailing SIGMA -> final
+#   form 'ς'); DuckDB/utf8proc applies the simple mapping ('σ') — any
+#   lowercased token stream containing trailing Σ diverges byte-wise.
+# - gopher_repetition: fraction denominators differ by ~0.3% on docs
+#   with astral-plane chars (UTF-16 code-unit vs code-point length
+#   semantics in one of the count paths).
+# - bpe_token_count: the BPE-ish regex's class boundaries differ on
+#   astral/emoji input between java.util.regex and RE2.
+# - fingerprint: had TWO classes. The \s+ one (Java's \s includes \x0b,
+#   RE2's does not) was a real portability bug, fixed to the explicit
+#   ASCII class on both sides (queries.py q_fingerprint); the remaining
+#   divergence is the Σ lower() class above, inherent to lower(text)
+#   fingerprints.
 
 
 def _hostile_corpus() -> list[tuple]:
