@@ -56,13 +56,16 @@ GATES = [
 # Gates probed against this corpus and EXCLUDED with root causes — known
 # cross-engine unicode divergence classes, not engine bugs (each gate is
 # hash-green on the realistic corpora at sf0.01 AND sf0.1):
-# - decontaminate, dsir_select: Java's String.toLowerCase is
-#   CONTEXT-SENSITIVE for Greek capital sigma (trailing SIGMA -> final
-#   form 'ς'); DuckDB/utf8proc applies the simple mapping ('σ') — any
-#   lowercased token stream containing trailing Σ diverges byte-wise.
-# - gopher_repetition: fraction denominators differ by ~0.3% on docs
-#   with astral-plane chars (UTF-16 code-unit vs code-point length
-#   semantics in one of the count paths).
+# - decontaminate, dsir_select: lower() itself diverges. Two verified
+#   sub-classes: Greek capital sigma is CONTEXT-SENSITIVE in Java/Python
+#   (trailing SIGMA -> final form 'ς') but simple-mapped ('σ') by
+#   DuckDB/utf8proc; Turkish dotted İ (U+0130) lowercases to
+#   'i' + U+0307 (2 chars) in Java/Python but to plain 'i' (1 char) in
+#   utf8proc — any lowercased token stream containing either diverges
+#   byte-wise.
+# - gopher_repetition: the same İ class shifts the lowercased-token
+#   char-mass denominators (~0.3% on this corpus; verified minimal
+#   repro — astral chars alone are IDENTICAL across engines here).
 # - bpe_token_count: the BPE-ish regex's class boundaries differ on
 #   astral/emoji input between java.util.regex and RE2.
 # - fingerprint: had TWO classes. The \s+ one (Java's \s includes \x0b,
