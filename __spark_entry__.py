@@ -99,6 +99,56 @@ def _q_drop_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_classifier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability table for the learned quality filter — the calibration
+    artifact an ML-ops pipeline publishes next to the confusion matrix:
+    documents bucketed by classifier-margin MAGNITUDE (signed integer-log2
+    bins: sign(margin) * bit_length(|margin|) — pure integer arithmetic,
+    cross-engine exact, no float log), with per-bin exact counts of
+    classifier-keep, rule-keep, and agreement. A calibrated filter shows
+    agreement rising with |margin|; the bin table is ~60 rows at any
+    corpus size (margins are bounded integers), so the whole artifact is
+    one (bin) hash aggregate over the classifier's scoring plan."""
+    from language_identification_spark.operators.qualityclf import score_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    truth = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        (
+            F.size(
+                F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+            )
+            >= 40
+        ).alias("rule_keep"),
+    )
+    clf = score_plan(docs, _quality_clf())
+    m = F.col("margin")
+    bit_len = F.length(F.bin(F.abs(m))).cast("int")
+    bin_idx = (
+        F.when(m > 0, bit_len)
+        .when(m < 0, -bit_len)
+        .otherwise(F.lit(0))
+    )
+    j = clf.join(truth, "doc_id").select(
+        bin_idx.alias("margin_bin"),
+        (F.col("q_label") == "keep").cast("int").alias("clf_keep"),
+        F.col("rule_keep").cast("int").alias("rule_keep"),
+        ((F.col("q_label") == "keep") == F.col("rule_keep"))
+        .cast("int")
+        .alias("agree"),
+    )
+    return j.groupBy("margin_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("clf_keep").cast("bigint").alias("n_clf_keep"),
+        F.sum("rule_keep").cast("bigint").alias("n_rule_keep"),
+        F.sum("agree").cast("bigint").alias("n_agree"),
+    )
+
+
 def _q_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The evaluation a pipeline publishes for its learned filter (DCLM
     reports agreement of the classifier with its curation signal): the
@@ -518,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ensemble_langid"] = _q_ensemble_langid
     out["quality_classifier"] = _q_quality_classifier
     out["quality_classifier_eval"] = _q_quality_classifier_eval
+    out["quality_classifier_calibration"] = _q_quality_classifier_calibration
     out["drop_rule_ablation"] = _q_drop_rule_ablation
     return out
 
@@ -575,6 +626,30 @@ JOIN (
   FROM documents WHERE text IS NOT NULL
 ) t USING (doc_id)
 GROUP BY 1, 2
+"""
+    out["quality_classifier_calibration"] = f"""
+SELECT margin_bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(clf_keep) AS BIGINT) AS n_clf_keep,
+       CAST(sum(rule_keep) AS BIGINT) AS n_rule_keep,
+       CAST(sum(agree) AS BIGINT) AS n_agree
+FROM (
+  SELECT CAST(CASE WHEN c.margin > 0 THEN length(bin(c.margin))
+                   WHEN c.margin < 0 THEN -length(bin(-c.margin))
+                   ELSE 0 END AS INT) AS margin_bin,
+         CASE WHEN c.q_label = 'keep' THEN 1 ELSE 0 END AS clf_keep,
+         CASE WHEN t.rule_keep THEN 1 ELSE 0 END AS rule_keep,
+         CASE WHEN (c.q_label = 'keep') = t.rule_keep THEN 1 ELSE 0 END
+           AS agree
+  FROM ({export_sql(_quality_clf())}) c
+  JOIN (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), w -> w <> '')) >= 40
+             AS rule_keep
+    FROM documents WHERE text IS NOT NULL
+  ) t USING (doc_id)
+)
+GROUP BY margin_bin
 """
     out["drop_rule_ablation"] = f"""
 SELECT rule,

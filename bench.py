@@ -101,6 +101,7 @@ HEADLINE = [
     "anchor_text_profile",
     "host_cap_sample",
     "host_harmonic",
+    "quality_classifier_calibration",
     # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
     # 500-doc universe — verified at the gate, not a headline path
 ]
