@@ -16,9 +16,13 @@ skewed JOIN partitions, not skewed window partitions.
 ``host_cap_sample`` is the exact, skew-proof version — salted two-phase
 top-K, the TakeOrderedAndProject idea applied per key:
 
-- phase 1: rank within ``(host, salt)`` where ``salt = pmod(doc_id, S)``
-  (deterministic, resume-safe) and keep the local top-K — a hot host is
-  cut into S parallel sort partitions, each bounded by ~|host|/S rows;
+- phase 1: rank within ``(host, salt)`` where ``salt =
+  pmod(xxhash64(doc_id), S)`` (deterministic, resume-safe, and UNIFORM
+  even when doc_id correlates with host assignment — a raw
+  ``pmod(doc_id, S)`` would map a hot host whose ids share a parity or
+  stride onto a fraction of the S buckets) and keep the local top-K — a
+  hot host is cut into S parallel sort partitions, each bounded by
+  ~|host|/S rows;
 - phase 2: rank within ``host`` over the survivors — AT MOST S*K rows per
   host regardless of corpus size — and keep the global top-K.
 
@@ -59,14 +63,25 @@ def host_cap_sample(
 ) -> DataFrame:
     """Keep a deterministic top-``k`` documents per host. Adds
     ``pick_rank`` (1..k within host). Exact — identical output to the
-    naive single-window form at any partitioning."""
+    naive single-window form at any partitioning.
+
+    Precondition: ``id_col`` must be UNIQUE per row — the exactness proof
+    (phase 1 never discards a global top-K survivor) and rerun/resume
+    determinism both rely on ``(_key, id_col)`` being a total order.
+    Non-numeric ids are fine: the salt hashes the id, it never does
+    arithmetic on it.
+    """
     key = (
         order_col
         if order_col is not None
         else F.md5(F.col(id_col).cast("string"))
     )
+    # Salt on a HASH of the id, not the raw value: raw pmod leaves dead
+    # buckets whenever ids correlate with hosts (e.g. all-even doc_ids on
+    # the hot host → only S/2 live buckets), halving the skew spread.
     ranked = df.withColumn("_key", key).withColumn(
-        "_salt", F.pmod(F.col(id_col), F.lit(salt_buckets))
+        "_salt",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets)),
     )
     w1 = Window.partitionBy(host_col, "_salt").orderBy("_key", id_col)
     local = (

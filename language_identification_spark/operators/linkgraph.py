@@ -150,7 +150,29 @@ def extract_host_edges(pages: DataFrame) -> DataFrame:
     )
 
 
-def host_pagerank_exact(edges: DataFrame, k: int = 3) -> DataFrame:
+# Exact host-graph operators are DIM-SIZED by contract: they broadcast
+# |hosts|-bounded tables and (for harmonic) build radius-ball distance
+# pairs. The caps below turn that documented envelope into an enforced
+# one — the lsh_oversized_buckets pattern. Full-web graphs (10^8+ hosts)
+# need HyperBall (HLL counters per node; Boldi & Vigna 2013), not these.
+MAX_EXACT_HOSTS = 2_000_000
+MAX_HC_DIST_PAIRS = 50_000_000
+
+
+def _guard_host_dim(n: int, cap: int, what: str) -> None:
+    if n > cap:
+        raise ValueError(
+            f"{what}: {n:,} rows exceeds the exact-operator cap {cap:,}. "
+            "These operators are exact and dimension-sized by design "
+            "(10^5-10^6 curated hosts); for full-web graphs use a "
+            "HyperBall-style HLL approximation (Boldi & Vigna 2013) or "
+            "raise the cap knowingly."
+        )
+
+
+def host_pagerank_exact(
+    edges: DataFrame, k: int = 3, max_hosts: int = MAX_EXACT_HOSTS
+) -> DataFrame:
     """Exact-integer PageRank over the extracted host graph (module
     docstring derivation). Returns (host, n_docs, rank_scaled, rank) with
     rank_scaled = S_k exact bigint and rank = S_k / (N * 80**k) rounded to
@@ -160,11 +182,25 @@ def host_pagerank_exact(edges: DataFrame, k: int = 3) -> DataFrame:
     N-scalar all branch from it, and without the cache each branch would
     re-run the corpus-sized extraction (the ngram-counts precedent,
     queries.py q_ngram_counts). It is <= OUTDEG * |hosts| rows — a few GB
-    even at the real web's 10^8 hosts."""
+    even at the real web's 10^8 hosts. The |hosts| dimension is guarded
+    by ``max_hosts`` (loud error, not a silent straggler); the returned
+    frame is eagerly localCheckpoint-ed (host-dim-sized) so the edge
+    cache can be unpersisted before returning — repeated invocations in a
+    long-lived session no longer accumulate storage blocks."""
     edges = edges.cache()
+    try:
+        return _pagerank_body(edges, k, max_hosts)
+    finally:
+        # runs after the eager localCheckpoint materializes (or after the
+        # guard raises) — either way the cache mark never outlives the call
+        edges.unpersist()
+
+
+def _pagerank_body(edges: DataFrame, k: int, max_hosts: int) -> DataFrame:
     hosts = edges.groupBy("src").agg(F.max("n_docs").alias("n_docs")).select(
         F.col("src").alias("h"), "n_docs"
     )
+    _guard_host_dim(hosts.count(), max_hosts, "host_pagerank_exact hosts")
     # keep only edges whose target host was itself crawled (mass to
     # un-crawled hosts leaks: discard-dangling convention)
     live = edges.join(
@@ -197,7 +233,7 @@ def host_pagerank_exact(edges: DataFrame, k: int = 3) -> DataFrame:
 
     n_hosts = hosts.agg(F.count(F.lit(1)).alias("nh"))
     scale = float(80**k)
-    return (
+    out = (
         rank.join(F.broadcast(hosts), "h")
         .crossJoin(F.broadcast(n_hosts))
         .select(
@@ -211,6 +247,10 @@ def host_pagerank_exact(edges: DataFrame, k: int = 3) -> DataFrame:
             ).alias("rank"),
         )
     )
+    # materialize the |hosts|-sized result (one job) so the caller's frame
+    # no longer references the edge cache; its checkpoint blocks are
+    # reclaimed by the ContextCleaner once the caller drops the frame
+    return out.localCheckpoint(eager=True)
 
 
 def host_pagerank(docs: DataFrame, k: int = 3) -> DataFrame:
@@ -339,7 +379,12 @@ HC_RADIUS = 4
 _HC_WEIGHTS = {1: 12, 2: 6, 3: 4, 4: 3}
 
 
-def host_harmonic_exact(edges: DataFrame, radius: int = HC_RADIUS) -> DataFrame:
+def host_harmonic_exact(
+    edges: DataFrame,
+    radius: int = HC_RADIUS,
+    max_hosts: int = MAX_EXACT_HOSTS,
+    max_dist_pairs: int = MAX_HC_DIST_PAIRS,
+) -> DataFrame:
     """Radius-truncated harmonic centrality over the extracted host graph —
     the OTHER rank Common Crawl publishes for its host web graph (harmonic
     centrality; Boldi & Vigna 2014 "Axioms for centrality"):
@@ -358,23 +403,53 @@ def host_harmonic_exact(edges: DataFrame, radius: int = HC_RADIUS) -> DataFrame:
     the HOST graph (never the corpus; the corpus was spent building
     ``edges``). Each round is a dim-sized join + left_anti against the
     known-distance table, cached per round (dedup_clusters' lineage
-    discipline). Honest scale note: exact all-pairs-within-R is for the
-    dim-sized host graphs a curation pipeline ranks (10^5-10^6 quality
-    hosts); full-web harmonic centrality at 10^8+ hosts is HyperBall
-    (HLL counters per node) — approximate by construction and out of
-    scope for a hash-exact gate.
+    discipline). The scale envelope is ENFORCED, not just documented:
+    |hosts| is guarded by ``max_hosts`` and the accumulating distance
+    table by ``max_dist_pairs`` per round (the lsh_oversized_buckets
+    pattern — loud error, never a silent week-long straggler); full-web
+    harmonic centrality at 10^8+ hosts is HyperBall (HLL counters per
+    node) — approximate by construction and out of scope for a
+    hash-exact gate. All per-round caches are unpersisted before
+    returning (the result is eagerly localCheckpoint-ed first), so
+    repeated invocations in a long-lived session do not accumulate
+    executor storage.
 
     Same discard-dangling convention as PageRank: only crawled hosts
     (sources of at least one edge) count as sources and targets.
     """
+    cached: list[DataFrame] = []
+    try:
+        return _harmonic_body(edges, radius, max_hosts, max_dist_pairs, cached)
+    finally:
+        # after the eager localCheckpoint (or a guard raise) every
+        # intermediate cache mark is released — no storage accumulation
+        # across invocations in a long-lived session
+        for c in cached:
+            c.unpersist()
+
+
+def _harmonic_body(
+    edges: DataFrame,
+    radius: int,
+    max_hosts: int,
+    max_dist_pairs: int,
+    cached: list[DataFrame],
+) -> DataFrame:
     e = edges.select("src", "dst").distinct()
     crawled = e.select(F.col("src").alias("h")).distinct()
+    _guard_host_dim(crawled.count(), max_hosts, "host_harmonic_exact hosts")
     live = (
         e.join(F.broadcast(crawled.select(F.col("h").alias("dst"))), "dst")
         .select("src", "dst")
         .cache()
     )
+    cached.append(live)
     dist = live.withColumn("d", F.lit(1)).cache()
+    cached.append(dist)
+    n_dist = dist.count()
+    _guard_host_dim(
+        n_dist, max_dist_pairs, "host_harmonic_exact distance pairs (d=1)"
+    )
     frontier = dist
     for r in range(2, radius + 1):
         step = (
@@ -390,7 +465,15 @@ def host_harmonic_exact(edges: DataFrame, radius: int = HC_RADIUS) -> DataFrame:
         nxt = step.join(
             dist.select("src", "dst"), ["src", "dst"], "left_anti"
         ).withColumn("d", F.lit(r)).cache()
+        cached.append(nxt)
+        n_dist += nxt.count()
+        _guard_host_dim(
+            n_dist,
+            max_dist_pairs,
+            f"host_harmonic_exact distance pairs (d<={r})",
+        )
         dist = dist.unionByName(nxt).cache()
+        cached.append(dist)
         frontier = nxt
     counts = (
         dist.where(F.col("src") != F.col("dst"))
@@ -423,7 +506,7 @@ def host_harmonic_exact(edges: DataFrame, radius: int = HC_RADIUS) -> DataFrame:
         *[F.col(f"n_d{d}").cast("bigint").alias(f"n_d{d}") for d in range(1, radius + 1)],
         F.col("hc_scaled").cast("bigint").alias("hc_scaled"),
         F.round(F.col("hc_scaled") / 12.0, 6).alias("harmonic"),
-    )
+    ).localCheckpoint(eager=True)
 
 
 def host_harmonic(docs: DataFrame, radius: int = HC_RADIUS) -> DataFrame:

@@ -11,8 +11,11 @@ Flesch (1948) / Kincaid et al. (1975) constants:
 Engine discipline (the split_token_budget / pack_sequences pattern): every
 per-document quantity is an EXACT INTEGER —
 
-  - words      = non-empty chunks of a single-space split (the engine's
-                 established cross-engine token parity primitive),
+  - words      = non-empty chunks of an ASCII-whitespace split
+                 (``[ \\t\\n\\x0b\\f\\r]+`` — the explicit class, not ``\\s``,
+                 because Java regex includes \\x0b in ``\\s`` while RE2 does
+                 not; tokens joined by newlines/tabs in multi-line documents
+                 count as separate words, per the Flesch definition),
   - syllables  = count of ``[aeiouy]+`` runs in the lowercased text (the
                  standard vowel-group proxy; exact syllabification needs a
                  hyphenation dictionary and is locale-bound),
@@ -36,13 +39,16 @@ from pyspark.sql import functions as F
 
 SYLLABLE_PATTERN = "[aeiouy]+"
 SENTENCE_PATTERN = "[.!?]+"
+# Explicit ASCII whitespace class — identical in Java regex and RE2
+# (DuckDB); `\s` is NOT (Java includes \x0b, RE2 does not).
+WORD_SPLIT_PATTERN = "[ \t\n\x0b\f\r]+"
 
 
 def readability_counts(text_col: str = "text") -> list[Column]:
     """Exact-integer per-document (words, sentences, syllables) columns."""
     t = F.col(text_col)
     return [
-        F.size(F.filter(F.split(t, " "), lambda w: w != ""))
+        F.size(F.filter(F.split(t, WORD_SPLIT_PATTERN), lambda w: w != ""))
         .cast("bigint")
         .alias("words"),
         F.regexp_count(t, F.lit(SENTENCE_PATTERN)).cast("bigint").alias(

@@ -102,20 +102,38 @@ def scrub_template_lines(
     ``scrubbed_text``; hosts without templates pass through unchanged.
     The per-host template set is collected host-side first (host-dim-sized
     groupBy), broadcast into a left join, then applied as a narrow
-    array-expression filter."""
-    tpl_sets = templates.groupBy("host").agg(
-        F.collect_set("line").alias("tpl_lines")
-    ).withColumnRenamed("host", "_tpl_host")
+    array-expression filter.
+
+    If the input already carries ``n_lines_removed`` or ``scrubbed_text``
+    (e.g. a second scrub pass), this raises rather than silently shadowing
+    the existing columns; internal join columns are collision-proofed."""
+    clash = {
+        "n_lines_removed", "scrubbed_text", "__tpl_host__", "__tpl_lines__"
+    } & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"scrub_template_lines output columns {sorted(clash)} already "
+            "exist on the input — rename or drop them first"
+        )
+    # internal names that cannot collide with user columns (and are dropped
+    # via an explicit final select anyway)
+    tpl_host = "__tpl_host__"
+    tpl_lines = "__tpl_lines__"
+    tpl_sets = (
+        templates.groupBy("host")
+        .agg(F.collect_set("line").alias(tpl_lines))
+        .withColumnRenamed("host", tpl_host)
+    )
     with_tpl = docs.filter(F.col(text_col).isNotNull()).join(
         F.broadcast(tpl_sets),
-        F.col(host_col) == F.col("_tpl_host"),
+        F.col(host_col) == F.col(tpl_host),
         "left",
-    ).drop("_tpl_host")
+    )
     lines = _lines(F.col(text_col))
-    tpl = F.coalesce(F.col("tpl_lines"), F.array().cast("array<string>"))
+    tpl = F.coalesce(F.col(tpl_lines), F.array().cast("array<string>"))
     kept = F.filter(lines, lambda s: ~F.array_contains(tpl, s))
     return with_tpl.select(
-        *[c for c in docs.columns],
+        *[F.col(c) for c in docs.columns],
         (F.size(lines) - F.size(kept)).cast("bigint").alias(
             "n_lines_removed"
         ),

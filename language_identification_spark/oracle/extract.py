@@ -120,6 +120,20 @@ def _encode_sloppy_macroman(text: str) -> bytes | None:
     return _encode_sloppy(text, "mac_roman")
 
 
+# Windows smart-quote autocorrect substitutions, inverted: when mojibake
+# passed through Word/Outlook-style smart quoting, ASCII quotes that were
+# PART OF THE ORIGINAL TEXT (ASCII bytes never occur inside UTF-8
+# multibyte sequences, so a straight quote in mojibake is always original
+# text) got curled — which breaks the sloppy-cp1252 inverse, because the
+# curled char re-encodes to 0x91-0x94 instead of the 0x27/0x22 the UTF-8
+# stream needs. Un-curling restores the original byte. Dash/ellipsis
+# autocorrect (-- -> en dash, ... -> ellipsis) is NOT inverted: those are
+# many-to-one and cannot be restored per-char.
+_SMART_QUOTE_TRANS = str.maketrans(
+    {"‘": "'", "’": "'", "“": '"', "”": '"'}
+)
+
+
 def fix_mojibake(text: str) -> str:
     """Minimal ftfy.fix_text-style repair, the pass the reference applies
     after detwingle (utils.py:33). Implemented classes:
@@ -147,17 +161,33 @@ def fix_mojibake(text: str) -> str:
       (ftfy's Western-first convention): a cp1252-mojibake string also
       re-encodes to valid UTF-8 under the koi8-r/macroman inverses with a
       WRONG repair, so the earlier class must win (pinned by fixture).
-    - stray/double HTML entities ('caf&eacute;', '&amp;eacute;'):
-      unescaped per pass, with ftfy's fix_entities='auto' guard — skipped
-      when the text looks like actual markup (contains both '<' and '>'),
-      so real HTML flowing through decode_html is never mangled before
-      strip_html does its one sanctioned unescape.
+    - curly-quote-MANGLED utf8-as-cp1252 ('it’s cafÃ©' -> "it's café"):
+      mojibake that subsequently passed through Windows smart-quote
+      autocorrect. Straight quotes in mojibake are always ORIGINAL text
+      (ASCII bytes never occur inside UTF-8 multibyte sequences), so a
+      curled one re-encodes to 0x91-0x94 instead of the 0x27/0x22 the
+      stream needs and blocks the whole-string repair. When the plain
+      inverses all fail, quotes are un-curled and the cp1252 inverse
+      retried — accepted only if the repair changes something beyond the
+      un-curling, so clean curly-quote text ('“hello”') is never
+      straightened (pinned by fixture). Dash/ellipsis autocorrect is
+      many-to-one and stays un-inverted.
+    - stray/double HTML entities ('caf&eacute;', '&amp;eacute;' — the
+      double class unwinds across loop passes: '&amp;eacute;' ->
+      '&eacute;' -> 'é', pinned by fixture): unescaped per pass, with
+      ftfy's fix_entities='auto' guard — skipped when the text looks like
+      actual markup (contains both '<' and '>'), so real HTML flowing
+      through decode_html is never mangled before strip_html does its one
+      sanctioned unescape.
 
     Residual divergence from full ftfy (documented): no partial-string
-    repair (a single mojibake word inside clean non-Latin-1 text stays),
-    no C1-control/curly-quote normalization, no lossy-replacement-char
-    recovery, no encoding families beyond cp1252/latin-1/cp1251/koi8-r/
-    macroman (cp437 and the East-Asian double-byte families are out)."""
+    repair (a single mojibake word inside clean non-Latin-1 text stays —
+    a clean curly quote ADJACENT to a mojibake span is the one exception:
+    the un-curl retry repairs the span at the cost of straightening that
+    quote), no C1-control normalization, no lossy-replacement-char
+    recovery, no dash/ellipsis autocorrect inversion, no encoding
+    families beyond cp1252/latin-1/cp1251/koi8-r/macroman (cp437 and the
+    East-Asian double-byte families are out)."""
     for _ in range(3):
         changed = False
         if "&" in text and not ("<" in text and ">" in text):
@@ -166,6 +196,7 @@ def fix_mojibake(text: str) -> str:
                 text = unescaped
                 changed = True
         if any(ord(ch) > 0x7F for ch in text):
+            repaired = False
             for encoder in (
                 _encode_sloppy_cp1252,
                 _encode_sloppy_cp1251,
@@ -181,8 +212,25 @@ def fix_mojibake(text: str) -> str:
                     continue
                 if fixed and fixed != text:
                     text = fixed
-                    changed = True
+                    changed = repaired = True
                     break
+            if not repaired:
+                # curly-quote-mangled utf8-as-cp1252: un-curl smart quotes
+                # (original ASCII bytes — see _SMART_QUOTE_TRANS) and retry
+                # the cp1252 inverse. Accepted ONLY when the repair changes
+                # something BEYOND the un-curling itself, so clean text
+                # with curly quotes is never straightened.
+                translated = text.translate(_SMART_QUOTE_TRANS)
+                if translated != text:
+                    data = _encode_sloppy_cp1252(translated)
+                    if data is not None:
+                        try:
+                            fixed = data.decode("utf-8")
+                        except UnicodeDecodeError:
+                            fixed = None
+                        if fixed and fixed != translated:
+                            text = fixed
+                            changed = True
         if not changed:
             return text
     return text

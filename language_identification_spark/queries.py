@@ -2731,7 +2731,9 @@ def q_readability_scores(spark, sf_dir):
 SQL_READABILITY_SCORES = r"""
 WITH per_doc AS (
   SELECT lang,
-         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+         CAST(len(list_filter(
+                regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                w -> w <> '')) AS BIGINT)
            AS words,
          CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sentences,
          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)

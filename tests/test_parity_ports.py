@@ -219,6 +219,39 @@ def test_fix_mojibake_double_entity_class():
     assert fix_mojibake("AT&T and R&D") == "AT&T and R&D"
 
 
+def test_fix_mojibake_curly_quote_mangled_class():
+    """Round-5 widening (VERDICT r4 missing #2): utf8-as-cp1252 mojibake
+    that subsequently passed through Windows smart-quote autocorrect.
+    Straight quotes in mojibake are always original text (ASCII bytes
+    never occur inside UTF-8 multibyte sequences), so a curled quote
+    re-encodes to 0x91-0x94 instead of 0x27/0x22 and blocks the
+    whole-string repair — un-curl and retry, accepted only when the
+    repair changes something beyond the un-curling."""
+    from language_identification_spark.oracle.extract import fix_mojibake
+
+    # apostrophe curled inside mojibake: repaired AND un-curled
+    assert fix_mojibake("it’s cafÃ©") == "it's café"
+    # double quotes curled around a mojibake span
+    assert fix_mojibake("“cafÃ© au lait”") == '"café au lait"'
+    # both quote kinds + multiple mojibake spans: mis-decode REAL utf-8
+    # as cp1252, then smart-quote the straight quotes the original had
+    raw = 'sie sagte "schön" und \'größer\''.encode("utf-8").decode("cp1252")
+    moji = (
+        raw.replace('"', "“", 1).replace('"', "”", 1)
+        .replace("'", "‘", 1).replace("'", "’", 1)
+    )
+    assert fix_mojibake(moji) == 'sie sagte "schön" und \'größer\''
+    # clean curly-quote text is NEVER straightened (the accept bar
+    # requires a repair beyond the un-curling)
+    for clean in ("“hello”", "it’s normal", "‘single’ and “double”"):
+        assert fix_mojibake(clean) == clean
+    # plain cp1252 class still wins when no quote blocks it
+    assert fix_mojibake("cafÃ©") == "café"
+    # curly quotes NOT adjacent to mojibake in an otherwise-clean string
+    # with other non-ASCII stay curly (whole-string bar still fails)
+    assert fix_mojibake("“hello” café") == "“hello” café"
+
+
 def test_get_comments_reference_quirks():
     """Greedy + newline-blind, exactly like RE_COMMENT
     (remove_html_tags.py:155)."""

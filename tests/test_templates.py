@@ -87,3 +87,28 @@ def test_templateless_host_passthrough(spark):
     out = {r.doc_id: r for r in scrub_template_lines(docs, tpl).collect()}
     assert out[0].scrubbed_text == "alpha\nbeta"
     assert out[1].n_lines_removed == 0
+
+
+def test_output_column_clash_raises(spark):
+    # an input already carrying an output column name must fail loudly,
+    # not silently shadow (ADVICE r4: collision-safe internal names)
+    import pytest
+
+    docs = _docs(spark, [(0, "a", f"{NAV}\nx"), (1, "a", f"{NAV}\ny")])
+    tpl = host_template_lines(docs)
+    pre_scrubbed = scrub_template_lines(docs, tpl)
+    with pytest.raises(ValueError, match="scrubbed_text"):
+        scrub_template_lines(pre_scrubbed, tpl)
+
+
+def test_input_named_tpl_lines_is_safe(spark):
+    # a user column named tpl_lines (the OLD internal name) must survive
+    # untouched — internal names are now collision-proofed
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, [(0, "a", f"{NAV}\nx"), (1, "a", f"{NAV}\ny")])
+    docs2 = docs.withColumn("tpl_lines", F.lit("user-data"))
+    tpl = host_template_lines(docs)
+    out = {r.doc_id: r for r in scrub_template_lines(docs2, tpl).collect()}
+    assert out[0].tpl_lines == "user-data"
+    assert out[0].scrubbed_text == "x"
