@@ -102,8 +102,13 @@ HEADLINE = [
     "host_cap_sample",
     "host_harmonic",
     "quality_classifier_calibration",
-    # lsh_recall_eval: diagnostic gate, quadratic truth on a pinned
-    # 500-doc universe — verified at the gate, not a headline path
+    # round-5 additions: the PRODUCTION MinHash parameters (112 perms,
+    # 14x8 bands — FineWeb-class) through the config-driven engine
+    "minhash_prod_band_buckets",
+    "minhash_prod_bucket_cap_audit",
+    # lsh_recall_eval / minhash_prod_recall_eval: diagnostic gates,
+    # quadratic truth on a pinned 500-doc universe — verified at the
+    # gate, not a headline path
 ]
 
 

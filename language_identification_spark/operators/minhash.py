@@ -1,0 +1,416 @@
+"""Config-driven MinHash-LSH — the production-parameter near-dup path.
+
+Round-4 verdict #1: the MinHash path was hard-coded to 8 permutations in
+4 bands of 2 (queries.py MINHASH_PERMS) — gate-sized toy parameters. The
+configurations real pipelines ship are ~112 permutations in 14 bands of
+8 rows (FineWeb; RedPajama-v2 runs 9x13) — at a Jaccard threshold s the
+candidate probability is 1-(1-s^r)^b, so 14x8 gives ~0.9996 recall at
+s=0.9 and a sharp cutoff below ~0.7 (Broder 1997 banding math; see
+PAPERS.md). This module makes perms/bands CONFIG-DRIVEN with generated
+permutation constants, so the same code runs the toy gate parameters
+(existing gates unchanged) and the production parameters (new gates +
+bench entry), and the recall/bucket-cap audits can be re-run at any
+setting.
+
+Engine discipline (identical to the toy path, queries.py
+q_minhash_signatures):
+
+- ONE md5 per DISTINCT (doc, shingle), then n universal-hash
+  permutations ``(a*h + b) mod 2^32`` with a odd and a,b < 2^30 — the
+  product stays < 2^62, no BIGINT overflow in either engine, and the n
+  permutations are arithmetic on one base hash (n-x cheaper than
+  hashing per permutation).
+- Permutation constants are GENERATED deterministically from md5 of a
+  salt+index (committed generator, not a blob): reproducible across
+  sessions/engines with no RNG state.
+- Banding explodes each signature into (band, bucket) keys; everything
+  downstream is hash-aggregate / equi-join on those keys — the corpus
+  never self-joins.
+- ``max_bucket_size`` caps degenerate buckets (a boilerplate signature
+  shared by 10^8 docs would make the within-bucket pairing quadratic);
+  capping is a recall tradeoff and NEVER silent — the oversized-bucket
+  audit emits what was dropped (the operators/similarity.py
+  lsh_oversized_buckets pattern).
+
+Scale shape at 10^12 docs: the corpus is touched once (shingle explode
+-> distinct -> per-doc min-agg with map-side combine); signatures are
+|docs| x n_perms; the banding shuffle keys are (band, bucket) — 14
+rows per doc at production parameters. All caps/audits are gate- and
+bench-verified at both toy and production parameters.
+
+Reference anchor: the reference repo has no dedup operator; this is the
+§2.11 LLM-data-pipeline family (SURVEY.md), built on public knowledge
+(Broder 1997 resemblance/minwise permutations; FineWeb/RPv2 published
+configurations).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from language_identification_spark.functions import char_ngrams_expr
+
+# FineWeb-class production parameters: 112 perms = 14 bands x 8 rows.
+PROD_N_PERMS = 112
+PROD_BANDS = 14
+PROD_ROWS_PER_BAND = 8
+
+_PERM_SALT = "minhash-lsh-v1"
+
+
+def gen_perms(n: int, salt: str = _PERM_SALT) -> list[tuple[int, int]]:
+    """n deterministic universal-hash constants (a, b): a odd, a,b in
+    [1, 2^30) — md5-derived from (salt, index), no RNG state, identical
+    in every session and inlinable into the DuckDB oracle."""
+    perms: list[tuple[int, int]] = []
+    for i in range(n):
+        d = hashlib.md5(f"{salt}:{i}".encode()).hexdigest()
+        a = (int(d[:8], 16) % (1 << 30)) | 1
+        b = int(d[8:16], 16) % (1 << 30)
+        perms.append((a, b))
+    return perms
+
+
+PROD_PERMS = gen_perms(PROD_N_PERMS)
+
+
+def base_hash_expr(col) -> F.Column:
+    """First 8 md5 hex digits -> uint32 as bigint — the shared base hash
+    every permutation is arithmetic on (engine-identical)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    perms: list[tuple[int, int]],
+    shingle_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, h0..h{n-1}) MinHash signatures over char-``shingle_k``
+    shingles — one distinct + one map-side-combined min aggregate."""
+    shingles = docs.select(
+        id_col, F.explode(char_ngrams_expr(text_col, shingle_k)).alias("sh")
+    ).distinct()
+    h = base_hash_expr("sh")
+    hashed = shingles.select(
+        id_col,
+        *[
+            ((F.lit(a) * h + F.lit(b)) % F.lit(1 << 32)).alias(f"h{i}")
+            for i, (a, b) in enumerate(perms)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(len(perms))]
+    )
+
+
+def band_assignments(
+    sig: DataFrame,
+    n_bands: int,
+    rows_per_band: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, bucket): one row per (doc, band); bucket is the ':'
+    join of the band's ``rows_per_band`` signature values."""
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def minhash_band_buckets(
+    docs: DataFrame,
+    perms: list[tuple[int, int]],
+    n_bands: int,
+    rows_per_band: int,
+    shingle_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Buckets holding >1 doc — the candidate-cluster table. Two hash
+    shuffles total; no quadratic join touches the corpus."""
+    if n_bands * rows_per_band != len(perms):
+        raise ValueError(
+            f"{len(perms)} perms cannot band as {n_bands}x{rows_per_band}"
+        )
+    sig = minhash_signatures(docs, perms, shingle_k, id_col, text_col)
+    bands = band_assignments(sig, n_bands, rows_per_band, id_col)
+    return (
+        bands.groupBy("band", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("min_doc"),
+            F.max(id_col).alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_bucket_pairs(
+    docs: DataFrame,
+    perms: list[tuple[int, int]],
+    n_bands: int,
+    rows_per_band: int,
+    shingle_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Distinct candidate (a, b) pairs, a < b. ``max_bucket_size``
+    excludes degenerate buckets from pairing (recall tradeoff, never
+    silent — audit with ``minhash_oversized_buckets`` at the same cap)."""
+    sig = minhash_signatures(docs, perms, shingle_k, id_col, text_col)
+    bands = band_assignments(sig, n_bands, rows_per_band, id_col)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        bands = (
+            bands.withColumn("bucket_n", F.count("*").over(w))
+            .filter(F.col("bucket_n") <= max_bucket_size)
+            .drop("bucket_n")
+        )
+    return (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+
+
+def minhash_oversized_buckets(
+    docs: DataFrame,
+    perms: list[tuple[int, int]],
+    n_bands: int,
+    rows_per_band: int,
+    max_bucket_size: int,
+    shingle_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(band, bucket, n_members) rows the cap excluded — write to the
+    run's metrics table so capping is observable."""
+    sig = minhash_signatures(docs, perms, shingle_k, id_col, text_col)
+    bands = band_assignments(sig, n_bands, rows_per_band, id_col)
+    return (
+        bands.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > max_bucket_size)
+    )
+
+
+def minhash_recall_eval(
+    docs: DataFrame,
+    perms: list[tuple[int, int]],
+    n_bands: int,
+    rows_per_band: int,
+    max_doc: int,
+    threshold: float,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Measured candidate quality at ANY parameterization: candidate
+    pairs (shared band bucket) scored against exact char-shingle Jaccard
+    >= threshold ground truth on the doc_id < max_doc universe (exact
+    truth is quadratic — the fixed eval sample is the standard audit).
+    One row: (n_truth, n_cand, n_tp, precision, recall)."""
+    universe = docs.filter(F.col("doc_id") < max_doc)
+    cand = minhash_bucket_pairs(
+        universe, perms, n_bands, rows_per_band, shingle_k
+    )
+    sh = universe.select(
+        "doc_id", F.explode(char_ngrams_expr("text", shingle_k)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    truth = (
+        sh.alias("x")
+        .join(sh.alias("y"), "sh")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "a").withColumnRenamed(
+                    "sz", "sza"
+                )
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "b").withColumnRenamed(
+                    "sz", "szb"
+                )
+            ),
+            "b",
+        )
+        .filter(
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+            >= threshold
+        )
+        .select("a", "b")
+    )
+    tp = truth.join(cand, ["a", "b"]).select("a", "b")
+    agg = (
+        truth.select(F.count("*").alias("n_truth"))
+        .crossJoin(cand.select(F.count("*").alias("n_cand")))
+        .crossJoin(tp.select(F.count("*").alias("n_tp")))
+    )
+    return agg.select(
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        F.col("n_cand").cast("bigint").alias("n_cand"),
+        F.col("n_tp").cast("bigint").alias("n_tp"),
+        F.round(
+            F.when(F.col("n_cand") > 0, F.col("n_tp") / F.col("n_cand"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("n_truth") > 0, F.col("n_tp") / F.col("n_truth"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("recall"),
+    )
+
+
+# --- DuckDB oracle builders (same constants, same arithmetic) -------------
+
+
+def _sig_ctes(
+    perms: list[tuple[int, int]], shingle_k: int, where: str = ""
+) -> str:
+    cols = ",\n    ".join(
+        f"min(({a} * h + {b}) % 4294967296) AS h{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    return f"""shingles AS (
+  SELECT DISTINCT doc_id, substring(text, i, {shingle_k}) AS sh
+  FROM documents, unnest(range(1, greatest(length(text) - {shingle_k - 1}, 0) + 1)) AS t(i)
+  {where}
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS UINT32)::BIGINT AS h
+  FROM shingles
+), sig AS (
+  SELECT doc_id,
+    {cols}
+  FROM hashed GROUP BY doc_id
+)"""
+
+
+def _bands_union(n_bands: int, rows_per_band: int) -> str:
+    return "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, {expr} AS bucket FROM sig".format(
+            b=b,
+            expr=" || ':' || ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+
+
+def minhash_band_buckets_sql(
+    perms: list[tuple[int, int]],
+    n_bands: int,
+    rows_per_band: int,
+    shingle_k: int = 5,
+) -> str:
+    return f"""
+WITH {_sig_ctes(perms, shingle_k)},
+bands AS (
+  {_bands_union(n_bands, rows_per_band)}
+)
+SELECT band, bucket, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM bands GROUP BY band, bucket HAVING count(*) > 1
+"""
+
+
+def minhash_recall_eval_sql(
+    perms: list[tuple[int, int]],
+    n_bands: int,
+    rows_per_band: int,
+    max_doc: int,
+    threshold: float,
+    shingle_k: int = 5,
+) -> str:
+    return f"""
+WITH {_sig_ctes(perms, shingle_k, where=f"WHERE doc_id < {max_doc}")},
+bands AS (
+  {_bands_union(n_bands, rows_per_band)}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id
+), truth AS (
+  SELECT a, b FROM (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+    FROM shingles x JOIN shingles y USING (sh) WHERE x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+  ) p JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {threshold}
+), tp AS (SELECT a, b FROM truth INTERSECT SELECT a, b FROM cand)
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+       (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+       (SELECT count(*) FROM tp)::BIGINT AS n_tp,
+       round(CASE WHEN (SELECT count(*) FROM cand) > 0
+         THEN (SELECT count(*) FROM tp) * 1.0 / (SELECT count(*) FROM cand)
+         ELSE 0.0 END, 6) AS precision,
+       round(CASE WHEN (SELECT count(*) FROM truth) > 0
+         THEN (SELECT count(*) FROM tp) * 1.0 / (SELECT count(*) FROM truth)
+         ELSE 0.0 END, 6) AS recall
+"""
+
+
+def minhash_bucket_cap_audit_sql(
+    perms: list[tuple[int, int]],
+    n_bands: int,
+    rows_per_band: int,
+    max_bucket_size: int,
+    shingle_k: int = 5,
+) -> str:
+    return f"""
+WITH {_sig_ctes(perms, shingle_k)},
+bands AS (
+  {_bands_union(n_bands, rows_per_band)}
+), bucket_n AS (
+  SELECT band, bucket, count(*) AS n_members FROM bands GROUP BY band, bucket
+), capped AS (
+  SELECT bs.doc_id, bs.band, bs.bucket
+  FROM bands bs JOIN bucket_n b ON b.band = bs.band AND b.bucket = bs.bucket
+  WHERE b.n_members <= {max_bucket_size}
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM capped x JOIN capped y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id
+), n_pairs AS (SELECT count(*)::BIGINT AS n_pairs_after_cap FROM pairs)
+SELECT band, count(*)::BIGINT AS n_oversized,
+       sum(n_members)::BIGINT AS n_excluded_members,
+       (SELECT n_pairs_after_cap FROM n_pairs) AS n_pairs_after_cap
+FROM bucket_n WHERE n_members > {max_bucket_size}
+GROUP BY band
+"""

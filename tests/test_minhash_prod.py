@@ -1,0 +1,142 @@
+"""Production-parameter MinHash-LSH (operators/minhash.py) — VERDICT r4 #1:
+the configuration a real pipeline ships (112 perms, 14 bands x 8 rows,
+FineWeb-class) exercised end to end: generated constants, signatures,
+banding, recall vs exact truth, and the bucket-size cap + audit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.operators.minhash import (
+    PROD_BANDS,
+    PROD_N_PERMS,
+    PROD_PERMS,
+    PROD_ROWS_PER_BAND,
+    band_assignments,
+    gen_perms,
+    minhash_band_buckets,
+    minhash_bucket_pairs,
+    minhash_oversized_buckets,
+    minhash_recall_eval,
+    minhash_signatures,
+)
+
+
+def test_gen_perms_deterministic_and_bounded():
+    a = gen_perms(PROD_N_PERMS)
+    b = gen_perms(PROD_N_PERMS)
+    assert a == b == PROD_PERMS
+    assert len(set(a)) == PROD_N_PERMS  # no duplicate permutations
+    for pa, pb in a:
+        assert pa % 2 == 1  # a odd: a bijection mod 2^32
+        assert 1 <= pa < (1 << 30)  # a*h + b < 2^62: no BIGINT overflow
+        assert 0 <= pb < (1 << 30)
+    assert PROD_BANDS * PROD_ROWS_PER_BAND == PROD_N_PERMS
+    # different salt -> different family (the constants are not accidental)
+    assert gen_perms(8, salt="other") != gen_perms(8)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, schema="doc_id bigint, text string")
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the rain drums on the tin roof outside "
+    "as evening settles over the quiet town and lights come on one by one"
+)
+
+
+def test_exact_dups_share_every_band_and_near_dups_bucket(spark):
+    # doc 1 = doc 0 exactly; doc 2 = one-word edit (high Jaccard);
+    # doc 3 = unrelated
+    docs = _docs(spark, [
+        (0, BASE),
+        (1, BASE),
+        (2, BASE.replace("lazy", "idle")),
+        (3, "completely different text about spark shuffles and parquet "
+            "readers that shares no five-gram with the base document at "
+            "all because every word here is from another domain entirely"),
+    ])
+    sig = minhash_signatures(docs, PROD_PERMS)
+    rows = {r["doc_id"]: r for r in sig.collect()}
+    # exact dup: identical shingle set -> identical 112-wide signature
+    assert all(
+        rows[0][f"h{i}"] == rows[1][f"h{i}"] for i in range(PROD_N_PERMS)
+    )
+    bands = band_assignments(sig, PROD_BANDS, PROD_ROWS_PER_BAND)
+    pairs = {
+        (r.a, r.b)
+        for r in minhash_bucket_pairs(
+            docs, PROD_PERMS, PROD_BANDS, PROD_ROWS_PER_BAND
+        ).collect()
+    }
+    assert (0, 1) in pairs  # exact dup shares all 14 buckets
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup caught by >=1 band
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+    # exact dup shares EVERY band bucket
+    b0 = {(r.band, r.bucket) for r in bands.filter(F.col("doc_id") == 0).collect()}
+    b1 = {(r.band, r.bucket) for r in bands.filter(F.col("doc_id") == 1).collect()}
+    assert b0 == b1 and len(b0) == PROD_BANDS
+
+
+def test_band_count_mismatch_raises(spark):
+    docs = _docs(spark, [(0, BASE)])
+    with pytest.raises(ValueError, match="cannot band"):
+        minhash_band_buckets(docs, PROD_PERMS, n_bands=5, rows_per_band=8)
+
+
+def test_bucket_cap_excludes_and_audits(spark):
+    # 4 exact copies -> every band has one 4-member bucket; cap=3 excludes
+    # them all from pairing, and the audit accounts for each exclusion.
+    # The surviving 2-cluster uses an UNRELATED text (a near-dup of BASE
+    # would co-bucket with the 4-clique in some bands and shift the counts)
+    other = (
+        "rows of parquet files stream through the shuffle service while "
+        "executors spill sorted runs to local disk and the driver tracks "
+        "partition lineage for every completed stage of the physical plan"
+    )
+    docs = _docs(spark, [(i, BASE) for i in range(4)] + [
+        (10, other),
+        (11, other),
+    ])
+    kw = dict(
+        perms=PROD_PERMS,
+        n_bands=PROD_BANDS,
+        rows_per_band=PROD_ROWS_PER_BAND,
+    )
+    oversized = minhash_oversized_buckets(
+        docs, max_bucket_size=3, **kw
+    ).collect()
+    assert len(oversized) == PROD_BANDS
+    assert all(r.n_members == 4 for r in oversized)
+    pairs = {
+        (r.a, r.b)
+        for r in minhash_bucket_pairs(docs, max_bucket_size=3, **kw).collect()
+    }
+    # the capped 4-clique contributes nothing; the 2-member cluster survives
+    assert pairs == {(10, 11)}
+    # uncapped, the 4-clique pairs fully
+    full = {
+        (r.a, r.b) for r in minhash_bucket_pairs(docs, **kw).collect()
+    }
+    assert {(a, b) for a in range(4) for b in range(4) if a < b} <= full
+
+
+def test_recall_eval_prod_params_on_testdata(spark):
+    # the committed evidence: at 112/14x8 on the sf0.001 documents table,
+    # recall 1.0 on the exact-Jaccard>=0.9 truth set and precision >= 0.8
+    # (toy 4x2 measures ~0.002 precision at the same recall)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    row = minhash_recall_eval(
+        docs,
+        PROD_PERMS,
+        PROD_BANDS,
+        PROD_ROWS_PER_BAND,
+        max_doc=500,
+        threshold=0.9,
+    ).collect()[0]
+    assert row.n_truth > 0  # the eval is not vacuous
+    assert row.recall == 1.0
+    assert row.precision >= 0.8
