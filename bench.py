@@ -106,6 +106,7 @@ HEADLINE = [
     # 14x8 bands — FineWeb-class) through the config-driven engine
     "minhash_prod_band_buckets",
     "minhash_prod_bucket_cap_audit",
+    "minhash_prod_dedup_pipeline",
     # lsh_recall_eval / minhash_prod_recall_eval: diagnostic gates,
     # quadratic truth on a pinned 500-doc universe — verified at the
     # gate, not a headline path

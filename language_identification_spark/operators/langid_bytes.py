@@ -104,11 +104,15 @@ def train_langid_nb(
     document counts (langid.py's nb_pc). Feature selection = top
     ``max_features`` grams by corpus count, ties by gram ascending.
 
-    ``min_gram_count`` is the web-scale knob: > 1 prunes the heavy-tail
-    vocabulary before the global top-K ranking (at 10^12 docs the distinct
-    byte 4-gram count is billions; any gram that can make a top-1000 profile
-    dwarfs any sane threshold, so pruning is selection-neutral in practice
-    while keeping the rank window's input bounded).
+    Selection is limit-first (TakeOrderedAndProject: per-partition top-K
+    heap, driver merge of K x partitions) — scale-safe by default; the
+    distinct-gram table never crosses a single-partition exchange
+    (round-5; plan-asserted in tests/test_plans.py). ``min_gram_count``
+    > 1 additionally prunes the heavy-tail vocabulary before selection
+    (at 10^12 docs the distinct byte 4-gram count is billions; any gram
+    that can make a top-1000 profile dwarfs any sane threshold, so
+    pruning is selection-neutral in practice while shrinking the count
+    table the heap scans).
 
     Cache ownership: only K-BOUNDED frames are ``.cache``d (``features``:
     K rows; ``lang_counts``: K x |langs|) and NOT unpersisted here — the

@@ -386,6 +386,50 @@ SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
 """
 
 
+def minhash_dedup_pipeline_sql(
+    perms: list[tuple[int, int]],
+    n_bands: int,
+    rows_per_band: int,
+    shingle_k: int = 5,
+) -> str:
+    """DuckDB replay of the END-TO-END production dedup: candidate pairs
+    (shared band bucket) -> connected components (recursive-CTE closure,
+    identical fixpoint to the Spark min-label propagation) -> keep-LONGEST
+    representative per cluster (exact UTF-8 byte length, min-id ties) —
+    the FineWeb/Dolma dedup composition at whatever parameters the
+    candidates were generated with."""
+    return f"""
+WITH RECURSIVE {_sig_ctes(perms, shingle_k)},
+bands AS (
+  {_bands_union(n_bands, rows_per_band)}
+), cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id
+), edges AS (
+  SELECT a, b FROM cands UNION ALL SELECT b, a FROM cands
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+),
+final AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node),
+scored AS (
+  SELECT f.cluster, f.doc_id,
+         CAST(octet_length(encode(COALESCE(d.text, ''))) AS BIGINT) AS score
+  FROM final f JOIN documents d ON d.doc_id = f.doc_id
+),
+mx AS (
+  SELECT cluster, max(score) AS keep_score, count(*) AS n_docs
+  FROM scored GROUP BY cluster
+)
+SELECT s.cluster, m.n_docs, m.keep_score, min(s.doc_id) AS keep_id
+FROM scored s JOIN mx m ON m.cluster = s.cluster AND s.score = m.keep_score
+GROUP BY s.cluster, m.n_docs, m.keep_score
+"""
+
+
 def minhash_bucket_cap_audit_sql(
     perms: list[tuple[int, int]],
     n_bands: int,

@@ -4024,6 +4024,67 @@ def _sql_minhash_prod_bucket_cap_audit() -> str:
 SQL_MINHASH_PROD_BUCKET_CAP_AUDIT = _sql_minhash_prod_bucket_cap_audit()
 
 
+def q_minhash_prod_dedup_pipeline(spark, sf_dir):
+    """END-TO-END production dedup (the FineWeb/Dolma composition at the
+    parameters a real run ships): 112-perm/14x8 MinHash-LSH candidate
+    pairs -> connected components (distributed min-label propagation with
+    pointer jumping, queries.propagate_min_labels) -> keep-LONGEST
+    representative per cluster (exact UTF-8 byte length, min-id ties).
+    Every stage is candidate-sized after the one corpus pass that builds
+    signatures; the oracle replays the whole chain (recursive-CTE closure
+    == the min-label fixpoint) in one DuckDB statement."""
+    from language_identification_spark.operators.minhash import (
+        PROD_BANDS,
+        PROD_PERMS,
+        PROD_ROWS_PER_BAND,
+        minhash_bucket_pairs,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = minhash_bucket_pairs(
+        docs, PROD_PERMS, PROD_BANDS, PROD_ROWS_PER_BAND
+    ).select(F.col("a").alias("x"), F.col("b").alias("y"))
+    labels = propagate_min_labels(pairs)
+    scored = labels.join(
+        docs.select(
+            "doc_id",
+            F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+            .cast("bigint")
+            .alias("score"),
+        ),
+        "doc_id",
+    )
+    mx = scored.groupBy(F.col("lbl").alias("cluster")).agg(
+        F.max("score").alias("keep_score"),
+        F.count("*").alias("n_docs"),
+    )
+    return (
+        scored.join(
+            mx,
+            (scored["lbl"] == mx["cluster"])
+            & (scored["score"] == mx["keep_score"]),
+        )
+        .groupBy("cluster", "n_docs", "keep_score")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+
+
+def _sql_minhash_prod_dedup_pipeline() -> str:
+    from language_identification_spark.operators.minhash import (
+        PROD_BANDS,
+        PROD_PERMS,
+        PROD_ROWS_PER_BAND,
+        minhash_dedup_pipeline_sql,
+    )
+
+    return minhash_dedup_pipeline_sql(
+        PROD_PERMS, PROD_BANDS, PROD_ROWS_PER_BAND
+    )
+
+
+SQL_MINHASH_PROD_DEDUP_PIPELINE = _sql_minhash_prod_dedup_pipeline()
+
+
 STOPWORDS_DIM = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
 
@@ -6284,6 +6345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_prod_band_buckets": q_minhash_prod_band_buckets,
     "minhash_prod_recall_eval": q_minhash_prod_recall_eval,
     "minhash_prod_bucket_cap_audit": q_minhash_prod_bucket_cap_audit,
+    "minhash_prod_dedup_pipeline": q_minhash_prod_dedup_pipeline,
     "stopword_anti_join": q_stopword_anti_join,
     "events_sessionize": q_events_sessionize,
     "cosine_topk": q_cosine_topk,
@@ -6389,6 +6451,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_prod_band_buckets": SQL_MINHASH_PROD_BAND_BUCKETS,
     "minhash_prod_recall_eval": SQL_MINHASH_PROD_RECALL_EVAL,
     "minhash_prod_bucket_cap_audit": SQL_MINHASH_PROD_BUCKET_CAP_AUDIT,
+    "minhash_prod_dedup_pipeline": SQL_MINHASH_PROD_DEDUP_PIPELINE,
     "stopword_anti_join": SQL_STOPWORD_ANTI_JOIN,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "cosine_topk": SQL_COSINE_TOPK,

@@ -140,3 +140,59 @@ def test_recall_eval_prod_params_on_testdata(spark):
     assert row.n_truth > 0  # the eval is not vacuous
     assert row.recall == 1.0
     assert row.precision >= 0.8
+
+
+def test_dedup_pipeline_keep_longest(spark):
+    # end-to-end composition at production params: candidates -> CC ->
+    # keep-LONGEST (byte length, min-id ties). Cluster A: 3 near-identical
+    # docs where doc 2 is longest; cluster B: 2 exact copies (tie -> min id)
+    from pyspark.sql import functions as F
+
+    from language_identification_spark.operators.minhash import (
+        minhash_bucket_pairs,
+    )
+    from language_identification_spark.queries import propagate_min_labels
+
+    other = (
+        "rows of parquet files stream through the shuffle service while "
+        "executors spill sorted runs to local disk and the driver tracks "
+        "partition lineage for every completed stage of the physical plan"
+    )
+    docs = _docs(spark, [
+        (0, BASE),
+        (1, BASE),
+        (2, BASE + " plus an extra tail sentence that makes it longest"),
+        (10, other),
+        (11, other),
+        (20, "short unrelated text with no five gram shared anywhere here"),
+    ])
+    pairs = minhash_bucket_pairs(
+        docs, PROD_PERMS, PROD_BANDS, PROD_ROWS_PER_BAND
+    ).select(F.col("a").alias("x"), F.col("b").alias("y"))
+    labels = propagate_min_labels(pairs)
+    scored = labels.join(
+        docs.select(
+            "doc_id",
+            F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+            .cast("bigint")
+            .alias("score"),
+        ),
+        "doc_id",
+    )
+    mx = scored.groupBy(F.col("lbl").alias("cluster")).agg(
+        F.max("score").alias("keep_score"), F.count("*").alias("n_docs")
+    )
+    reps = {
+        r.cluster: (r.n_docs, r.keep_id)
+        for r in scored.join(
+            mx,
+            (scored["lbl"] == mx["cluster"])
+            & (scored["score"] == mx["keep_score"]),
+        )
+        .groupBy("cluster", "n_docs", "keep_score")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .collect()
+    }
+    assert reps[0] == (3, 2)  # longest member wins, not min id
+    assert reps[10] == (2, 10)  # exact tie -> min id
+    assert 20 not in {d for n, d in reps.values()}  # singleton never appears
