@@ -725,6 +725,132 @@ SELECT rank, a, b, round(jaccard, 6) AS jaccard FROM (
 """
 
 
+# Prefix-filter Jaccard threshold as an exact integer ratio (4/5 = 0.8).
+# Integer arithmetic end-to-end keeps the gate bit-identical across engines:
+# ceil(0.8*s) = (4*s + 4) div 5, and the final >= 0.8 test is 5*inter >=
+# 4*(union) — no float compare anywhere until the display rounding.
+JACCARD_PREFIX_T_NUM = 4
+JACCARD_PREFIX_T_DEN = 5
+
+
+def q_jaccard_join_prefix(spark, sf_dir):
+    """EXACT set-similarity self-join at Jaccard >= 0.8 via prefix filtering
+    (AllPairs / SSJoin family — Bayardo, Ma & Srikant WWW'07; Chaudhuri,
+    Ganti & Kaushik ICDE'06) — the scale-correct replacement for the
+    corpus-quadratic q_jaccard_top_pairs baseline.
+
+    Order every doc's distinct word-3-gram shingles by GLOBAL shingle
+    document-frequency ascending (rarest first; ties by shingle value so the
+    order is total), then keep only each doc's prefix of length
+    sz - ceil(t*sz) + 1. Prefix-filter theorem: if J(x, y) >= t then
+    |x ∩ y| >= ceil(t * max(|x|,|y|)) (since inter >= t*union >= t*max),
+    and two sets sharing >= alpha tokens under one total order must share a
+    token within their (len - alpha + 1)-prefixes — so joining on PREFIX
+    tokens only loses no qualifying pair, while the join fan-out collapses
+    from every-shared-shingle to rare-shingle collisions. Candidates are
+    then verified EXACTLY against the full shingle sets (candidate-bounded
+    joins, never corpus-quadratic). 100 TB shape: the self-join key is the
+    rare 20% tail of each doc's shingles; skew on common shingles — the
+    thing that makes the naive join explode — is structurally excluded
+    because frequent shingles never land in a prefix. The per-doc ranking
+    window partitions by doc_id (bounded by doc length, never a global
+    exchange). This is the exact-verification stage a production dedup
+    stack runs atop MinHash-LSH banding (reference anchor: the survey's
+    n-gram Jaccard dedup row; same shingle convention as
+    q_jaccard_top_pairs, whose top pairs at >= 0.8 this reproduces)."""
+    tn, td = JACCARD_PREFIX_T_NUM, JACCARD_PREFIX_T_DEN
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", F.explode(word_ngrams_expr("text", 3)).alias("sh")
+    ).distinct()
+    df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(df_counts, "sh")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
+            ),
+        )
+        .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    pref = ranked.filter(
+        F.col("rnk") <= F.col("sz") - F.expr(f"({tn}*sz + {tn}) div {td}") + 1
+    ).select("doc_id", "sh", "sz")
+    cand = (
+        pref.alias("x")
+        .join(pref.alias("y"), "sh")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        # length filter: J >= t forces t*|x| <= |y| (and symmetric) — prune
+        # before the distinct so size-mismatched collisions never shuffle
+        .filter(td * F.col("y.sz") >= tn * F.col("x.sz"))
+        .filter(td * F.col("x.sz") >= tn * F.col("y.sz"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.sz").alias("sza"),
+            F.col("y.sz").alias("szb"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.alias("xa"), cand["a"] == F.col("xa.doc_id"))
+        .join(
+            sh.alias("yb"),
+            (cand["b"] == F.col("yb.doc_id")) & (F.col("xa.sh") == F.col("yb.sh")),
+        )
+        .groupBy("a", "b", "sza", "szb")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.filter(
+            td * F.col("inter")
+            >= tn * (F.col("sza") + F.col("szb") - F.col("inter"))
+        )
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+SQL_JACCARD_JOIN_PREFIX = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+  FROM words, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS t(i)
+), dfc AS (
+  SELECT sh, count(*) AS df FROM sh GROUP BY sh
+), ranked AS (
+  SELECT s.doc_id, s.sh,
+         row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df ASC, s.sh ASC) AS rnk,
+         count(*) OVER (PARTITION BY s.doc_id) AS sz
+  FROM sh s JOIN dfc d USING (sh)
+), pref AS (
+  SELECT doc_id, sh, sz FROM ranked
+  WHERE rnk <= sz - ((4*sz + 4) // 5) + 1
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sz AS sza, y.sz AS szb
+  FROM pref x JOIN pref y USING (sh)
+  WHERE x.doc_id < y.doc_id AND 5*y.sz >= 4*x.sz AND 5*x.sz >= 4*y.sz
+), inter AS (
+  SELECT c.a, c.b, c.sza, c.szb, count(*) AS inter
+  FROM cand c
+  JOIN sh xa ON xa.doc_id = c.a
+  JOIN sh yb ON yb.doc_id = c.b AND yb.sh = xa.sh
+  GROUP BY c.a, c.b, c.sza, c.szb
+)
+SELECT a, b, round(inter * 1.0 / (sza + szb - inter), 6) AS jaccard
+FROM inter WHERE 5*inter >= 4*(sza + szb - inter)
+ORDER BY a, b
+"""
+
+
 SIMHASH_BITS = 60  # 15 hex digits of md5: unsigned fits signed-64 in BOTH
 # engines (a full 64-bit hash would overflow BIGINT as unsigned); 60 bits is
 # the widest cross-engine-safe fingerprint
@@ -6335,6 +6461,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash_signatures,
     "jaccard_top_pairs": q_jaccard_top_pairs,
+    "jaccard_join_prefix": q_jaccard_join_prefix,
     "simhash": q_simhash,
     "simhash_near_dup": q_simhash_near_dup,
     "dedup_clusters": q_dedup_clusters,
@@ -6441,6 +6568,7 @@ ORACLE_SQL: dict[str, str] = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "jaccard_top_pairs": SQL_JACCARD_TOP_PAIRS,
+    "jaccard_join_prefix": SQL_JACCARD_JOIN_PREFIX,
     "simhash": SQL_SIMHASH,
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
