@@ -343,13 +343,20 @@ def _shared_subset_vs_previous(times: dict[str, float]) -> dict | None:
         m = _re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
             rounds.append((int(m.group(1)), path))
-    if not rounds:
-        return None
-    n, path = max(rounds)
-    try:
-        with open(path) as f:
-            prev = json.load(f).get("parsed", {}).get("queries", {})
-    except (OSError, json.JSONDecodeError):
+    # newest round whose record carries parsed per-query times ("parsed" is
+    # null when the driver's tail capture truncated the JSON line — e.g.
+    # BENCH_r04.json, rc=0 but parsed=None)
+    prev, n = {}, None
+    for rnd, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                cand = (json.load(f).get("parsed") or {}).get("queries") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        if cand:
+            prev, n = cand, rnd
+            break
+    if not prev:
         return None
     shared = sorted(set(prev) & set(times))
     if not shared:
