@@ -107,6 +107,9 @@ HEADLINE = [
     "minhash_prod_band_buckets",
     "minhash_prod_bucket_cap_audit",
     "minhash_prod_dedup_pipeline",
+    # exact AllPairs/SSJoin prefix-filtered Jaccard self-join — the
+    # zero-false-negative complement to the LSH candidate path
+    "jaccard_join_prefix",
     # lsh_recall_eval / minhash_prod_recall_eval: diagnostic gates,
     # quadratic truth on a pinned 500-doc universe — verified at the
     # gate, not a headline path
