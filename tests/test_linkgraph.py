@@ -251,26 +251,46 @@ def test_exact_operators_leave_no_cached_blocks(spark):
     )
 
     import gc
-    import time
+
+    # delta-based: other tests in the shared session legitimately hold
+    # bounded caches (e.g. q_doc_perplexity's CacheManager-deduped count
+    # table) — assert the link-graph ops add NO blocks, not that the
+    # session is globally cache-free
+    def rdd_ids() -> set[int]:
+        # fresh java map each call — getPersistentRDDs() is a snapshot
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(i) for i in jmap.keySet().toArray()}
+
+    pre = rdd_ids()
 
     docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
     # two invocations each — the r4 leak grew per invocation (edges +
-    # every BFS round stayed cached forever)
+    # every BFS round stayed cached forever). Hold every result frame:
+    # while held, the ONLY legitimately-persistent blocks are the four
+    # eager-localCheckpoint results (one per invocation); any intermediate
+    # cache (edges, per-round BFS dist) would push the delta past 4. This
+    # is deterministic — unlike asserting zero after release, which races
+    # the ContextCleaner's weak-ref reclamation of the checkpoint RDDs.
+    results = []
     for _ in range(2):
-        host_pagerank(docs).collect()
-        host_harmonic(docs).collect()
-    jsc = spark.sparkContext._jsc.sc()
-    # intermediates are unpersisted synchronously; the only persistent
-    # RDDs left are the eager localCheckpoint results, which the
-    # ContextCleaner reclaims once the frames are garbage collected —
-    # force that and poll briefly
+        for op in (host_pagerank, host_harmonic):
+            df = op(docs)
+            df.collect()
+            results.append(df)
+    held = rdd_ids() - pre
+    assert len(held) <= len(results), (
+        f"intermediate caches leaked: {len(held)} new persistent RDDs for "
+        f"{len(results)} held results (ids {sorted(held)})"
+    )
+
+    # The checkpoint blocks themselves are cleaner-owned: once the caller
+    # drops the result frame, Spark's ContextCleaner reclaims the
+    # localCheckpoint RDD via weak references (standard lifecycle). We do
+    # NOT assert on that here — reclamation latency is a property of the
+    # ContextCleaner + py4j finalization, nondeterministic under test
+    # (observed 50/50 within a 20 s gc-poll window), and not the regression
+    # ADVICE r4 was about. The contract this test pins is the one that
+    # matters at scale: intermediates never outlive the call, so repeated
+    # invocations hold O(results-held) blocks, not O(invocations x rounds).
+    del results, df
     gc.collect()
-    spark.sparkContext._jvm.System.gc()
-    deadline = time.time() + 20
-    n_persistent = jsc.getPersistentRDDs().size()
-    while n_persistent > 0 and time.time() < deadline:
-        time.sleep(0.5)
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        n_persistent = jsc.getPersistentRDDs().size()
-    assert n_persistent == 0, f"{n_persistent} cached RDDs leaked"
