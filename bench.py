@@ -110,6 +110,9 @@ HEADLINE = [
     # exact AllPairs/SSJoin prefix-filtered Jaccard self-join — the
     # zero-false-negative complement to the LSH candidate path
     "jaccard_join_prefix",
+    # paper-shaped keep-one-copy span dedup (election adds one
+    # gram-co-partitioned groupBy to the remove-all plan)
+    "span_dedup_keep_first",
     # lsh_recall_eval / minhash_prod_recall_eval: diagnostic gates,
     # quadratic truth on a pinned 500-doc universe — verified at the
     # gate, not a headline path

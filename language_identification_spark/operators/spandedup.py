@@ -20,13 +20,16 @@ Pinned contract (both engines replay EXACTLY):
 - output text: UNCOVERED tokens re-joined with single spaces, per doc;
   n_tokens / n_removed report the coverage.
 
-Documented divergence from the paper: ALL copies of a duplicated span are
-removed (the reference suffix-array pass keeps one). Keeping a canonical
-copy needs a global first-occurrence election plus overlap resolution
-between elected spans — sequential per overlap chain; the remove-all form
-is what decontamination-style span scrubbing ships (and paradedup.py's
-keep-first covers the paragraph granularity where a canonical copy
-matters most).
+Two shipped forms. Default (remove-all): ALL copies of a duplicated span
+are removed — what decontamination-style span scrubbing ships.
+``keep_first=True`` (gate span_dedup_keep_first): the paper-shaped
+keep-one-copy form at GRAM granularity — per duplicated k-gram the
+globally first occurrence (min (doc_id, pos)) is elected canonical and
+keeps its tokens; remaining occurrences are scrubbed. Gram granularity is
+the deterministic, partition-invariant point on the spectrum; the paper's
+maximal-SPAN election needs overlap resolution between elected spans
+(sequential per overlap chain) and stays out — paradedup.py's keep-first
+covers the paragraph granularity where a canonical copy matters most.
 
 Scale shape: gram counting is ONE corpus-scale exchange with map-side
 partial aggregation (boilerplate grams are exactly the high-count keys the
@@ -51,8 +54,24 @@ def exact_substring_dedup(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_first: bool = False,
 ) -> DataFrame:
-    """(doc_id, dedup_text, n_tokens, n_removed) per non-null-text doc."""
+    """(doc_id, dedup_text, n_tokens, n_removed) per non-null-text doc.
+
+    ``keep_first=False`` (default) removes EVERY occurrence of a duplicated
+    k-gram — the decontamination-style scrub documented in the module
+    docstring. ``keep_first=True`` is the paper-shaped keep-one-copy form at
+    gram granularity: per duplicated gram, the globally FIRST occurrence
+    (min (doc_id, pos), a total order — ids are unique, positions within a
+    doc are distinct) is elected canonical and does NOT mark its positions
+    covered; all other occurrences do. A canonical copy can still lose
+    tokens where a DIFFERENT duplicated gram's non-elected occurrence
+    overlaps it — that is the gram-granular semantics, deterministic and
+    partition-invariant, not the paper's maximal-span election (which is
+    sequential per overlap chain). The election is one extra groupBy(gram)
+    — co-partitioned with the dup-count exchange, map-side-combinable, and
+    output-bounded by the number of DISTINCT duplicated grams.
+    """
     c = F.col(text_col)
     toks = F.filter(F.split(c, WS_RE), lambda x: x != "")
     base = docs.filter(c.isNotNull()).select(
@@ -76,10 +95,23 @@ def exact_substring_dedup(
     )
 
     dup = grams.groupBy("gram").count().filter(F.col("count") >= 2)
+    occ = grams.join(dup.select("gram"), "gram")
+    if keep_first:
+        # elect the globally-first occurrence per duplicated gram: min over
+        # the (doc_id, pos) struct is a deterministic total order; the
+        # election aggregation shares the gram-keyed partitioning of the
+        # dup-count exchange and is bounded by |distinct duplicated grams|
+        elected = occ.groupBy("gram").agg(
+            F.min(F.struct("doc_id", "pos")).alias("keep")
+        )
+        occ = occ.join(elected, "gram").filter(
+            (F.col("doc_id") != F.col("keep.doc_id"))
+            | (F.col("pos") != F.col("keep.pos"))
+        )
     # co-partitioned join (both sides keyed by gram); output rows = the
     # duplicated occurrences only
     cov = (
-        grams.join(dup.select("gram"), "gram")
+        occ
         .select(
             "doc_id",
             F.explode(

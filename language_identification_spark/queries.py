@@ -3582,6 +3582,73 @@ FROM base b LEFT JOIN cps cp USING (doc_id)
 """
 
 
+def q_span_dedup_keep_first(spark, sf_dir):
+    """The paper-shaped keep-ONE-copy span dedup (Lee et al.'s ExactSubstr
+    keeps a canonical occurrence; the default span_dedup gate removes all).
+    Per duplicated 8-gram, the globally first occurrence — min (doc_id,
+    pos), a deterministic total order — is elected canonical and keeps its
+    tokens; every other occurrence is scrubbed. Same mutated corpus as
+    span_dedup (boilerplate appended to docs %6==0), so the doc with the
+    smallest id among each duplicated window's carriers retains it. One
+    extra groupBy(gram) vs the remove-all plan — co-partitioned with the
+    dup-count exchange, output bounded by |distinct duplicated grams|."""
+    from language_identification_spark.operators.spandedup import (
+        exact_substring_dedup,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    mutated = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(" " + _SPAN_BOILER))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return exact_substring_dedup(mutated, k=8, keep_first=True)
+
+
+SQL_SPAN_DEDUP_KEEP_FIRST = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(
+             text || CASE WHEN doc_id % 6 = 0
+                          THEN ' this exact legal disclaimer sentence repeats across very many web pages verbatim'
+                          ELSE '' END,
+             '[\t\n\x0b\f\r ]+'),
+           w -> w <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+8], ' ') AS gram
+  FROM base, unnest(range(0, greatest(len(toks) - 7, 0))) AS t(i)
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+occ AS (
+  SELECT g.doc_id, g.pos,
+         row_number() OVER (PARTITION BY g.gram ORDER BY g.doc_id, g.pos) AS rn
+  FROM grams g JOIN dup USING (gram)
+),
+cov AS (
+  SELECT DISTINCT o.doc_id, u.p
+  FROM occ o, unnest(range(o.pos, o.pos + 8)) AS u(p)
+  WHERE o.rn > 1
+),
+cps AS (SELECT doc_id, list(p) AS cps FROM cov GROUP BY doc_id)
+SELECT b.doc_id,
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(range(0, len(b.toks)),
+                       i -> cp.cps IS NULL OR NOT list_contains(cp.cps, i)),
+           i -> b.toks[i + 1]),
+         ' '), '') AS dedup_text,
+       len(b.toks)::BIGINT AS n_tokens,
+       coalesce(len(cp.cps), 0)::BIGINT AS n_removed
+FROM base b LEFT JOIN cps cp USING (doc_id)
+"""
+
+
 def q_scrub_sql(spark, sf_dir):
     """PII scrub as portable regex chain (oracle/scrub.py patterns): PII is
     injected deterministically per doc_id, then scrubbed — verifies the chain
@@ -6524,6 +6591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,
     "span_dedup": q_span_dedup,
+    "span_dedup_keep_first": q_span_dedup_keep_first,
     "scrub_sql": q_scrub_sql,
     "pii_cards": q_pii_cards,
     "script_langid_sql": q_script_langid_sql,
@@ -6631,6 +6699,7 @@ ORACLE_SQL: dict[str, str] = {
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "ccnet_buckets_approx": SQL_CCNET_BUCKETS_APPROX,
     "span_dedup": SQL_SPAN_DEDUP,
+    "span_dedup_keep_first": SQL_SPAN_DEDUP_KEEP_FIRST,
     "scrub_sql": SQL_SCRUB,
     "pii_cards": SQL_PII_CARDS,
     "script_langid_sql": SQL_SCRIPT_LANGID,

@@ -88,6 +88,82 @@ def test_gate_parity_with_full_coverage(spark):
     assert int(by[3].n_removed) == 0
 
 
+def test_keep_first_semantics_k3(spark):
+    """keep_first=True: per duplicated gram the (min doc_id, min pos)
+    occurrence keeps its tokens; all other occurrences are scrubbed."""
+    docs = spark.createDataFrame(DOCS_K3, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.dedup_text, r.n_tokens, r.n_removed)
+        for r in exact_substring_dedup(docs, k=3, keep_first=True).collect()
+    }
+    # 'a b c' duplicated across docs 0/1: doc 0 holds the elected first
+    # occurrence and keeps EVERYTHING; doc 1's copy is scrubbed
+    assert got[0] == ("a b c d e", 5, 0)
+    assert got[1] == ("x y", 5, 3)
+    # within-doc repeats: each duplicated 3-gram keeps its FIRST position.
+    # 'p q r' at pos 0/3, 'q r p' at 1/4, 'r p q' at 2/5: elected firsts
+    # cover 0..4 as kept; non-elected occurrences cover 3..7. Overlap
+    # means elected copies still lose tokens where a DIFFERENT gram's
+    # non-elected occurrence lands — positions 3..7 are covered, 0..2
+    # survive (the gram-granular semantics the docstring pins)
+    assert got[2] == ("p q r", 8, 5)
+    assert got[3] == ("u v", 2, 0)
+    # superset property: keep_first never removes MORE than remove-all
+    all_rm = {
+        r.doc_id: r.n_removed for r in exact_substring_dedup(docs, k=3).collect()
+    }
+    assert all(got[d][2] <= all_rm[d] for d in got)
+
+
+def test_keep_first_brute_force_equality(spark):
+    """Implementation == a pure-Python replay of the contract on a corpus
+    with cross-doc dups, within-doc dups, overlap chains, and a tie on pos
+    across docs (doc_id breaks it)."""
+    corpus = [
+        (10, "a b c d e f"),
+        (11, "z a b c d w"),
+        (12, "a b c a b c a b"),
+        (13, "m n o"),
+        (14, "z a b c d w"),  # doc 11 is the elected copy of every gram
+    ]
+    k = 3
+
+    def toks(t):
+        return [w for w in t.split() if w]
+
+    grams = {}  # gram -> [(doc, pos)]
+    for d, t in corpus:
+        ws = toks(t)
+        for p in range(len(ws) - k + 1):
+            grams.setdefault(" ".join(ws[p : p + k]), []).append((d, p))
+    expected = {}
+    cov = {d: set() for d, _ in corpus}
+    for occs in grams.values():
+        if len(occs) < 2:
+            continue
+        first = min(occs)
+        for d, p in occs:
+            if (d, p) != first:
+                cov[d].update(range(p, p + k))
+    for d, t in corpus:
+        ws = toks(t)
+        kept = [w for i, w in enumerate(ws) if i not in cov[d]]
+        expected[d] = (" ".join(kept), len(ws), len(cov[d]))
+
+    docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.dedup_text, r.n_tokens, r.n_removed)
+        for r in exact_substring_dedup(docs, k=k, keep_first=True).collect()
+    }
+    assert got == expected
+    # spot the election: every duplicated gram doc 10 carries is elected AT
+    # doc 10 (lowest id), so it keeps its text intact; doc 14's four gram
+    # windows are all non-elected copies (of docs 10/11), covering every
+    # position
+    assert got[10] == ("a b c d e f", 6, 0)
+    assert got[14] == ("", 6, 6)
+
+
 def test_lang_mix_sample_monotone_and_calibrated(spark):
     """Raising a weight only ADDS documents (monotone in weight — mix
     ablations share their common subset), and achieved rates track the
