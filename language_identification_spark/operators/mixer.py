@@ -60,3 +60,54 @@ def lang_mix_sample(
     return df.withColumn("mix_bucket", bucket).withColumn(
         "mix_keep", F.col("mix_bucket") < thr
     )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    denom: int = MIX_DENOM,
+) -> DataFrame:
+    """Temperature-flattened multilingual sampling (the XLM-R alpha-sampling
+    family, Conneau et al. 2020): derive per-language keep-rates FROM the
+    corpus so post-sample counts are proportional to count^alpha. With the
+    smallest language kept in full, the rate is
+
+        r_lang = (n_min / n_lang) ** (1 - alpha)
+
+    (head languages down-sampled toward the flattened distribution, tail
+    languages untouched) applied through the same deterministic hash
+    threshold as ``lang_mix_sample`` — reproducible, resumable, monotone.
+
+    Cross-engine exactness: at the default alpha=0.5 the rate is
+    ``sqrt(n_min / n_lang)`` — one IEEE-exactly-rounded divide, one
+    exactly-rounded sqrt, one exactly-rounded multiply by denom, then
+    floor: bit-identical in Spark and DuckDB, so the integer threshold
+    (and every boundary keep decision) hash-matches. Other alphas go
+    through pow(), which is NOT guaranteed correctly rounded across
+    libm implementations — supported, but excluded from the hash gate.
+
+    Scale shape: one tiny per-language count exchange, the |langs|-row
+    rate table broadcast back, then a pure narrow map (one md5 + integer
+    compare per row). The corpus never shuffles.
+    """
+    counts = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    ratio = F.col("n_min").cast("double") / F.col("n_docs").cast("double")
+    if alpha == 0.5:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - alpha))
+    rates = (
+        counts.crossJoin(F.broadcast(n_min))
+        .withColumn(
+            "mix_thr", F.floor(rate * F.lit(denom)).cast("long")
+        )
+        .select(lang_col, "n_docs", "mix_thr")
+    )
+    out = df.join(F.broadcast(rates), lang_col)
+    bucket = mix_hash(F.col(id_col), denom)
+    return out.withColumn("mix_bucket", bucket).withColumn(
+        "mix_keep", F.col("mix_bucket") < F.col("mix_thr")
+    )

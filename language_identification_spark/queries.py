@@ -4504,6 +4504,50 @@ FROM hashed
 """
 
 
+def q_temperature_mix_sample(spark, sf_dir):
+    """Temperature-flattened multilingual sampling (operators/mixer.py:
+    temperature_mix_sample — the XLM-R alpha-sampling family at alpha=0.5):
+    per-language keep-rates DERIVED from corpus counts, r = sqrt(n_min/n),
+    so post-sample counts flatten toward count^0.5 with the smallest
+    language kept whole. Every float op in the rate (divide, sqrt,
+    multiply) is IEEE exactly-rounded, so the integer thresholds — and
+    every per-document boundary decision — hash-match DuckDB bit-exactly.
+    Scale shape: one |langs|-row count exchange broadcast back, then a
+    zero-shuffle narrow map over the corpus."""
+    from language_identification_spark.operators.mixer import (
+        temperature_mix_sample,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    out = temperature_mix_sample(docs, alpha=0.5)
+    return out.select(
+        "doc_id", "lang", "n_docs", "mix_thr", "mix_bucket", "mix_keep"
+    )
+
+
+SQL_TEMPERATURE_MIX_SAMPLE = """
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+),
+mn AS (SELECT min(n_docs) AS n_min FROM counts),
+rates AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(n_min::DOUBLE / n_docs::DOUBLE) * 1000000)
+              AS BIGINT) AS mix_thr
+  FROM counts, mn
+),
+hashed AS (
+  SELECT doc_id, lang,
+         (CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UINT32)
+           % 1000000)::BIGINT AS mix_bucket
+  FROM documents
+)
+SELECT h.doc_id, h.lang, r.n_docs, r.mix_thr, h.mix_bucket,
+       h.mix_bucket < r.mix_thr AS mix_keep
+FROM hashed h JOIN rates r USING (lang)
+"""
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance resampling (operators/dsir.py — Xie et al. 2023):
     hashed unigram+bigram log-likelihood ratios against the lang='en'
@@ -6604,6 +6648,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "deterministic_split": q_deterministic_split,
     "lang_mix_sample": q_lang_mix_sample,
+    "temperature_mix_sample": q_temperature_mix_sample,
     "dsir_select": q_dsir_select,
     "deseret_translit": q_deseret_translit,
     "term_cleanup": q_term_cleanup,
@@ -6712,6 +6757,7 @@ ORACLE_SQL: dict[str, str] = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,
     "lang_mix_sample": SQL_LANG_MIX_SAMPLE,
+    "temperature_mix_sample": SQL_TEMPERATURE_MIX_SAMPLE,
     "dsir_select": SQL_DSIR_SELECT,
     "deseret_translit": SQL_DESERET_TRANSLIT,
     "term_cleanup": SQL_TERM_CLEANUP,

@@ -183,3 +183,35 @@ def test_lang_mix_sample_monotone_and_calibrated(spark):
     # non-weighted languages untouched
     other = low.filter("lang <> 'en'")
     assert other.filter("mix_keep").count() == other.count()
+
+
+def test_temperature_mix_sample_flattens_toward_alpha(spark):
+    """alpha=0.5 temperature sampling: the smallest language is kept whole
+    (threshold == denom), every larger language's integer threshold is
+    exactly floor(sqrt(n_min/n)*denom), and achieved keep counts track the
+    flattened targets within a loose binomial band."""
+    import math
+
+    from language_identification_spark.operators.mixer import (
+        MIX_DENOM,
+        temperature_mix_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = temperature_mix_sample(docs, alpha=0.5)
+    rows = out.groupBy("lang", "n_docs", "mix_thr").count().collect()
+    n_min = min(r.n_docs for r in rows)
+    for r in rows:
+        assert r.mix_thr == math.floor(
+            math.sqrt(n_min / r.n_docs) * MIX_DENOM
+        )
+    smallest = [r for r in rows if r.n_docs == n_min]
+    assert all(r.mix_thr == MIX_DENOM for r in smallest)
+    # head language (en, 218 docs vs min 64) downsampled near sqrt ratio
+    kept = {
+        r.lang: r["count"]
+        for r in out.filter("mix_keep").groupBy("lang").count().collect()
+    }
+    en_total = next(r.n_docs for r in rows if r.lang == "en")
+    target = math.sqrt(n_min / en_total)
+    assert abs(kept["en"] / en_total - target) < 0.15
