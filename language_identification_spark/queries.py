@@ -4019,6 +4019,151 @@ FROM documents GROUP BY source
 """.format(pat=BPE_ISH_PATTERN.replace("'", "''"))
 
 
+BPE_MERGES = 8
+BPE_TOP_V = 20000
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py — Sennrich et
+    al. 2016): ONE corpus-scale word-count exchange, then n_merges rounds
+    of |V|-row pair-count aggregation + TakeOrderedAndProject argmax +
+    native-fold merge application, lineage truncated per round. The merge
+    list is bounded driver data (one row per round, like the KN discount
+    table). Oracle: chained per-round CTEs replaying the greedy
+    left-to-right merge RELATIONALLY (match positions -> equal-run parity
+    -> rebuild) — a maximally different formulation of the same greedy
+    semantics."""
+    from language_identification_spark.operators.bpe import bpe_train
+
+    docs = _spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    merges, _vocab = bpe_train(docs, n_merges=BPE_MERGES, top_v=BPE_TOP_V)
+    return spark.createDataFrame(
+        merges,
+        schema="merge_rank int, lft string, rgt string, pair_count bigint",
+    )
+
+
+def q_bpe_tokenize(spark, sf_dir):
+    """Apply the learned BPE merges to the corpus (operators/bpe.py:
+    bpe_tokenize): merges applied once per DISTINCT word (word-dim table),
+    occurrence totals ride the same aggregation — per-token
+    (n_words, n_occurrences). End-to-end train+apply through the hash
+    gate: the token table is wrong if ANY merge, its rank order, or any
+    word's greedy segmentation diverges."""
+    from language_identification_spark.operators.bpe import (
+        bpe_tokenize,
+        bpe_train,
+    )
+
+    docs = _spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    merges, _vocab = bpe_train(docs, n_merges=BPE_MERGES, top_v=BPE_TOP_V)
+    return bpe_tokenize(docs, merges)
+
+
+def _sql_bpe_merge_apply(vin: str, vout: str, best: str) -> str:
+    """CTEs applying one learned merge to a symbolized vocab table —
+    the relational replay of the greedy left-to-right fold. Consecutive
+    match positions only arise when lft == rgt (a run of one symbol);
+    greedy takes every second position of the run, i.e. (i - run_start)
+    is even. Non-consecutive matches never interact."""
+    return f"""{vout}_pos AS MATERIALIZED (
+  SELECT v.word, v.cnt, i, v.s[i] AS sym, v.s[i+1] AS nxt, b.lft, b.rgt
+  FROM (SELECT word, cnt, str_split(syms, ' ') AS s FROM {vin}) v,
+       {best} b, unnest(range(1, len(v.s) + 1)) AS t(i)
+),
+{vout}_sel AS MATERIALIZED (
+  SELECT word, i FROM (
+    SELECT word, i,
+           i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+    FROM {vout}_pos WHERE sym = lft AND nxt = rgt
+  ) QUALIFY (i - min(i) OVER (PARTITION BY word, grp)) % 2 = 0
+),
+{vout} AS MATERIALIZED (
+  SELECT p.word, any_value(p.cnt) AS cnt,
+         string_agg(CASE WHEN s1.i IS NOT NULL THEN p.sym || p.nxt
+                         ELSE p.sym END, ' ' ORDER BY p.i) AS syms
+  FROM {vout}_pos p
+  LEFT JOIN {vout}_sel s1 ON s1.word = p.word AND s1.i = p.i
+  LEFT JOIN {vout}_sel s0 ON s0.word = p.word AND s0.i = p.i - 1
+  WHERE s0.i IS NULL
+  GROUP BY p.word
+)"""
+
+
+def _sql_bpe_prefix(n_merges: int, top_v: int) -> list[str]:
+    """Shared training chain: words -> capped tvocab0 -> per-round
+    (tpairs, tbest, tvocab) CTE triples."""
+    parts = [
+        """words AS MATERIALIZED (
+  SELECT w AS word, count(*) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY w
+)""",
+        f"""tvocab0 AS MATERIALIZED (
+  SELECT word, cnt,
+         array_to_string(regexp_extract_all(word, '.'), ' ') || ' </w>' AS syms
+  FROM (SELECT * FROM words ORDER BY cnt DESC, word ASC LIMIT {top_v})
+)""",
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""tpairs{r} AS MATERIALIZED (
+  SELECT s[i] AS lft, s[i+1] AS rgt, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, str_split(syms, ' ') AS s FROM tvocab{r - 1}),
+       unnest(range(1, len(s))) AS t(i)
+  GROUP BY 1, 2
+)""")
+        parts.append(
+            f"tbest{r} AS MATERIALIZED (SELECT lft, rgt, c FROM tpairs{r} "
+            f"ORDER BY c DESC, lft ASC, rgt ASC LIMIT 1)"
+        )
+        parts.append(_sql_bpe_merge_apply(f"tvocab{r - 1}", f"tvocab{r}", f"tbest{r}"))
+    return parts
+
+
+def _sql_bpe_train(n_merges: int = BPE_MERGES, top_v: int = BPE_TOP_V) -> str:
+    union = "\n  UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, lft, rgt, c AS pair_count FROM tbest{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(_sql_bpe_prefix(n_merges, top_v)) + f"""
+SELECT merge_rank, lft, rgt, pair_count FROM (
+  {union}
+)"""
+
+
+def _sql_bpe_tokenize(
+    n_merges: int = BPE_MERGES, top_v: int = BPE_TOP_V
+) -> str:
+    """Training chain (capped vocab) learns the merges; a second,
+    UNCAPPED apply chain (avocab*) segments every distinct corpus word
+    with them — mirroring bpe_tokenize's semantics exactly even when the
+    top_v cap binds."""
+    parts = _sql_bpe_prefix(n_merges, top_v)
+    parts.append(
+        "avocab0 AS MATERIALIZED (SELECT word, cnt, array_to_string("
+        "regexp_extract_all(word, '.'), ' ') || ' </w>' AS syms FROM words)"
+    )
+    for r in range(1, n_merges + 1):
+        parts.append(
+            _sql_bpe_merge_apply(f"avocab{r - 1}", f"avocab{r}", f"tbest{r}")
+        )
+    return "WITH " + ",\n".join(parts) + f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(cnt) AS BIGINT) AS n_occurrences
+FROM (
+  SELECT unnest(str_split(syms, ' ')) AS token, cnt FROM avocab{n_merges}
+) GROUP BY token"""
+
+
+SQL_BPE_TRAIN = _sql_bpe_train()
+SQL_BPE_TOKENIZE = _sql_bpe_tokenize()
+
+
 def q_lsh_band_buckets(spark, sf_dir):
     """MinHash-LSH banding — the 100 TB near-dup path: 8-permutation
     signatures split into 4 bands of 2; docs sharing a band bucket are
@@ -6644,6 +6789,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "token_count": q_token_count,
     "bpe_token_count": q_bpe_token_count,
+    "bpe_train": q_bpe_train,
+    "bpe_tokenize": q_bpe_tokenize,
     "charset_setops": q_charset_setops,
     "shipping_priority": q_shipping_priority,
     "deterministic_split": q_deterministic_split,
@@ -6753,6 +6900,8 @@ ORACLE_SQL: dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "token_count": SQL_TOKEN_COUNT,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
+    "bpe_train": SQL_BPE_TRAIN,
+    "bpe_tokenize": SQL_BPE_TOKENIZE,
     "charset_setops": SQL_CHARSET_SETOPS,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,
