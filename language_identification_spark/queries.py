@@ -5335,6 +5335,189 @@ FROM exed
 """.format(MF=LANGID_MAX_FEATURES)
 
 
+CODE_SWITCH_PARA_WORDS = 15
+
+
+def q_code_switch_detect(spark, sf_dir):
+    """Paragraph-level code-switching detection — the CCNet practice of
+    running LID per PARAGRAPH and treating disagreement as a signal
+    (Wenzek et al. 2020). The NB byte-gram model (langid_nb_rank
+    machinery, trained on whole train-split docs) scores each held-out
+    doc's 15-word chunks independently; per doc: paragraph count, distinct
+    top-1 languages, majority language (count desc, lang asc tie-break),
+    and is_mixed (>= 2 languages AND majority share < 0.8 — exact integer
+    arithmetic, top_n*5 < n_paras*4). Scale shape: training as in
+    langid_nb_rank; the scoring corpus crosses the wire once as
+    (para, gram) counts; every later exchange is paras x |langs|- or
+    doc-sized, and the majority window is per-doc-partitioned (bounded by
+    paragraphs-per-doc), never global."""
+    from language_identification_spark.operators.langid_bytes import (
+        clean_text_expr,
+        langid_nb_rank,
+        train_langid_nb,
+    )
+
+    docs = _spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select("lang", "text")
+    model, priors = train_langid_nb(corpus, max_features=LANGID_MAX_FEATURES)
+    held = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", clean_text_expr("text").alias("ct"))
+        .filter(F.col("ct").isNotNull())
+    )
+    k = CODE_SWITCH_PARA_WORDS
+    words = F.split(F.col("ct"), " ")
+    n_chunks = F.floor(
+        (F.size(words) + F.lit(k - 1)) / F.lit(float(k))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
+    )
+    # chunks of already-cleaned text: the per-para clean inside
+    # langid_nb_rank is then an exact identity (no standalone digits or
+    # whitespace runs survive the doc-level clean), so both engines score
+    # byte-identical paragraph strings
+    paras = (
+        held.select("doc_id", F.posexplode(chunks).alias("pi", "text"))
+        .filter(F.col("text") != "")
+        .select(
+            (F.col("doc_id") * 10000 + F.col("pi")).alias("doc_id"), "text"
+        )
+    )
+    ranked = langid_nb_rank(paras, model, priors)
+    top = ranked.filter(F.col("rnk") == 1).select(
+        F.expr("doc_id DIV 10000").alias("doc_id"), "lang"
+    )
+    lc = top.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("lang"))
+    top1 = (
+        lc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("top_lang"),
+            F.col("n").alias("top_n"),
+        )
+    )
+    aggd = lc.groupBy("doc_id").agg(
+        F.sum("n").alias("n_paras"), F.count(F.lit(1)).alias("n_langs")
+    )
+    return aggd.join(top1, "doc_id").select(
+        "doc_id",
+        "n_paras",
+        "n_langs",
+        "top_lang",
+        "top_n",
+        (
+            (F.col("n_langs") > 1)
+            & (F.col("top_n") * 5 < F.col("n_paras") * 4)
+        ).alias("is_mixed"),
+    )
+
+
+SQL_CODE_SWITCH_DETECT = r"""
+WITH cleaned AS (
+  SELECT doc_id, lang,
+         nullif(trim(regexp_replace(regexp_replace(text,
+             '\b\d+\b', '', 'g'), '[\t\n\x0b\f\r ]+', ' ', 'g')), '') AS ct
+  FROM documents WHERE text IS NOT NULL
+),
+base AS (
+  SELECT doc_id, lang, hex(encode(ct)) AS hx
+  FROM cleaned WHERE ct IS NOT NULL
+),
+ns(n) AS (VALUES (1), (2), (3), (4)),
+tr_grams AS (
+  SELECT lang, substring(hx, 2 * (i - 1) + 1, 2 * n) AS gram
+  FROM base, ns, unnest(range(1, length(hx) // 2 - n + 2)) AS t(i)
+  WHERE doc_id % 5 <> 0
+),
+feat AS (
+  SELECT gram FROM (
+    SELECT gram, row_number() OVER (ORDER BY count(*) DESC, gram ASC) AS r
+    FROM tr_grams GROUP BY gram
+  ) WHERE r <= {MF}
+),
+lang_counts AS (
+  SELECT lang, gram, count(*) AS c
+  FROM tr_grams JOIN feat USING (gram) GROUP BY 1, 2
+),
+langs AS (
+  SELECT DISTINCT lang FROM documents
+  WHERE text IS NOT NULL AND doc_id % 5 <> 0
+),
+tot AS (SELECT lang, sum(c) AS tot FROM lang_counts GROUP BY 1),
+kk AS (SELECT count(*)::DOUBLE AS k FROM feat),
+model AS (
+  SELECT f.gram, l.lang,
+         ln(coalesce(lc.c, 0) + 1.0) - ln(coalesce(tot.tot, 0) + kk.k) AS logp
+  FROM feat f
+  CROSS JOIN langs l
+  LEFT JOIN lang_counts lc ON lc.lang = l.lang AND lc.gram = f.gram
+  LEFT JOIN tot ON tot.lang = l.lang
+  CROSS JOIN kk
+),
+nd AS (SELECT count(*)::DOUBLE AS n FROM base WHERE doc_id % 5 <> 0),
+pri AS (
+  SELECT lang, ln(count(*)) - ln(any_value(nd.n)) AS logprior
+  FROM base, nd WHERE doc_id % 5 <> 0 GROUP BY lang
+),
+paras AS (
+  SELECT doc_id * 10000 + pi AS pid,
+         array_to_string(words[pi * {K} + 1 : pi * {K} + {K}], ' ') AS para
+  FROM (
+    SELECT doc_id, str_split(ct, ' ') AS words
+    FROM cleaned WHERE ct IS NOT NULL AND doc_id % 5 = 0
+  ), unnest(range(0, (len(words) + {K} - 1) // {K})) AS t(pi)
+),
+pb AS (SELECT pid, hex(encode(para)) AS hx FROM paras WHERE para <> ''),
+pe_grams AS (
+  SELECT pid, substring(hx, 2 * (i - 1) + 1, 2 * n) AS gram
+  FROM pb, ns, unnest(range(1, length(hx) // 2 - n + 2)) AS t(i)
+),
+pdgc AS (SELECT pid, gram, count(*) AS dc FROM pe_grams GROUP BY 1, 2),
+pscored AS (
+  SELECT pid, lang, sum(dc * logp) AS s
+  FROM pdgc JOIN model USING (gram) GROUP BY 1, 2
+),
+allp AS (SELECT DISTINCT pid FROM pb),
+pll AS (
+  SELECT a.pid, p.lang, coalesce(sc.s, 0.0) + p.logprior AS ll
+  FROM allp a
+  CROSS JOIN pri p
+  LEFT JOIN pscored sc ON sc.pid = a.pid AND sc.lang = p.lang
+),
+ptop AS (
+  SELECT pid, lang FROM (
+    SELECT pid, lang,
+           row_number() OVER (PARTITION BY pid ORDER BY ll DESC, lang ASC) AS rn
+    FROM pll
+  ) WHERE rn = 1
+),
+lcounts AS (
+  SELECT pid // 10000 AS doc_id, lang, count(*) AS n
+  FROM ptop GROUP BY 1, 2
+),
+top1 AS (
+  SELECT doc_id, lang AS top_lang, n AS top_n FROM (
+    SELECT doc_id, lang, n,
+           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang ASC) AS rn
+    FROM lcounts
+  ) WHERE rn = 1
+),
+aggd AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_paras, count(*) AS n_langs
+  FROM lcounts GROUP BY 1
+)
+SELECT a.doc_id, a.n_paras, a.n_langs, t.top_lang, t.top_n,
+       (a.n_langs > 1 AND t.top_n * 5 < a.n_paras * 4) AS is_mixed
+FROM aggd a JOIN top1 t USING (doc_id)
+""".format(MF=LANGID_MAX_FEATURES, K=CODE_SWITCH_PARA_WORDS)
+
+
 CLD2_SUPPORTED = ["de", "en", "es", "fr", "zh"]
 
 
@@ -6807,6 +6990,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "textcat_langid": q_textcat_langid,
     "langid_nb_rank": q_langid_nb_rank,
+    "code_switch_detect": q_code_switch_detect,
     "cld2_postprocess": q_cld2_postprocess,
     "langdetect_filter": q_langdetect_filter,
 }
@@ -6918,6 +7102,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "textcat_langid": SQL_TEXTCAT_LANGID,
     "langid_nb_rank": SQL_LANGID_NB_RANK,
+    "code_switch_detect": SQL_CODE_SWITCH_DETECT,
     "cld2_postprocess": SQL_CLD2_POSTPROCESS,
     "langdetect_filter": SQL_LANGDETECT_FILTER,
 }
