@@ -300,7 +300,10 @@ def minhash_recall_eval(
 
 
 def _sig_ctes(
-    perms: list[tuple[int, int]], shingle_k: int, where: str = ""
+    perms: list[tuple[int, int]],
+    shingle_k: int,
+    where: str = "",
+    src: str = "documents",
 ) -> str:
     cols = ",\n    ".join(
         f"min(({a} * h + {b}) % 4294967296) AS h{i}"
@@ -308,7 +311,7 @@ def _sig_ctes(
     )
     return f"""shingles AS (
   SELECT DISTINCT doc_id, substring(text, i, {shingle_k}) AS sh
-  FROM documents, unnest(range(1, greatest(length(text) - {shingle_k - 1}, 0) + 1)) AS t(i)
+  FROM {src}, unnest(range(1, greatest(length(text) - {shingle_k - 1}, 0) + 1)) AS t(i)
   {where}
 ), hashed AS (
   SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS UINT32)::BIGINT AS h

@@ -4423,6 +4423,137 @@ def _sql_minhash_prod_dedup_pipeline() -> str:
 SQL_MINHASH_PROD_DEDUP_PIPELINE = _sql_minhash_prod_dedup_pipeline()
 
 
+def q_minhash_decontaminate(spark, sf_dir):
+    """FUZZY benchmark decontamination (the Dolma/FineWeb complement to the
+    exact word-8-gram gate, q_decontaminate): flag corpus docs whose
+    MinHash band signature — at the PRODUCTION 112-perm/14x8 banding —
+    collides with any benchmark doc's band. Catches paraphrased/lightly
+    edited contamination that exact n-gram overlap misses. Benchmark = the
+    doc_id % 97 == 0 slice; guaranteed positives via deterministic
+    injection (docs % 31 == 0 get a benchmark doc's text plus one extra
+    token — a near-dup, not an exact copy; rk arithmetic replayed by the
+    oracle). Scale shape: the corpus crosses the wire once (shingle
+    distinct + signature agg); the benchmark band table is eval-set-sized
+    and BROADCAST, so flagging is a map-side join — nothing corpus-sized
+    shuffles on a bucket key."""
+    from language_identification_spark.operators.minhash import (
+        PROD_BANDS,
+        PROD_PERMS,
+        PROD_ROWS_PER_BAND,
+        band_assignments,
+        minhash_signatures,
+    )
+
+    docs = _spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    did = F.col("doc_id")
+    bench = docs.filter(did % 97 == 0).select(
+        F.floor(did / 97).cast("long").alias("rk"),
+        F.col("doc_id").alias("bench_id"),
+        F.col("text").alias("btext"),
+    )
+    nbdf = bench.agg(F.count(F.lit(1)).alias("nb"))
+    corpus = (
+        docs.filter(did % 97 != 0)
+        .crossJoin(F.broadcast(nbdf))
+        .withColumn(
+            "rk",
+            F.when(
+                did % 31 == 0,
+                F.floor(did / 31).cast("long") % F.col("nb"),
+            ),
+        )
+        .join(F.broadcast(bench.select("rk", "btext")), "rk", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("btext").isNotNull(),
+                F.concat(F.col("btext"), F.lit(" zq")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    corpus_bands = band_assignments(
+        minhash_signatures(corpus, PROD_PERMS),
+        PROD_BANDS,
+        PROD_ROWS_PER_BAND,
+    )
+    bench_bands = band_assignments(
+        minhash_signatures(
+            bench.select(
+                F.col("bench_id").alias("doc_id"),
+                F.col("btext").alias("text"),
+            ),
+            PROD_PERMS,
+        ),
+        PROD_BANDS,
+        PROD_ROWS_PER_BAND,
+    ).select("band", "bucket", F.col("doc_id").alias("bench_id"))
+    hits = corpus_bands.join(F.broadcast(bench_bands), ["band", "bucket"])
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("bench_id").alias("n_bench_matches"),
+        F.min("bench_id").alias("first_bench_id"),
+    )
+
+
+def _sql_minhash_decontaminate() -> str:
+    """Oracle: one sig/band pass over corpus+bench united (bench ids
+    offset by 10^7 so both ride the same CTE chain), then split and
+    band-joined — same collision semantics, different plumbing."""
+    from language_identification_spark.operators.minhash import (
+        PROD_BANDS,
+        PROD_PERMS,
+        PROD_ROWS_PER_BAND,
+        _bands_union,
+        _sig_ctes,
+    )
+
+    return f"""
+WITH docs0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+bench AS (
+  SELECT doc_id // 97 AS rk, doc_id AS bench_id, text AS btext
+  FROM docs0 WHERE doc_id % 97 = 0
+),
+nb AS (SELECT count(*) AS nb FROM bench),
+poisoned AS (
+  SELECT d.doc_id,
+         CASE WHEN b.btext IS NOT NULL THEN b.btext || ' zq'
+              ELSE d.text END AS text
+  FROM (
+    SELECT doc_id, text,
+           CASE WHEN doc_id % 31 = 0
+                THEN (doc_id // 31) % (SELECT nb FROM nb) END AS rk
+    FROM docs0 WHERE doc_id % 97 <> 0
+  ) d
+  LEFT JOIN bench b ON b.rk = d.rk
+),
+allin AS (
+  SELECT doc_id, text FROM poisoned
+  UNION ALL
+  SELECT bench_id + 10000000 AS doc_id, btext AS text FROM bench
+),
+{_sig_ctes(PROD_PERMS, 5, src="allin")},
+bands AS (
+  {_bands_union(PROD_BANDS, PROD_ROWS_PER_BAND)}
+),
+cb AS (SELECT doc_id, band, bucket FROM bands WHERE doc_id < 10000000),
+bb AS (
+  SELECT doc_id - 10000000 AS bench_id, band, bucket
+  FROM bands WHERE doc_id >= 10000000
+)
+SELECT cb.doc_id,
+       count(DISTINCT bb.bench_id) AS n_bench_matches,
+       min(bb.bench_id) AS first_bench_id
+FROM cb JOIN bb USING (band, bucket)
+GROUP BY cb.doc_id
+"""
+
+
+SQL_MINHASH_DECONTAMINATE = _sql_minhash_decontaminate()
+
+
 STOPWORDS_DIM = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
 
@@ -6912,6 +7043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_prod_recall_eval": q_minhash_prod_recall_eval,
     "minhash_prod_bucket_cap_audit": q_minhash_prod_bucket_cap_audit,
     "minhash_prod_dedup_pipeline": q_minhash_prod_dedup_pipeline,
+    "minhash_decontaminate": q_minhash_decontaminate,
     "stopword_anti_join": q_stopword_anti_join,
     "events_sessionize": q_events_sessionize,
     "cosine_topk": q_cosine_topk,
@@ -7024,6 +7156,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_prod_recall_eval": SQL_MINHASH_PROD_RECALL_EVAL,
     "minhash_prod_bucket_cap_audit": SQL_MINHASH_PROD_BUCKET_CAP_AUDIT,
     "minhash_prod_dedup_pipeline": SQL_MINHASH_PROD_DEDUP_PIPELINE,
+    "minhash_decontaminate": SQL_MINHASH_DECONTAMINATE,
     "stopword_anti_join": SQL_STOPWORD_ANTI_JOIN,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "cosine_topk": SQL_COSINE_TOPK,
