@@ -113,6 +113,14 @@ HEADLINE = [
     # paper-shaped keep-one-copy span dedup (election adds one
     # gram-co-partitioned groupBy to the remove-all plan)
     "span_dedup_keep_first",
+    # round-5 session-2 additions: tokenizer training, temperature
+    # sampling, paragraph-level LID, fuzzy decontamination
+    "bpe_train",
+    "bpe_tokenize",
+    "bpe_fertility",
+    "temperature_mix_sample",
+    "code_switch_detect",
+    "minhash_decontaminate",
     # lsh_recall_eval / minhash_prod_recall_eval: diagnostic gates,
     # quadratic truth on a pinned 500-doc universe — verified at the
     # gate, not a headline path

@@ -149,6 +149,56 @@ def bpe_train(
     return merges, vocab
 
 
+def bpe_fertility(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility by language — the subword-token cost each
+    language pays under a learned merge list (the multilingual-fairness
+    audit run on every production tokenizer: a language whose words
+    fragment into many subwords pays more sequence length per byte of
+    content). Exact integer accounting: per language, total word
+    occurrences and total subword tokens (occurrence-weighted); the
+    fertility ratio is ONE exactly-rounded IEEE division of those two
+    integers, so it hash-matches cross-engine without quantization.
+
+    Scale shape: one (lang, word) corpus aggregation; merges applied once
+    per DISTINCT word (word-dim table) and joined back broadcast-style —
+    the corpus text never crosses the wire twice."""
+    lwords = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
+                )
+            ).alias("word"),
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = init_symbols(F.col("word"))
+    for _rank, lft, rgt, _c in merges:
+        syms = apply_merge(syms, lft, rgt)
+    seg = (
+        lwords.select("word")
+        .distinct()
+        .withColumn("n_tok", F.size(F.split(syms, " ")))
+    )
+    joined = lwords.join(seg, "word")
+    return joined.groupBy("lang").agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n_tok")).alias("n_tokens"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("n_tok")).cast("double")
+            / F.sum("cnt").cast("double"),
+            6,
+        ).alias("fertility"),
+    )
+
+
 def bpe_tokenize(
     docs: DataFrame,
     merges: list[tuple[int, str, str, int]],

@@ -4136,9 +4136,7 @@ SELECT merge_rank, lft, rgt, pair_count FROM (
 )"""
 
 
-def _sql_bpe_tokenize(
-    n_merges: int = BPE_MERGES, top_v: int = BPE_TOP_V
-) -> str:
+def _sql_bpe_apply_parts(n_merges: int, top_v: int) -> list[str]:
     """Training chain (capped vocab) learns the merges; a second,
     UNCAPPED apply chain (avocab*) segments every distinct corpus word
     with them — mirroring bpe_tokenize's semantics exactly even when the
@@ -4152,6 +4150,13 @@ def _sql_bpe_tokenize(
         parts.append(
             _sql_bpe_merge_apply(f"avocab{r - 1}", f"avocab{r}", f"tbest{r}")
         )
+    return parts
+
+
+def _sql_bpe_tokenize(
+    n_merges: int = BPE_MERGES, top_v: int = BPE_TOP_V
+) -> str:
+    parts = _sql_bpe_apply_parts(n_merges, top_v)
     return "WITH " + ",\n".join(parts) + f"""
 SELECT token, CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(cnt) AS BIGINT) AS n_occurrences
@@ -4160,8 +4165,53 @@ FROM (
 ) GROUP BY token"""
 
 
+def _sql_bpe_fertility(
+    n_merges: int = BPE_MERGES, top_v: int = BPE_TOP_V
+) -> str:
+    """Per-language fertility: occurrence-weighted subword tokens over
+    word occurrences; the ratio is ONE IEEE-exact division of two exact
+    integers."""
+    parts = _sql_bpe_apply_parts(n_merges, top_v)
+    parts.append("""lwords AS MATERIALIZED (
+  SELECT lang, w AS word, count(*) AS cnt FROM (
+    SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY 1, 2
+)""")
+    parts.append(
+        f"seg AS MATERIALIZED (SELECT word, len(str_split(syms, ' ')) "
+        f"AS n_tok FROM avocab{n_merges})"
+    )
+    return "WITH " + ",\n".join(parts) + """
+SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+       CAST(sum(cnt * n_tok) AS BIGINT) AS n_tokens,
+       round(CAST(sum(cnt * n_tok) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+         AS fertility
+FROM lwords JOIN seg USING (word) GROUP BY lang"""
+
+
+def q_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility by language (operators/bpe.py:bpe_fertility):
+    occurrence-weighted subword tokens per word under the learned merges —
+    the multilingual-fairness audit every production tokenizer gets.
+    Exact integer numerator/denominator; the ratio is one IEEE-exact
+    division. Merges applied once per DISTINCT word; one (lang, word)
+    corpus exchange."""
+    from language_identification_spark.operators.bpe import (
+        bpe_fertility,
+        bpe_train,
+    )
+
+    docs = _spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    merges, _vocab = bpe_train(docs, n_merges=BPE_MERGES, top_v=BPE_TOP_V)
+    return bpe_fertility(docs, merges)
+
+
 SQL_BPE_TRAIN = _sql_bpe_train()
 SQL_BPE_TOKENIZE = _sql_bpe_tokenize()
+SQL_BPE_FERTILITY = _sql_bpe_fertility()
 
 
 def q_lsh_band_buckets(spark, sf_dir):
@@ -7106,6 +7156,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_count": q_bpe_token_count,
     "bpe_train": q_bpe_train,
     "bpe_tokenize": q_bpe_tokenize,
+    "bpe_fertility": q_bpe_fertility,
     "charset_setops": q_charset_setops,
     "shipping_priority": q_shipping_priority,
     "deterministic_split": q_deterministic_split,
@@ -7219,6 +7270,7 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "bpe_train": SQL_BPE_TRAIN,
     "bpe_tokenize": SQL_BPE_TOKENIZE,
+    "bpe_fertility": SQL_BPE_FERTILITY,
     "charset_setops": SQL_CHARSET_SETOPS,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,
