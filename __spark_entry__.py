@@ -20,6 +20,10 @@ from language_identification_spark.oracle.langid import NgramNBModel
 from language_identification_spark.oracle.quality import QualityConfig
 from language_identification_spark.plans.pipeline import quality_filter_plan
 from language_identification_spark.queries import ORACLE_SQL, QUERIES
+from language_identification_spark.queries_webmeta import (
+    ORACLE_SQL_EXT,
+    QUERIES_EXT,
+)
 
 _MODEL = None
 
@@ -610,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["quality_classifier_eval"] = _q_quality_classifier_eval
     out["quality_classifier_calibration"] = _q_quality_classifier_calibration
     out["drop_rule_ablation"] = _q_drop_rule_ablation
+    out.update(QUERIES_EXT)
     return out
 
 
@@ -705,4 +710,5 @@ FROM (
 )
 GROUP BY rule
 """
+    out.update(ORACLE_SQL_EXT)
     return out
