@@ -121,6 +121,15 @@ HEADLINE = [
     "temperature_mix_sample",
     "code_switch_detect",
     "minhash_decontaminate",
+    # round-5 session-3 additions: HTML-head metadata, canonical-URL
+    # dedup, PII pseudonymization, duplication-rate audit, soft dedup
+    # weighting, URL-domain blocklist
+    "html_meta_extract",
+    "canonical_dedup",
+    "pii_pseudonymize",
+    "dup_rate_by_host",
+    "dedup_soft_weight",
+    "domain_blocklist",
     # lsh_recall_eval / minhash_prod_recall_eval: diagnostic gates,
     # quadratic truth on a pinned 500-doc universe — verified at the
     # gate, not a headline path
