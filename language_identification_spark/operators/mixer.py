@@ -111,3 +111,31 @@ def temperature_mix_sample(
     return out.withColumn("mix_bucket", bucket).withColumn(
         "mix_keep", F.col("mix_bucket") < F.col("mix_thr")
     )
+
+
+def host_disjoint_split(
+    df: DataFrame,
+    host_col: str = "host",
+    bounds: tuple[int, int] = (80, 90),
+    denom: int = 100,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the assignment is a function of
+    the HOST, not the document, so every page from one site lands in
+    exactly one split. Doc-level hash splits (q_deterministic_split) leak
+    through near-duplicates — mirrored/templated pages within a site land
+    on both sides of the train/test boundary and inflate eval scores. The
+    standard fix (used for quality-classifier eval sets and dedup-audited
+    benchmark splits) is to split on the site key: group-disjoint by
+    construction, no join, no shuffle — still a pure narrow map.
+
+    Same md5 construction as ``mix_hash`` (cross-engine proven in the
+    deterministic_split gate); monotone bounds give nested 80/10/10.
+    """
+    b = mix_hash(F.col(host_col), denom)
+    split = (
+        F.when(b < bounds[0], "train")
+        .when(b < bounds[1], "val")
+        .otherwise("test")
+    )
+    return df.withColumn(split_col, split)

@@ -40,7 +40,9 @@ Operator coverage map (reference file:line in each docstring):
   langid_nb_rank (byte-ngram NB, langid.py rank/set_languages semantics) +
   L4 cld2_postprocess + L3 langdetect_filter (wrapper rules),
   operators/langid_bytes.py; LSH skew defense: lsh_bucket_cap_audit;
-  tokens: token_count / bpe_token_count; splits: deterministic_split;
+  tokens: token_count / bpe_token_count; splits: deterministic_split +
+  host_disjoint_split (leakage-safe, operators/mixer.py) +
+  split_leakage_audit (measured straddle counts per scheme);
   packing: pack_sequences (concat-and-chop window spans, operators/packing.py)
   + chunk_documents (overlapping RAG windows, operators/chunking.py);
   retrieval/eval: bm25_topk + tfidf_keywords + langid_eval (P/R/F1 via
@@ -4962,6 +4964,148 @@ FROM assigned GROUP BY split, lang
 """
 
 
+def q_host_disjoint_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/mixer.py:
+    host_disjoint_split): the assignment hashes the HOST, so every page
+    from one site lands in exactly one split — the group-disjoint split
+    quality-classifier eval sets and dedup-audited benchmarks need,
+    because doc-level hash splits put a site's mirrored/templated
+    near-dups on both sides of the train/test boundary. Hosts are
+    synthesized doc_id-mod-97 (the table has no url column; same
+    convention as url_dedup/host_stats). Doc-level output so the gate
+    verifies every boundary assignment. Scale shape: pure narrow map —
+    one md5 + two integer compares per row, zero shuffle, pushable."""
+    from language_identification_spark.operators.mixer import (
+        host_disjoint_split,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    host = F.concat(
+        F.lit("site"), (F.col("doc_id") % 97).cast("string"), F.lit(".example.com")
+    )
+    out = host_disjoint_split(docs.select("doc_id", "lang", host.alias("host")))
+    return out.select("doc_id", "host", "lang", "split")
+
+
+SQL_HOST_DISJOINT_SPLIT = """
+WITH base AS (
+  SELECT doc_id, lang,
+         'site' || (doc_id % 97) || '.example.com' AS host
+  FROM documents
+)
+SELECT doc_id, host, lang,
+  CASE WHEN CAST(('0x' || substr(md5(host), 1, 8)) AS UINT32) % 100 < 80 THEN 'train'
+       WHEN CAST(('0x' || substr(md5(host), 1, 8)) AS UINT32) % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM base
+"""
+
+
+def q_split_leakage_audit(spark, sf_dir):
+    """Train/test contamination audit for split schemes: given duplicate
+    groups (synthesized doc_id-mod-150, each group pinned to ONE host so
+    the dups model a site's mirrored pages), count, per scheme, how many
+    groups straddle splits and how many straddle train AND test
+    specifically. The doc-hash scheme leaks (group members hash
+    independently); host_disjoint drives same-host-dup leakage to zero by
+    construction — this gate MEASURES both so the claim is a number. Scale
+    shape: one narrow melt (explode of a 2-struct array), then two
+    exchanges on shrinking keys — (scheme, dup_key) group-sized, then
+    |schemes|-row — the exact_dedup shape, corpus crosses once."""
+    from language_identification_spark.operators.mixer import (
+        host_disjoint_split,
+        mix_hash,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    dup_key = F.col("doc_id") % 150
+    host = F.concat(
+        F.lit("site"), (dup_key % 40).cast("string"), F.lit(".example.com")
+    )
+    base = docs.select("doc_id", dup_key.alias("dup_key"), host.alias("host"))
+
+    def _split(b):
+        return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+    base = base.withColumn("doc_split", _split(mix_hash(F.col("doc_id"), 100)))
+    base = host_disjoint_split(base, split_col="host_split")
+    melted = base.select(
+        "dup_key",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("doc_hash").alias("scheme"),
+                    F.col("doc_split").alias("split"),
+                ),
+                F.struct(
+                    F.lit("host_disjoint").alias("scheme"),
+                    F.col("host_split").alias("split"),
+                ),
+            )
+        ).alias("s"),
+    ).select("dup_key", "s.scheme", "s.split")
+    groups = melted.groupBy("scheme", "dup_key").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("split").alias("n_splits"),
+        F.max((F.col("split") == "train").cast("int")).alias("has_train"),
+        F.max((F.col("split") == "test").cast("int")).alias("has_test"),
+    )
+    dup = F.col("n_docs") > 1
+    leaky = dup & (F.col("n_splits") > 1)
+    return groups.groupBy("scheme").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(dup.cast("long")).alias("n_dup_groups"),
+        F.sum(leaky.cast("long")).alias("n_leaky_groups"),
+        F.sum(F.when(leaky, F.col("n_docs")).otherwise(F.lit(0))).alias(
+            "n_leaked_docs"
+        ),
+        F.sum(
+            (dup & (F.col("has_train") == 1) & (F.col("has_test") == 1)).cast(
+                "long"
+            )
+        ).alias("n_train_test_groups"),
+    )
+
+
+SQL_SPLIT_LEAKAGE_AUDIT = """
+WITH base AS (
+  SELECT doc_id, doc_id % 150 AS dup_key,
+         'site' || ((doc_id % 150) % 40) || '.example.com' AS host
+  FROM documents
+),
+assigned AS (
+  SELECT dup_key, scheme,
+    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT dup_key, 'doc_hash' AS scheme,
+           CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UINT32) % 100 AS b
+    FROM base
+    UNION ALL
+    SELECT dup_key, 'host_disjoint',
+           CAST(('0x' || substr(md5(host), 1, 8)) AS UINT32) % 100
+    FROM base
+  )
+),
+groups AS (
+  SELECT scheme, dup_key, count(*) AS n_docs,
+         count(DISTINCT split) AS n_splits,
+         max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train,
+         max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS has_test
+  FROM assigned GROUP BY scheme, dup_key
+)
+SELECT scheme,
+       count(*) AS n_groups,
+       sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+       sum(CASE WHEN n_docs > 1 AND n_splits > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_leaky_groups,
+       sum(CASE WHEN n_docs > 1 AND n_splits > 1 THEN n_docs ELSE 0 END)::BIGINT
+         AS n_leaked_docs,
+       sum(CASE WHEN n_docs > 1 AND has_train = 1 AND has_test = 1
+                THEN 1 ELSE 0 END)::BIGINT AS n_train_test_groups
+FROM groups GROUP BY scheme
+"""
+
+
 def q_deseret_translit(spark, sf_dir):
     """F14 Deseret transliteration (reference deseret/deseret_conversion.py:
     1-81): legacy-font chars -> Deseret block (``fix_deseret``, a native
@@ -7160,6 +7304,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "charset_setops": q_charset_setops,
     "shipping_priority": q_shipping_priority,
     "deterministic_split": q_deterministic_split,
+    "host_disjoint_split": q_host_disjoint_split,
+    "split_leakage_audit": q_split_leakage_audit,
     "lang_mix_sample": q_lang_mix_sample,
     "temperature_mix_sample": q_temperature_mix_sample,
     "dsir_select": q_dsir_select,
@@ -7274,6 +7420,8 @@ ORACLE_SQL: dict[str, str] = {
     "charset_setops": SQL_CHARSET_SETOPS,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,
+    "host_disjoint_split": SQL_HOST_DISJOINT_SPLIT,
+    "split_leakage_audit": SQL_SPLIT_LEAKAGE_AUDIT,
     "lang_mix_sample": SQL_LANG_MIX_SAMPLE,
     "temperature_mix_sample": SQL_TEMPERATURE_MIX_SAMPLE,
     "dsir_select": SQL_DSIR_SELECT,
