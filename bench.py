@@ -130,6 +130,10 @@ HEADLINE = [
     "dup_rate_by_host",
     "dedup_soft_weight",
     "domain_blocklist",
+    # round-5 session-4 additions: leakage-safe host-disjoint split +
+    # the measured train/test straddle audit
+    "host_disjoint_split",
+    "split_leakage_audit",
     # lsh_recall_eval / minhash_prod_recall_eval: diagnostic gates,
     # quadratic truth on a pinned 500-doc universe — verified at the
     # gate, not a headline path
