@@ -134,6 +134,8 @@ HEADLINE = [
     # the measured train/test straddle audit
     "host_disjoint_split",
     "split_leakage_audit",
+    # cross-host mirror detection (fp-bounded host-pair join)
+    "host_mirror_pairs",
     # lsh_recall_eval / minhash_prod_recall_eval: diagnostic gates,
     # quadratic truth on a pinned 500-doc universe — verified at the
     # gate, not a headline path

@@ -43,6 +43,7 @@ Operator coverage map (reference file:line in each docstring):
   tokens: token_count / bpe_token_count; splits: deterministic_split +
   host_disjoint_split (leakage-safe, operators/mixer.py) +
   split_leakage_audit (measured straddle counts per scheme);
+  mirrors: host_mirror_pairs (fp-bounded host-pair join, operators/mirrors.py);
   packing: pack_sequences (concat-and-chop window spans, operators/packing.py)
   + chunk_documents (overlapping RAG windows, operators/chunking.py);
   retrieval/eval: bm25_topk + tfidf_keywords + langid_eval (P/R/F1 via
@@ -5106,6 +5107,64 @@ FROM groups GROUP BY scheme
 """
 
 
+def q_host_mirror_pairs(spark, sf_dir):
+    """Cross-host mirror detection (operators/mirrors.py): host pairs
+    sharing a large fraction of content fingerprints — mirror farms,
+    caught at host-pair granularity instead of page-pair. Synthesis (the
+    table has no url/host): content c = doc_id%100 replicated across
+    copies k = doc_id div 100, each copy served from host
+    (c + 4*(k%5)) % 21 — so neighbouring hosts share most of their
+    content with a Jaccard gradient (~0.65 at host distance 4, falling
+    to ~0.1), and docs with doc_id%25==0 instead carry the 'boiler'
+    fingerprint, which lands on 9 hosts — OVER the cap of 8, so the
+    ubiquitous-content exclusion is exercised by the hash (boiler counts
+    for nobody's numerator or denominator). Threshold 200 ppt,
+    integer-exact on both engines (Spark `div`, DuckDB `//`). Scale
+    shape: fp-bounded pair join (≤ C(cap,2) pairs per fingerprint),
+    exchanges on fp then (host_a, host_b) — never |hosts|^2."""
+    from language_identification_spark.operators.mirrors import (
+        host_mirror_pairs,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    c = F.col("doc_id") % 100
+    k = F.expr("doc_id div 100")
+    host = F.concat(F.lit("site"), ((c + 4 * (k % 5)) % 21).cast("string"))
+    fp = F.when(F.col("doc_id") % 25 == 0, F.lit("boiler")).otherwise(
+        F.concat(F.lit("f"), c.cast("string"))
+    )
+    hf = docs.select(host.alias("host"), fp.alias("fp"))
+    return host_mirror_pairs(hf, jaccard_thr_ppt=200, max_hosts_per_fp=8)
+
+
+SQL_HOST_MIRROR_PAIRS = """
+WITH hf AS (
+  SELECT DISTINCT
+    'site' || (((doc_id % 100) + 4 * ((doc_id // 100) % 5)) % 21) AS host,
+    CASE WHEN doc_id % 25 = 0 THEN 'boiler'
+         ELSE 'f' || (doc_id % 100) END AS fp
+  FROM documents
+),
+capped AS (
+  SELECT host, fp FROM hf
+  WHERE fp IN (SELECT fp FROM hf GROUP BY fp HAVING count(*) <= 8)
+),
+sizes AS (SELECT host, count(*) AS n_fps FROM capped GROUP BY host),
+shared AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_shared
+  FROM capped a JOIN capped b ON a.fp = b.fp AND a.host < b.host
+  GROUP BY a.host, b.host
+)
+SELECT host_a, host_b, n_shared,
+       sa.n_fps AS n_a, sb.n_fps AS n_b,
+       (n_shared * 1000) // (sa.n_fps + sb.n_fps - n_shared) AS jaccard_ppt
+FROM shared
+JOIN sizes sa ON sa.host = shared.host_a
+JOIN sizes sb ON sb.host = shared.host_b
+WHERE n_shared * 1000 >= 200 * (sa.n_fps + sb.n_fps - n_shared)
+"""
+
+
 def q_deseret_translit(spark, sf_dir):
     """F14 Deseret transliteration (reference deseret/deseret_conversion.py:
     1-81): legacy-font chars -> Deseret block (``fix_deseret``, a native
@@ -7306,6 +7365,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "deterministic_split": q_deterministic_split,
     "host_disjoint_split": q_host_disjoint_split,
     "split_leakage_audit": q_split_leakage_audit,
+    "host_mirror_pairs": q_host_mirror_pairs,
     "lang_mix_sample": q_lang_mix_sample,
     "temperature_mix_sample": q_temperature_mix_sample,
     "dsir_select": q_dsir_select,
@@ -7422,6 +7482,7 @@ ORACLE_SQL: dict[str, str] = {
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,
     "host_disjoint_split": SQL_HOST_DISJOINT_SPLIT,
     "split_leakage_audit": SQL_SPLIT_LEAKAGE_AUDIT,
+    "host_mirror_pairs": SQL_HOST_MIRROR_PAIRS,
     "lang_mix_sample": SQL_LANG_MIX_SAMPLE,
     "temperature_mix_sample": SQL_TEMPERATURE_MIX_SAMPLE,
     "dsir_select": SQL_DSIR_SELECT,
