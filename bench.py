@@ -136,6 +136,8 @@ HEADLINE = [
     "split_leakage_audit",
     # cross-host mirror detection (fp-bounded host-pair join)
     "host_mirror_pairs",
+    # cross-language template spam via punctuation skeletons
+    "template_spam_groups",
     # lsh_recall_eval / minhash_prod_recall_eval: diagnostic gates,
     # quadratic truth on a pinned 500-doc universe — verified at the
     # gate, not a headline path

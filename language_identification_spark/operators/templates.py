@@ -139,3 +139,71 @@ def scrub_template_lines(
         ),
         F.array_join(kept, "\n").alias("scrubbed_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-language template spam: punctuation-skeleton fingerprints
+# ---------------------------------------------------------------------------
+
+# explicit ASCII structural keep-set (digits, punctuation, space). Explicit
+# because Java regex and RE2 disagree on shorthand classes (\p{L} Unicode
+# versions, \s membership) but agree exactly on enumerated ASCII classes —
+# the same lesson as readability's whitespace class.
+SKELETON_KEEP = "0-9\\]\\[():|=!,;.%&#@ -"
+
+
+def text_skeleton(col):
+    """The page's structural skeleton: every character OUTSIDE the explicit
+    ASCII digit/punctuation/space set removed (any script's words vanish),
+    space runs collapsed, trimmed. Template-generated pages — the same
+    scaffold refilled with rewritten or machine-translated content — share
+    their skeleton even when no content n-gram survives translation, which
+    is exactly why skeleton equality catches what MinHash cannot."""
+    s = F.regexp_replace(col, f"[^{SKELETON_KEEP}]", "")
+    s = F.regexp_replace(s, " +", " ")
+    return F.trim(s)
+
+
+def template_spam_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_skeleton_len: int = 6,
+) -> DataFrame:
+    """Group documents by md5(skeleton) and surface template families:
+    (skeleton_fp, n_docs, n_langs, langs, keep_doc_id, cross_lang). A
+    family spanning >= 2 languages (cross_lang) is machine-translated
+    template spam evidence — same scaffold, different-language fill —
+    invisible to content-based near-dup (translation destroys shingles).
+    Skeletons shorter than min_skeleton_len carry no structure (every
+    plain-prose page collapses to '.' or ''), so they are excluded rather
+    than fused into one mega-group — the degenerate-key defense, same
+    motive as the LSH bucket cap but exact.
+
+    Scale shape: one narrow skeleton map (two regex passes + md5, pure
+    codegen), then ONE groupBy(fp) with map-side partials — the
+    exact_dedup cost shape. No joins, no windows."""
+    skel = text_skeleton(F.col(text_col))
+    rows = df.where(
+        F.col(text_col).isNotNull()
+        & (F.length(skel) >= min_skeleton_len)
+    ).select(
+        F.md5(skel.cast("binary")).alias("skeleton_fp"),
+        F.col(lang_col).alias("lang"),
+        F.col(id_col).alias("doc_id"),
+    )
+    return (
+        rows.groupBy("skeleton_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.array_join(F.sort_array(F.collect_set("lang")), ",").alias(
+                "langs"
+            ),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .withColumn("cross_lang", F.col("n_langs") >= 2)
+    )

@@ -44,6 +44,7 @@ Operator coverage map (reference file:line in each docstring):
   host_disjoint_split (leakage-safe, operators/mixer.py) +
   split_leakage_audit (measured straddle counts per scheme);
   mirrors: host_mirror_pairs (fp-bounded host-pair join, operators/mirrors.py);
+  template spam: template_spam_groups (punctuation-skeleton fp, operators/templates.py);
   packing: pack_sequences (concat-and-chop window spans, operators/packing.py)
   + chunk_documents (overlapping RAG windows, operators/chunking.py);
   retrieval/eval: bm25_topk + tfidf_keywords + langid_eval (P/R/F1 via
@@ -5165,6 +5166,68 @@ WHERE n_shared * 1000 >= 200 * (sa.n_fps + sb.n_fps - n_shared)
 """
 
 
+def q_template_spam_groups(spark, sf_dir):
+    """Cross-language template-spam detection (operators/templates.py:
+    template_spam_groups): pages generated from one scaffold with
+    machine-translated fill share their punctuation/digit SKELETON even
+    though translation destroys every content shingle — so skeleton-fp
+    grouping catches what MinHash/simhash structurally cannot. Synthesis:
+    template t = doc_id%30 wraps each doc's own words in a t-dependent
+    scaffold ('[t] ... (c) 2024, id=7t; ... !'); all languages fill the
+    same scaffolds, so groups span langs (cross_lang true) and the
+    skeleton transform (explicit ASCII keep-set — Java regex and RE2
+    agree exactly on enumerated classes, not on shorthand ones) is
+    exercised over every script in the table. Scale shape: narrow
+    two-regex + md5 map, ONE groupBy(fp) with map-side partials — the
+    exact_dedup cost shape."""
+    from language_identification_spark.operators.templates import (
+        template_spam_groups,
+    )
+
+    docs = _spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    t = F.col("doc_id") % 30
+    page = F.concat(
+        F.lit("["), t.cast("string"), F.lit("] "),
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" (c) 2024, id="), (t * 7).cast("string"), F.lit("; "),
+        F.substring(F.col("text"), 41, 40),
+        F.lit(" !"),
+    )
+    return template_spam_groups(
+        docs.select("doc_id", "lang", page.alias("text"))
+    )
+
+
+SQL_TEMPLATE_SPAM_GROUPS = r"""
+WITH pages AS (
+  SELECT doc_id, lang,
+    '[' || (doc_id % 30) || '] ' || substr(text, 1, 40)
+      || ' (c) 2024, id=' || ((doc_id % 30) * 7) || '; '
+      || substr(text, 41, 40) || ' !' AS page
+  FROM documents WHERE text IS NOT NULL
+),
+skel AS (
+  SELECT doc_id, lang,
+    trim(regexp_replace(
+      regexp_replace(page, '[^0-9\]\[():|=!,;.%&#@ -]', '', 'g'),
+      ' +', ' ', 'g')) AS skeleton
+  FROM pages
+),
+grouped AS (
+  SELECT md5(skeleton) AS skeleton_fp,
+         count(*) AS n_docs,
+         count(DISTINCT lang) AS n_langs,
+         string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+         min(doc_id) AS keep_doc_id
+  FROM skel WHERE length(skeleton) >= 6
+  GROUP BY md5(skeleton)
+)
+SELECT *, n_langs >= 2 AS cross_lang FROM grouped WHERE n_docs >= 2
+"""
+
+
 def q_deseret_translit(spark, sf_dir):
     """F14 Deseret transliteration (reference deseret/deseret_conversion.py:
     1-81): legacy-font chars -> Deseret block (``fix_deseret``, a native
@@ -7366,6 +7429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_disjoint_split": q_host_disjoint_split,
     "split_leakage_audit": q_split_leakage_audit,
     "host_mirror_pairs": q_host_mirror_pairs,
+    "template_spam_groups": q_template_spam_groups,
     "lang_mix_sample": q_lang_mix_sample,
     "temperature_mix_sample": q_temperature_mix_sample,
     "dsir_select": q_dsir_select,
@@ -7483,6 +7547,7 @@ ORACLE_SQL: dict[str, str] = {
     "host_disjoint_split": SQL_HOST_DISJOINT_SPLIT,
     "split_leakage_audit": SQL_SPLIT_LEAKAGE_AUDIT,
     "host_mirror_pairs": SQL_HOST_MIRROR_PAIRS,
+    "template_spam_groups": SQL_TEMPLATE_SPAM_GROUPS,
     "lang_mix_sample": SQL_LANG_MIX_SAMPLE,
     "temperature_mix_sample": SQL_TEMPERATURE_MIX_SAMPLE,
     "dsir_select": SQL_DSIR_SELECT,
