@@ -20,6 +20,10 @@ from language_identification_spark.oracle.langid import NgramNBModel
 from language_identification_spark.oracle.quality import QualityConfig
 from language_identification_spark.plans.pipeline import quality_filter_plan
 from language_identification_spark.queries import ORACLE_SQL, QUERIES
+from language_identification_spark.queries_textops import (
+    ORACLE_SQL_TEXTOPS,
+    QUERIES_TEXTOPS,
+)
 from language_identification_spark.queries_webmeta import (
     ORACLE_SQL_EXT,
     QUERIES_EXT,
@@ -615,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["quality_classifier_calibration"] = _q_quality_classifier_calibration
     out["drop_rule_ablation"] = _q_drop_rule_ablation
     out.update(QUERIES_EXT)
+    out.update(QUERIES_TEXTOPS)
     return out
 
 
@@ -711,4 +716,5 @@ FROM (
 GROUP BY rule
 """
     out.update(ORACLE_SQL_EXT)
+    out.update(ORACLE_SQL_TEXTOPS)
     return out

@@ -461,3 +461,132 @@ SELECT band, count(*)::BIGINT AS n_oversized,
 FROM bucket_n WHERE n_members > {max_bucket_size}
 GROUP BY band
 """
+
+
+def plan_bands(
+    spark,
+    n_perms: int = PROD_N_PERMS,
+    t_num: int = 4,
+    t_den: int = 5,
+    max_r: int = 16,
+):
+    """Broder/MMDS banding planner: enumerate every (bands b, rows r) split
+    with b*r <= n_perms, r <= max_r, and score it against a target Jaccard
+    threshold t = t_num/t_den (default 0.8) — the config step that decides
+    how a permutation budget becomes (bands, rows) (PAPERS.md: Broder '97;
+    Leskovec MMDS ch.3 S-curve math). ``chosen`` is the s50-matching
+    split (b*t^r closest to 1); production configs like 14x8 deliberately
+    overshoot b to trade precision for recall — both live in the output.
+
+    ALL arithmetic is exact-integer fixed point (ppm), so the oracle
+    replays it bit-for-bit with no cross-engine float-pow hazard:
+      tr_ppm     = floor(1e6 * t^r)           per-band collision prob at t
+      dist_ppm   = floor(1e6 * |b*t^r - 1|)   how far the S-curve midpoint
+                                              proxy b*t^r sits from 1
+                                              (s50 = (1/b)^(1/r) == t  <=>
+                                               b*t^r == 1)
+      p_at_t_ppm = 1e6 - fold_b(acc*q//1e6)   exact left fold of
+                                              1-(1-t^r)^b in floor-ppm
+    t^r is computed by exact integer exponentiation (fold over
+    array_repeat), never float pow. ``chosen`` marks the (dist_ppm, b)
+    minimum — computed via a global min-struct aggregate broadcast back
+    (planner table is <= n_perms*max_r rows; no single-partition window).
+
+    Driver-side cost: none (pure DataFrame plan from spark.range).
+    """
+    r = spark.range(1, max_r + 1).select(F.col("id").alias("r"))
+    b = spark.range(1, n_perms + 1).select(F.col("id").alias("b"))
+    pairs = (
+        r.crossJoin(b)
+        .where(F.col("b") * F.col("r") <= F.lit(n_perms))
+        .withColumn(
+            "p_num",
+            F.expr(
+                f"aggregate(array_repeat(CAST({t_num} AS BIGINT), "
+                "CAST(r AS INT)), CAST(1 AS BIGINT), (acc, x) -> acc * x)"
+            ),
+        )
+        .withColumn(
+            "p_den",
+            F.expr(
+                f"aggregate(array_repeat(CAST({t_den} AS BIGINT), "
+                "CAST(r AS INT)), CAST(1 AS BIGINT), (acc, x) -> acc * x)"
+            ),
+        )
+        .withColumn("tr_ppm", F.expr("(1000000 * p_num) div p_den"))
+        .withColumn(
+            "dist_ppm",
+            F.expr("(1000000 * abs(b * p_num - p_den)) div p_den"),
+        )
+        .withColumn(
+            "p_at_t_ppm",
+            F.expr(
+                "CAST(1000000 AS BIGINT) - aggregate("
+                "array_repeat(1000000 - tr_ppm, CAST(b AS INT)), "
+                "CAST(1000000 AS BIGINT), (acc, x) -> (acc * x) div 1000000)"
+            ),
+        )
+        .select(
+            F.col("b").cast("bigint"),
+            F.col("r").cast("bigint"),
+            (F.col("b") * F.col("r")).cast("bigint").alias("n_used"),
+            "tr_ppm",
+            "dist_ppm",
+            "p_at_t_ppm",
+        )
+    )
+    best = pairs.agg(
+        F.min(F.struct("dist_ppm", "b")).alias("m")
+    ).select(F.col("m.dist_ppm").alias("_bd"), F.col("m.b").alias("_bb"))
+    return (
+        pairs.join(F.broadcast(best))
+        .withColumn(
+            "chosen",
+            (F.col("dist_ppm") == F.col("_bd")) & (F.col("b") == F.col("_bb")),
+        )
+        .drop("_bd", "_bb")
+    )
+
+
+def plan_bands_sql(
+    n_perms: int = PROD_N_PERMS,
+    t_num: int = 4,
+    t_den: int = 5,
+    max_r: int = 16,
+) -> str:
+    """DuckDB oracle for plan_bands — identical integer fixed-point
+    arithmetic: recursive CTE for exact t^r numerator/denominator powers,
+    recursive CTE for the left floor-fold of (1-t^r)^b in ppm."""
+    return f"""
+WITH RECURSIVE pw(r, p_num, p_den) AS (
+  SELECT 1, CAST({t_num} AS BIGINT), CAST({t_den} AS BIGINT)
+  UNION ALL
+  SELECT r + 1, p_num * {t_num}, p_den * {t_den} FROM pw WHERE r < {max_r}
+),
+pairs AS (
+  SELECT b.b, pw.r, b.b * pw.r AS n_used,
+         (1000000 * p_num) // p_den AS tr_ppm,
+         (1000000 * abs(b.b * p_num - p_den)) // p_den AS dist_ppm
+  FROM pw, (SELECT unnest(range(1, {n_perms} + 1)) AS b) b
+  WHERE b.b * pw.r <= {n_perms}
+),
+fold(b, r, i, acc) AS (
+  SELECT b, r, CAST(0 AS BIGINT), CAST(1000000 AS BIGINT) FROM pairs
+  UNION ALL
+  SELECT b, r, i + 1, (acc * q.tr) // 1000000
+  FROM fold JOIN (SELECT b AS fb, r AS fr, 1000000 - tr_ppm AS tr
+                  FROM pairs) q ON q.fb = fold.b AND q.fr = fold.r
+  WHERE i < b
+),
+pp AS (
+  SELECT b, r, 1000000 - acc AS p_at_t_ppm FROM fold WHERE i = b
+),
+best AS (
+  SELECT dist_ppm AS bd, b AS bb FROM pairs ORDER BY dist_ppm, b LIMIT 1
+)
+SELECT CAST(p.b AS BIGINT) AS b, CAST(p.r AS BIGINT) AS r,
+       CAST(n_used AS BIGINT) AS n_used, tr_ppm, dist_ppm,
+       pp.p_at_t_ppm,
+       (dist_ppm = best.bd AND p.b = best.bb) AS chosen
+FROM pairs p JOIN pp ON pp.b = p.b AND pp.r = p.r, best
+"""

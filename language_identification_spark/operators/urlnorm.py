@@ -139,3 +139,39 @@ def url_word_score(
         score.cast("int").alias("score"),
         (strict_hit | (score >= F.lit(int(threshold)))).alias("blocked"),
     )
+
+
+def latest_snapshot(
+    df,
+    url_col: str = "url",
+    ts_col: str = "snap_h",
+    id_col: str = "doc_id",
+):
+    """Keep the NEWEST crawl snapshot per URL (recency dedup).
+
+    Common-Crawl-style tables carry many (url, warc_ts) snapshots of the
+    same page; training corpora keep one, preferring the freshest capture
+    (the CCNet/C4 convention). One exchange on the short url key; the
+    winner election is a max-of-struct aggregate (ts desc, then MIN id as
+    the deterministic tie-break via negated id), never a window — the
+    same map-side-combinable shape as exact_dedup, so partial aggregation
+    bounds shuffle rows by distinct-url count, not corpus size.
+
+    Returns (url, doc_id, ts, n_snapshots) with the winning row's id/ts.
+    """
+    win = F.max(
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            (-F.col(id_col)).alias("neg_id"),
+        )
+    ).alias("w")
+    return (
+        df.groupBy(url_col)
+        .agg(win, F.count("*").cast("bigint").alias("n_snapshots"))
+        .select(
+            url_col,
+            (-F.col("w.neg_id")).cast("bigint").alias(id_col),
+            F.col("w.ts").cast("bigint").alias(ts_col),
+            "n_snapshots",
+        )
+    )

@@ -1,0 +1,266 @@
+"""Gate battery extension: text canonicalization + crawl-hygiene operators.
+
+Five gates, same contract as queries.py (builder(spark, sf_dir) + DuckDB
+oracle over the same parquet views, fixtures synthesized identically in
+both engines):
+
+  nfc_normalize_audit — Unicode NFC canonicalization (operators/textnorm.py)
+  soft404_filter      — soft-404 / error-page drop rule (textnorm.py)
+  minhash_band_planner— Broder banding config math, exact ppm integers
+                        (operators/minhash.py:plan_bands)
+  url_latest_snapshot — keep-newest-capture recency dedup per url
+                        (operators/urlnorm.py:latest_snapshot)
+  lexical_diversity   — per-doc type/token/hapax ratios (quality signal)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from language_identification_spark.operators.minhash import (
+    plan_bands,
+    plan_bands_sql,
+)
+from language_identification_spark.operators.textnorm import (
+    SOFT404_PHRASES,
+    nfc_audit,
+    soft404_flag,
+    synth_nonnfc_docs,
+)
+from language_identification_spark.operators.urlnorm import latest_snapshot
+from language_identification_spark.queries import _spread, _t, _words
+
+# --- NFC normalization audit ----------------------------------------------
+
+
+def q_nfc_normalize_audit(spark, sf_dir):
+    """Unicode NFC audit over the corpus with deterministically planted
+    decomposed sequences (operators/textnorm.py docstring). Zero exchanges:
+    narrow scan -> Arrow-batched pandas str.normalize -> md5. The gate
+    hashes the normalized-text md5 per doc, so the Python (unicodedata)
+    and DuckDB (utf8proc) NFC implementations are held bit-equal on every
+    row — the strongest cross-engine contract available for this op."""
+    docs = synth_nonnfc_docs(_spread(_t(spark, sf_dir, "documents")))
+    return nfc_audit(docs)
+
+
+SQL_NFC_NORMALIZE_AUDIT = r"""
+WITH synth AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 4 = 1 THEN ' cafe' || chr(769)
+           WHEN doc_id % 4 = 2
+             THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+           WHEN doc_id % 4 = 3 THEN ' caf' || chr(233)
+           ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       text <> nfc_normalize(text) AS changed,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+       md5(nfc_normalize(text)) AS nfc_md5
+FROM synth
+"""
+
+
+# --- soft-404 / error-page filter -----------------------------------------
+
+
+def q_soft404_filter(spark, sf_dir):
+    """Soft-404 drop rule over the corpus with planted error pages:
+    doc_id%13==0 -> whole text replaced by a short 'Error 404' template
+    (must be flagged); doc_id%13==1 -> real text with an appended
+    'no longer available' notice (phrase hit, but flagged ONLY if the doc
+    is short — the length guard is the point of the rule). Pure narrow
+    relational map, zero Python, zero exchanges."""
+    did = F.col("doc_id")
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.when(
+            did % 13 == 0,
+            F.lit(
+                "Error 404 - the page you requested was not found on "
+                "this server."
+            ),
+        )
+        .when(
+            did % 13 == 1,
+            F.concat(
+                F.col("text"), F.lit(" this page is no longer available")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    n_words, phrase, is_404 = soft404_flag(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        phrase.alias("matched_phrase"),
+        is_404.alias("is_soft404"),
+    )
+
+
+_SQL_PHRASE_CASE = "CASE " + " ".join(
+    f"WHEN contains(low, '{p}') THEN '{p}'" for p in SOFT404_PHRASES
+) + " ELSE NULL END"
+
+SQL_SOFT404_FILTER = rf"""
+WITH synth AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 13 = 0
+             THEN 'Error 404 - the page you requested was not found on this server.'
+           WHEN doc_id % 13 = 1
+             THEN text || ' this page is no longer available'
+           ELSE text END AS text
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS n_words,
+         lower(text) AS low
+  FROM synth
+)
+SELECT doc_id, n_words,
+       {_SQL_PHRASE_CASE} AS matched_phrase,
+       ({_SQL_PHRASE_CASE}) IS NOT NULL AND n_words <= 60 AS is_soft404
+FROM feat
+"""
+
+
+# --- MinHash banding planner ----------------------------------------------
+
+
+def q_minhash_band_planner(spark, sf_dir):
+    """Broder banding planner at the production budget (112 perms, t=0.8):
+    every feasible (b, r) split scored in exact ppm integers. At t=0.8 the
+    s50-optimal split is (b=6, r=8) — b = 1/t^r; the shipped 14x8
+    (minhash_prod_*) uses the SAME r but more bands, i.e. it targets a
+    LOWER s50 of (1/14)^(1/8) ~ 0.72, spending the full perm budget to
+    push recall ABOVE the 0.8 design point (FineWeb's trade). Both rows
+    are in the output with their exact S-curve numbers, so the gate pins
+    that relationship, not just the argmin. Input tables unused (pure
+    config math) but the full arithmetic is hash-checked vs SQL."""
+    return plan_bands(spark, n_perms=112, t_num=4, t_den=5, max_r=16)
+
+
+SQL_MINHASH_BAND_PLANNER = plan_bands_sql(
+    n_perms=112, t_num=4, t_den=5, max_r=16
+)
+
+
+# --- URL recency dedup ----------------------------------------------------
+
+
+def q_url_latest_snapshot(spark, sf_dir):
+    """Keep-newest-capture per url. The documents table has no url/ts, so
+    both are synthesized deterministically: url collides for doc_ids equal
+    mod 200 (multi-snapshot groups at every SF), pseudo-random capture
+    hour via a Knuth-multiplicative hash mod 8191 (ties possible ->
+    min-doc_id tie-break is load-bearing). ONE short-key exchange,
+    map-side-combinable max-struct election (operators/urlnorm.py)."""
+    did = F.col("doc_id")
+    snaps = _spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.concat(
+            F.lit("site"),
+            (did % 25).cast("string"),
+            F.lit(".example.com/p"),
+            (did % 200).cast("string"),
+        ).alias("url"),
+        ((did * 2654435761) % 8191).cast("bigint").alias("snap_h"),
+    )
+    return latest_snapshot(snaps, "url", "snap_h", "doc_id")
+
+
+SQL_URL_LATEST_SNAPSHOT = r"""
+WITH snaps AS (
+  SELECT doc_id,
+         'site' || (doc_id % 25) || '.example.com/p' || (doc_id % 200)
+           AS url,
+         CAST((doc_id * 2654435761) % 8191 AS BIGINT) AS snap_h
+  FROM documents
+),
+ranked AS (
+  SELECT url, doc_id, snap_h,
+         count(*) OVER (PARTITION BY url) AS n_snapshots,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY snap_h DESC, doc_id ASC) AS rn
+  FROM snaps
+)
+SELECT url, CAST(doc_id AS BIGINT) AS doc_id, snap_h,
+       CAST(n_snapshots AS BIGINT) AS n_snapshots
+FROM ranked WHERE rn = 1
+"""
+
+
+# --- lexical diversity ----------------------------------------------------
+
+
+def q_lexical_diversity(spark, sf_dir):
+    """Per-doc lexical-diversity quality signal: token count, type count,
+    hapax count, type-token ratio and hapax share in ppm integers. Low
+    TTR flags template/spam pages (the Gopher-adjacent diversity rule).
+    One explode + two-level aggregate on shrinking keys — the (doc, word)
+    partial agg is map-side combined, so shuffle rows are bounded by
+    per-doc distinct words, not corpus token count."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    wc = (
+        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .withColumn("ttr_ppm", F.expr("1000000 * n_types div n_tokens"))
+        .withColumn("hapax_ppm", F.expr("1000000 * n_hapax div n_tokens"))
+    )
+
+
+SQL_LEXICAL_DIVERSITY = r"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (
+  SELECT doc_id, word, count(*) AS cnt
+  FROM words WHERE word <> '' GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST((1000000 * count(*)) // sum(cnt) AS BIGINT) AS ttr_ppm,
+       CAST((1000000 * sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)) // sum(cnt)
+            AS BIGINT) AS hapax_ppm
+FROM wc GROUP BY doc_id
+"""
+
+
+QUERIES_TEXTOPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "nfc_normalize_audit": q_nfc_normalize_audit,
+    "soft404_filter": q_soft404_filter,
+    "minhash_band_planner": q_minhash_band_planner,
+    "url_latest_snapshot": q_url_latest_snapshot,
+    "lexical_diversity": q_lexical_diversity,
+}
+
+ORACLE_SQL_TEXTOPS: dict[str, str] = {
+    "nfc_normalize_audit": SQL_NFC_NORMALIZE_AUDIT,
+    "soft404_filter": SQL_SOFT404_FILTER,
+    "minhash_band_planner": SQL_MINHASH_BAND_PLANNER,
+    "url_latest_snapshot": SQL_URL_LATEST_SNAPSHOT,
+    "lexical_diversity": SQL_LEXICAL_DIVERSITY,
+}

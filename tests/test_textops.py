@@ -1,0 +1,125 @@
+"""Unit tests for operators/textnorm.py, the banding planner, and
+latest_snapshot — the edge cases the sf-corpus gates cover only
+statistically: NFC fixed points, combining-sequence composition, the
+soft-404 length guard, planner argmin identity, and recency tie-breaks."""
+
+import unicodedata
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from language_identification_spark.operators.minhash import plan_bands
+from language_identification_spark.operators.textnorm import (
+    SOFT404_PHRASES,
+    nfc_audit,
+    soft404_flag,
+)
+from language_identification_spark.operators.urlnorm import latest_snapshot
+
+
+def _audit(spark, text):
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    return nfc_audit(df).first()
+
+
+def test_nfc_composes_combining_acute(spark):
+    r = _audit(spark, "café")
+    assert r.changed is True
+    assert r.n_chars_raw == 5 and r.n_chars_nfc == 4
+
+
+def test_nfc_ascii_is_fixed_point(spark):
+    r = _audit(spark, "plain ascii text")
+    assert r.changed is False
+    assert r.n_chars_raw == r.n_chars_nfc
+
+
+def test_nfc_precomposed_unchanged(spark):
+    r = _audit(spark, "caf\u00e9")
+    assert r.changed is False and r.n_chars_nfc == 4
+
+
+def test_nfc_hash_matches_python_unicodedata(spark):
+    import hashlib
+
+    s = "Ångström and café"
+    r = _audit(spark, s)
+    want = hashlib.md5(
+        unicodedata.normalize("NFC", s).encode("utf-8")
+    ).hexdigest()
+    assert r.nfc_md5 == want
+
+
+def _flag(spark, text, max_words=60):
+    df = spark.createDataFrame([Row(text=text)])
+    n, p, f = soft404_flag(F.col("text"), max_words)
+    return df.select(
+        n.alias("n"), p.alias("p"), f.alias("f")
+    ).first()
+
+
+def test_soft404_short_error_page_flagged(spark):
+    r = _flag(spark, "Error 404 - Page Not Found")
+    assert r.f is True and r.p == "page not found"  # first in list order
+
+
+def test_soft404_long_page_quoting_404_not_flagged(spark):
+    long_text = "word " * 100 + "the server said error 404 once"
+    r = _flag(spark, long_text)
+    assert r.p == "error 404" and r.f is False
+
+
+def test_soft404_clean_page(spark):
+    r = _flag(spark, "an ordinary article about cats")
+    assert r.p is None and r.f is False
+
+
+def test_soft404_phrase_priority_is_list_order(spark):
+    # both phrases present -> earliest list entry reported
+    r = _flag(spark, "access denied: this page does not exist")
+    assert r.p == "does not exist"
+    assert SOFT404_PHRASES.index("does not exist") < SOFT404_PHRASES.index(
+        "access denied"
+    )
+
+
+def test_plan_bands_argmin_is_inverse_threshold(spark):
+    rows = {(r.b, r.r): r for r in plan_bands(spark, 112, 4, 5, 16).collect()}
+    chosen = [k for k, v in rows.items() if v.chosen]
+    # b = round(1/0.8^r) for the r where b*r <= 112 fits best: 6*8
+    assert chosen == [(6, 8)]
+    # exact integers: t^8 in ppm = floor(1e6 * 4^8 / 5^8)
+    assert rows[(6, 8)].tr_ppm == 1000000 * 4**8 // 5**8 == 167772
+    # the production 14x8 row exists and its collision prob at t is high
+    assert rows[(14, 8)].p_at_t_ppm > 900000
+    # every row respects the budget
+    assert all(b * r <= 112 for b, r in rows)
+
+
+def test_plan_bands_p_at_t_monotone_in_b(spark):
+    rows = plan_bands(spark, 112, 4, 5, 16).collect()
+    by_r = {}
+    for r in rows:
+        by_r.setdefault(r.r, []).append((r.b, r.p_at_t_ppm))
+    for r, pairs in by_r.items():
+        pairs.sort()
+        ps = [p for _, p in pairs]
+        assert ps == sorted(ps), f"p_at_t not monotone in b for r={r}"
+
+
+def test_latest_snapshot_keeps_max_ts_min_id_tie(spark):
+    df = spark.createDataFrame(
+        [
+            Row(url="u1", snap_h=5, doc_id=10),
+            Row(url="u1", snap_h=9, doc_id=11),
+            Row(url="u2", snap_h=7, doc_id=20),
+            Row(url="u2", snap_h=7, doc_id=21),  # tie -> min doc_id wins
+            Row(url="u3", snap_h=1, doc_id=30),
+        ]
+    )
+    out = {
+        r.url: r for r in latest_snapshot(df, "url", "snap_h").collect()
+    }
+    assert out["u1"].doc_id == 11 and out["u1"].snap_h == 9
+    assert out["u2"].doc_id == 20 and out["u2"].n_snapshots == 2
+    assert out["u3"].n_snapshots == 1
