@@ -138,6 +138,15 @@ HEADLINE = [
     "host_mirror_pairs",
     # cross-language template spam via punctuation skeletons
     "template_spam_groups",
+    # round-5 session-5 additions: NFC canonicalization, soft-404 drop
+    # rule, url recency dedup, lexical-diversity quality signal
+    # (minhash_band_planner is O(1) config math — gate, not headline)
+    "nfc_normalize_audit",
+    "soft404_filter",
+    "url_latest_snapshot",
+    "lexical_diversity",
+    "host_quality_wilson",
+    "crawl_delta",
     # lsh_recall_eval / minhash_prod_recall_eval: diagnostic gates,
     # quadratic truth on a pinned 500-doc universe — verified at the
     # gate, not a headline path

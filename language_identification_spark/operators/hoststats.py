@@ -106,3 +106,58 @@ def salted_skew_join(
         ),
     )
     return salted_fact.join(salted_dim, [key, "_salt"]).drop("_salt")
+
+
+def wilson_bounds_ppm(
+    k_col: str = "n_keep",
+    n_col: str = "n_docs",
+    z_str: str = "1.96",
+) -> tuple[F.Column, F.Column]:
+    """Wilson score interval for a per-group keep rate, in floor-ppm.
+
+    Ranking hosts by raw keep fraction over-trusts tiny hosts (2/2 beats
+    9000/10000); the Wilson lower bound is the standard small-sample
+    correction (Wilson 1927 — the Reddit 'best' sort), so crawl
+    prioritization reads the LB and quarantine reads the UB.
+
+    Cross-engine determinism: the formula is spelled with an EXPLICIT
+    operation order using only IEEE-correctly-rounded ops (+ - * /
+    sqrt) on doubles derived from bigints, so Spark and DuckDB produce
+    bit-identical doubles and the floor(1e6*x) ppm cast cannot straddle.
+    The z literal is passed as a string so both engines parse the same
+    decimal into the same double.
+
+    Returns (wilson_lb_ppm, wilson_ub_ppm) BIGINT columns; callers
+    supply the (k, n) aggregate columns.
+    """
+    lb = _wilson_expr(k_col, n_col, z_str, "-")
+    ub = _wilson_expr(k_col, n_col, z_str, "+")
+    return lb, ub
+
+
+def _wilson_expr(k: str, n: str, z: str, sign: str) -> F.Column:
+    # (p + z2/(2n) +/- z*sqrt( (p*(1-p))/n + z2/(4n^2) )) / (1 + z2/n)
+    # -- every subexpression parenthesized; SQL below must mirror EXACTLY.
+    e = (
+        f"CAST(floor(1000000.0 * ((((CAST({k} AS DOUBLE) / CAST({n} AS "
+        f"DOUBLE)) + (({z} * {z}) / (2.0 * CAST({n} AS DOUBLE)))) {sign} "
+        f"({z} * sqrt((((CAST({k} AS DOUBLE) / CAST({n} AS DOUBLE)) * "
+        f"(1.0 - (CAST({k} AS DOUBLE) / CAST({n} AS DOUBLE)))) / "
+        f"CAST({n} AS DOUBLE)) + (({z} * {z}) / (4.0 * (CAST({n} AS "
+        f"DOUBLE) * CAST({n} AS DOUBLE))))))) / (1.0 + (({z} * {z}) / "
+        f"CAST({n} AS DOUBLE))))) AS BIGINT)"
+    )
+    return F.expr(e)
+
+
+def wilson_sql_expr(k: str, n: str, z: str, sign: str) -> str:
+    """The DuckDB-side twin of _wilson_expr — char-for-char the same
+    arithmetic (only the cast spelling differs)."""
+    kd = f"CAST({k} AS DOUBLE)"
+    nd = f"CAST({n} AS DOUBLE)"
+    return (
+        f"CAST(floor(1000000.0 * (((({kd} / {nd}) + (({z} * {z}) / "
+        f"(2.0 * {nd}))) {sign} ({z} * sqrt(((({kd} / {nd}) * (1.0 - "
+        f"({kd} / {nd}))) / {nd}) + (({z} * {z}) / (4.0 * ({nd} * "
+        f"{nd})))))) / (1.0 + (({z} * {z}) / {nd})))) AS BIGINT)"
+    )

@@ -249,12 +249,142 @@ FROM wc GROUP BY doc_id
 """
 
 
+# --- Wilson-bounded host quality ranking ----------------------------------
+
+
+def q_host_quality_wilson(spark, sf_dir):
+    """Per-host keep-rate ranking with the Wilson small-sample correction
+    (operators/hoststats.py:wilson_bounds_ppm): crawl prioritization must
+    not rank a 2-doc host's 2/2 above a 10k-doc host's 0.9 — the lower
+    bound fixes that; the upper bound is the quarantine signal. Keep flag
+    is a real rule (>= 40 words), host synthesized doc_id%25 (the
+    hoststats convention). ONE host-grain exchange, map-side combined;
+    all float work happens AFTER aggregation on |hosts| rows."""
+    from language_identification_spark.operators.hoststats import (
+        wilson_bounds_ppm,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    flagged = docs.select(
+        F.concat(F.lit("host"), (F.col("doc_id") % 25).cast("string")).alias(
+            "host"
+        ),
+        (
+            F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+            >= 40
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+    agg = flagged.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("keep").cast("bigint").alias("n_keep"),
+    )
+    lb, ub = wilson_bounds_ppm("n_keep", "n_docs")
+    return agg.select(
+        "host",
+        "n_docs",
+        "n_keep",
+        F.expr("1000000 * n_keep div n_docs").alias("keep_ppm"),
+        lb.alias("wilson_lb_ppm"),
+        ub.alias("wilson_ub_ppm"),
+    )
+
+
+def _sql_host_quality_wilson() -> str:
+    from language_identification_spark.operators.hoststats import (
+        wilson_sql_expr,
+    )
+
+    lb = wilson_sql_expr("n_keep", "n_docs", "1.96", "-")
+    ub = wilson_sql_expr("n_keep", "n_docs", "1.96", "+")
+    return rf"""
+WITH flagged AS (
+  SELECT 'host' || (doc_id % 25) AS host,
+         CASE WHEN len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   >= 40 THEN 1 ELSE 0 END AS keep
+  FROM documents
+),
+agg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(keep) AS BIGINT) AS n_keep
+  FROM flagged GROUP BY host
+)
+SELECT host, n_docs, n_keep,
+       CAST((1000000 * n_keep) // n_docs AS BIGINT) AS keep_ppm,
+       {lb} AS wilson_lb_ppm,
+       {ub} AS wilson_ub_ppm
+FROM agg
+"""
+
+
+SQL_HOST_QUALITY_WILSON = _sql_host_quality_wilson()
+
+
+# --- incremental crawl delta ----------------------------------------------
+
+
+def q_crawl_delta(spark, sf_dir):
+    """Incremental crawl processing: classify every doc across two crawl
+    snapshots as added / removed / changed / unchanged — the diff that
+    decides how much of a new dump actually needs re-filtering (the
+    Iceberg incremental-read pattern, engine-neutral). Snapshot A =
+    doc_id%7 != 1, snapshot B = doc_id%3 != 0, with B's text revised for
+    doc_id%5 == 0; membership + revision all doc_id-mod driven so the
+    oracle replays them exactly. ONE full-outer join on the id key (both
+    sides pre-pruned narrow scans); content compare via md5."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    a = docs.where(did % 7 != 1).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("hash_a")
+    )
+    b = docs.where(did % 3 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                did % 5 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+            )
+            .otherwise(F.col("text"))
+            .cast("binary")
+        ).alias("hash_b"),
+    )
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("hash_a").isNull(), F.lit("added"))
+        .when(F.col("hash_b").isNull(), F.lit("removed"))
+        .when(F.col("hash_a") == F.col("hash_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("doc_id", status.alias("status"))
+
+
+SQL_CRAWL_DELTA = r"""
+WITH a AS (
+  SELECT doc_id, md5(text) AS hash_a FROM documents WHERE doc_id % 7 <> 1
+),
+b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END)
+           AS hash_b
+  FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN hash_a IS NULL THEN 'added'
+            WHEN hash_b IS NULL THEN 'removed'
+            WHEN hash_a = hash_b THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""
+
+
 QUERIES_TEXTOPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nfc_normalize_audit": q_nfc_normalize_audit,
     "soft404_filter": q_soft404_filter,
     "minhash_band_planner": q_minhash_band_planner,
     "url_latest_snapshot": q_url_latest_snapshot,
     "lexical_diversity": q_lexical_diversity,
+    "host_quality_wilson": q_host_quality_wilson,
+    "crawl_delta": q_crawl_delta,
 }
 
 ORACLE_SQL_TEXTOPS: dict[str, str] = {
@@ -263,4 +393,6 @@ ORACLE_SQL_TEXTOPS: dict[str, str] = {
     "minhash_band_planner": SQL_MINHASH_BAND_PLANNER,
     "url_latest_snapshot": SQL_URL_LATEST_SNAPSHOT,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
+    "host_quality_wilson": SQL_HOST_QUALITY_WILSON,
+    "crawl_delta": SQL_CRAWL_DELTA,
 }

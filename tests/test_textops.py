@@ -123,3 +123,53 @@ def test_latest_snapshot_keeps_max_ts_min_id_tie(spark):
     assert out["u1"].doc_id == 11 and out["u1"].snap_h == 9
     assert out["u2"].doc_id == 20 and out["u2"].n_snapshots == 2
     assert out["u3"].n_snapshots == 1
+
+
+def test_wilson_bounds_match_reference_formula(spark):
+    import math
+
+    from language_identification_spark.operators.hoststats import (
+        wilson_bounds_ppm,
+    )
+
+    def wilson(k, n, z=1.96, sign=1):
+        p = k / n
+        return (
+            (p + z * z / (2 * n))
+            + sign * (z * math.sqrt((p * (1 - p)) / n + z * z / (4 * n * n)))
+        ) / (1 + z * z / n)
+
+    df = spark.createDataFrame(
+        [Row(n_keep=1, n_docs=2), Row(n_keep=9000, n_docs=10000),
+         Row(n_keep=0, n_docs=7), Row(n_keep=5, n_docs=5)]
+    )
+    lb, ub = wilson_bounds_ppm()
+    rows = df.select("n_keep", "n_docs", lb.alias("lb"), ub.alias("ub")).collect()
+    for r in rows:
+        want_lb = math.floor(1e6 * wilson(r.n_keep, r.n_docs, sign=-1))
+        want_ub = math.floor(1e6 * wilson(r.n_keep, r.n_docs, sign=1))
+        assert abs(r.lb - want_lb) <= 1, (r, want_lb)
+        assert abs(r.ub - want_ub) <= 1, (r, want_ub)
+    by = {(r.n_keep, r.n_docs): r for r in rows}
+    # the small-sample correction: 5/5 must NOT outrank 9000/10000
+    assert by[(5, 5)].lb < by[(9000, 10000)].lb
+    # bounds bracket the point estimate
+    for (k, n), r in by.items():
+        assert r.lb <= 1e6 * k / n <= r.ub
+
+
+def test_crawl_delta_all_classes(spark):
+    from language_identification_spark.queries_textops import q_crawl_delta
+
+    out = {r.doc_id: r.status for r in
+           q_crawl_delta(spark, "/root/testdata/sf0.001").collect()}
+    # doc_id=1: in B (1%3!=0) not in A (1%7==1) -> added
+    assert out[1] == "added"
+    # doc_id=3: in A, not in B (3%3==0) -> removed
+    assert out[3] == "removed"
+    # doc_id=5: in both, revised in B (5%5==0) -> changed
+    assert out[5] == "changed"
+    # doc_id=2: in both, untouched -> unchanged
+    assert out[2] == "unchanged"
+    # doc_id=0: A yes (0%7!=1), B no (0%3==0) -> removed
+    assert out[0] == "removed"
