@@ -139,3 +139,91 @@ def host_disjoint_split(
         .otherwise("test")
     )
     return df.withColumn(split_col, split)
+
+
+def waterfill_allocation(counts: DataFrame, budget: Column) -> DataFrame:
+    """Token-budget waterfilling: split a training budget across sources.
+
+    Input: one row per source with (key, avail, weight) — available
+    tokens and a positive integer mixing weight. Target allocation is
+    proportional to weight, but a source cannot contribute more than it
+    has; its surplus re-flows to the unsaturated sources (the
+    Llama/GPT-style data-mix allocation step; 'waterfilling' from the
+    information-theory power-allocation analogue).
+
+    CLOSED FORM, no iteration: sort sources by saturation ratio
+    a_k/w_k; the saturated set is always a prefix, and row k belongs to
+    it iff  a_k * W_k <= (B - A_k) * w_k  where A_k = sum of avail over
+    strictly-earlier rows and W_k = suffix weight sum including k — an
+    exact-rational (cross-multiplied, overflow-safe at corpus scale:
+    tokens ~ 1e12, weights ~ 1e6 -> products < 2^63) per-row test over
+    dim-bounded prefix/suffix sums. Those sums come from a dim self-join
+    (|sources|^2 rows, |sources| ~ languages/domains ~ 10-100), NOT a
+    window — windowless by construction like the rest of the battery.
+    The final water level r (ppm) spreads the remaining budget over the
+    unsaturated suffix; floor-division slack means sum(alloc) <= B with
+    deficit < |sources| tokens.
+
+    Returns (key..., avail, weight, saturated, alloc, r_ppm).
+    """
+    d = counts.select(
+        F.col("key"), F.col("avail").cast("long"), F.col("weight").cast("long")
+    ).where(F.col("weight") > 0)
+    left = d.alias("l")
+    right = d.alias("r")
+    # strict (ratio, key) ordering via exact cross-multiplied rationals:
+    # a_r/w_r < a_l/w_l  <=>  a_r*w_l < a_l*w_r
+    earlier = (
+        F.col("r.avail") * F.col("l.weight")
+        < F.col("l.avail") * F.col("r.weight")
+    ) | (
+        (
+            F.col("r.avail") * F.col("l.weight")
+            == F.col("l.avail") * F.col("r.weight")
+        )
+        & (F.col("r.key") < F.col("l.key"))
+    )
+    sums = (
+        left.join(F.broadcast(right), earlier, "left")
+        .groupBy("l.key", "l.avail", "l.weight")
+        .agg(
+            F.coalesce(F.sum("r.avail"), F.lit(0)).alias("a_prefix"),
+            F.coalesce(F.sum("r.weight"), F.lit(0)).alias("w_prefix"),
+        )
+    )
+    totals = d.agg(
+        F.sum("weight").alias("w_total"), F.sum("avail").alias("a_total")
+    )
+    j = sums.crossJoin(F.broadcast(totals)).withColumn("budget", budget)
+    j = j.withColumn("w_suffix", F.col("w_total") - F.col("w_prefix"))
+    j = j.withColumn(
+        "saturated",
+        F.col("avail") * F.col("w_suffix")
+        <= (F.col("budget") - F.col("a_prefix")) * F.col("weight"),
+    )
+    # water level from the saturated totals (same for every row)
+    sat = j.groupBy().agg(
+        F.sum(F.when(F.col("saturated"), F.col("avail")).otherwise(0)).alias(
+            "a_sat"
+        ),
+        F.sum(F.when(~F.col("saturated"), F.col("weight")).otherwise(0)).alias(
+            "w_unsat"
+        ),
+    )
+    out = j.crossJoin(F.broadcast(sat)).withColumn(
+        "r_ppm",
+        F.when(F.col("w_unsat") > 0,
+               F.expr("(budget - a_sat) * 1000000 div w_unsat"))
+        .otherwise(F.lit(None).cast("long")),
+    )
+    return out.select(
+        "key",
+        F.col("avail").cast("bigint"),
+        F.col("weight").cast("bigint"),
+        "saturated",
+        F.when(F.col("saturated"), F.col("avail"))
+        .otherwise(F.expr("r_ppm * weight div 1000000"))
+        .cast("bigint")
+        .alias("alloc"),
+        F.col("r_ppm").cast("bigint"),
+    )

@@ -1,6 +1,6 @@
 """Gate battery extension: text canonicalization + crawl-hygiene operators.
 
-Five gates, same contract as queries.py (builder(spark, sf_dir) + DuckDB
+Eight gates, same contract as queries.py (builder(spark, sf_dir) + DuckDB
 oracle over the same parquet views, fixtures synthesized identically in
 both engines):
 
@@ -11,6 +11,11 @@ both engines):
   url_latest_snapshot — keep-newest-capture recency dedup per url
                         (operators/urlnorm.py:latest_snapshot)
   lexical_diversity   — per-doc type/token/hapax ratios (quality signal)
+  host_quality_wilson — Wilson-bounded per-host keep-rate ranking
+                        (operators/hoststats.py:wilson_bounds_ppm)
+  crawl_delta         — added/removed/changed/unchanged across snapshots
+  token_budget_waterfill — closed-form data-mix waterfilling
+                        (operators/mixer.py:waterfill_allocation)
 """
 
 from __future__ import annotations
@@ -377,6 +382,109 @@ FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
 """
 
 
+# --- token-budget waterfilling --------------------------------------------
+
+
+def q_token_budget_waterfill(spark, sf_dir):
+    """Data-mix waterfilling (operators/mixer.py:waterfill_allocation):
+    allocate a 40%-of-corpus token budget across languages with
+    sqrt-flattened weights (XLM-R alpha=0.5 family: weight =
+    floor(sqrt(avail))), capping every language at its available tokens
+    and re-flowing surplus to the rest — closed-form prefix test, no
+    iteration, windowless (dim self-join prefix sums). Corpus is touched
+    ONCE (per-lang token-count agg); everything after runs on |langs|
+    rows. sqrt is IEEE-exactly-rounded so the integer weight — and every
+    downstream exact-rational comparison — hash-matches DuckDB."""
+    from language_identification_spark.operators.mixer import (
+        waterfill_allocation,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    # deterministic skew multiplier so BOTH waterfill branches fire at
+    # every SF: one dominant source (stays unsaturated) and capped minors
+    mult = (
+        F.when(F.col("lang") == "en", F.lit(50))
+        .when(F.col("lang") == "zh", F.lit(1))
+        .otherwise(F.lit(5))
+    )
+    counts = (
+        docs.select(
+            "lang",
+            F.size(
+                F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+            ).alias("n_tok"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("n_tok").cast("long").alias("avail0"))
+        .select(
+            F.col("lang").alias("key"),
+            (F.col("avail0") * mult).cast("long").alias("avail"),
+        )
+        .withColumn(
+            "weight",
+            F.expr("CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT)"),
+        )
+    )
+    # budget = 40% of total available tokens; a_total is in scope at the
+    # point the budget expression is evaluated (waterfill's totals join)
+    out = waterfill_allocation(counts, F.expr("(4 * a_total) div 10"))
+    return out.withColumnRenamed("key", "lang")
+
+
+SQL_TOKEN_BUDGET_WATERFILL = r"""
+WITH counts AS (
+  SELECT lang AS key,
+         CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+              * (CASE WHEN lang = 'en' THEN 50
+                      WHEN lang = 'zh' THEN 1 ELSE 5 END)
+              AS BIGINT) AS avail
+  FROM documents GROUP BY lang
+),
+dim AS (
+  SELECT key, avail,
+         CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) AS weight
+  FROM counts WHERE CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) > 0
+),
+tot AS (
+  SELECT sum(weight) AS w_total, sum(avail) AS a_total,
+         (4 * sum(avail)) // 10 AS budget
+  FROM dim
+),
+sums AS (
+  SELECT l.key, l.avail, l.weight,
+         COALESCE(sum(r.avail), 0) AS a_prefix,
+         COALESCE(sum(r.weight), 0) AS w_prefix
+  FROM dim l LEFT JOIN dim r
+    ON (r.avail * l.weight < l.avail * r.weight)
+    OR (r.avail * l.weight = l.avail * r.weight AND r.key < l.key)
+  GROUP BY l.key, l.avail, l.weight
+),
+flagged AS (
+  SELECT s.*, tot.budget,
+         (tot.w_total - s.w_prefix) AS w_suffix,
+         s.avail * (tot.w_total - s.w_prefix)
+           <= (tot.budget - s.a_prefix) * s.weight AS saturated
+  FROM sums s, tot
+),
+level AS (
+  SELECT sum(CASE WHEN saturated THEN avail ELSE 0 END) AS a_sat,
+         sum(CASE WHEN saturated THEN 0 ELSE weight END) AS w_unsat
+  FROM flagged
+)
+SELECT f.key AS lang,
+       CAST(f.avail AS BIGINT) AS avail,
+       CAST(f.weight AS BIGINT) AS weight,
+       f.saturated,
+       CAST(CASE WHEN f.saturated THEN f.avail
+                 ELSE (((f.budget - l.a_sat) * 1000000) // l.w_unsat)
+                      * f.weight // 1000000 END AS BIGINT) AS alloc,
+       CAST(CASE WHEN l.w_unsat > 0
+                 THEN ((f.budget - l.a_sat) * 1000000) // l.w_unsat
+                 ELSE NULL END AS BIGINT) AS r_ppm
+FROM flagged f, level l
+"""
+
+
 QUERIES_TEXTOPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nfc_normalize_audit": q_nfc_normalize_audit,
     "soft404_filter": q_soft404_filter,
@@ -385,6 +493,7 @@ QUERIES_TEXTOPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lexical_diversity": q_lexical_diversity,
     "host_quality_wilson": q_host_quality_wilson,
     "crawl_delta": q_crawl_delta,
+    "token_budget_waterfill": q_token_budget_waterfill,
 }
 
 ORACLE_SQL_TEXTOPS: dict[str, str] = {
@@ -395,4 +504,5 @@ ORACLE_SQL_TEXTOPS: dict[str, str] = {
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "host_quality_wilson": SQL_HOST_QUALITY_WILSON,
     "crawl_delta": SQL_CRAWL_DELTA,
+    "token_budget_waterfill": SQL_TOKEN_BUDGET_WATERFILL,
 }

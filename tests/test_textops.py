@@ -173,3 +173,61 @@ def test_crawl_delta_all_classes(spark):
     assert out[2] == "unchanged"
     # doc_id=0: A yes (0%7!=1), B no (0%3==0) -> removed
     assert out[0] == "removed"
+
+
+def test_waterfill_closed_form_matches_iterative(spark):
+    """The windowless prefix-test allocation must equal the classic
+    iterative peel-the-saturated-prefix algorithm on a skewed fixture."""
+    from language_identification_spark.operators.mixer import (
+        waterfill_allocation,
+    )
+
+    src = [("a", 100, 10), ("b", 1000, 10), ("c", 50, 5), ("d", 10000, 20)]
+    budget = 4000
+
+    # reference: iterative waterfilling with exact integer floor level
+    remaining, live = budget, dict((k, (a, w)) for k, a, w in src)
+    sat = {}
+    while True:
+        w_tot = sum(w for _, w in live.values())
+        r = (remaining * 1_000_000) // w_tot
+        newly = {k for k, (a, w) in live.items() if r * w // 1_000_000 >= a}
+        if not newly:
+            break
+        for k in newly:
+            a, w = live.pop(k)
+            sat[k] = a
+            remaining -= a
+        if not live:
+            break
+    want = dict(sat)
+    if live:
+        w_tot = sum(w for _, w in live.values())
+        r = (remaining * 1_000_000) // w_tot
+        for k, (a, w) in live.items():
+            want[k] = r * w // 1_000_000
+
+    df = spark.createDataFrame(src, "key string, avail long, weight long")
+    got = {
+        r.key: (r.alloc, r.saturated)
+        for r in waterfill_allocation(df, F.lit(budget)).collect()
+    }
+    for k, alloc in want.items():
+        assert got[k][0] == alloc, (k, got[k], alloc)
+    assert got["c"][1] is True  # tiny source capped
+    assert got["d"][1] is False  # big source takes the surplus
+    assert sum(a for a, _ in got.values()) <= budget
+
+
+def test_waterfill_budget_exceeds_supply(spark):
+    from language_identification_spark.operators.mixer import (
+        waterfill_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10, 1), ("b", 20, 1)], "key string, avail long, weight long"
+    )
+    rows = {r.key: r for r in waterfill_allocation(df, F.lit(1000)).collect()}
+    assert all(r.saturated for r in rows.values())
+    assert rows["a"].alloc == 10 and rows["b"].alloc == 20
+    assert all(r.r_ppm is None for r in rows.values())
