@@ -165,10 +165,23 @@ def waterfill_allocation(counts: DataFrame, budget: Column) -> DataFrame:
     deficit < |sources| tokens.
 
     Returns (key..., avail, weight, saturated, alloc, r_ppm).
+
+    The source dim feeds three consumers (self-join left/right + totals);
+    Catalyst does not reuse the upstream aggregate's exchange across
+    them, so when ``counts`` is corpus-derived the corpus would be
+    scanned three times — the dim is therefore localCheckpoint'ed lazily
+    (the mirrors/linkgraph compute-once pattern): one corpus pass, a
+    |sources|-row materialization, cleaned by the reference tracker.
     """
-    d = counts.select(
-        F.col("key"), F.col("avail").cast("long"), F.col("weight").cast("long")
-    ).where(F.col("weight") > 0)
+    d = (
+        counts.select(
+            F.col("key"),
+            F.col("avail").cast("long"),
+            F.col("weight").cast("long"),
+        )
+        .where(F.col("weight") > 0)
+        .localCheckpoint(eager=False)
+    )
     left = d.alias("l")
     right = d.alias("r")
     # strict (ratio, key) ordering via exact cross-multiplied rationals:
