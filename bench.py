@@ -148,6 +148,7 @@ HEADLINE = [
     "host_quality_wilson",
     "crawl_delta",
     "token_budget_waterfill",
+    "width_fold",
     # lsh_recall_eval / minhash_prod_recall_eval: diagnostic gates,
     # quadratic truth on a pinned 500-doc universe — verified at the
     # gate, not a headline path

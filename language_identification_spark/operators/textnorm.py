@@ -110,3 +110,41 @@ SOFT404_PHRASES = [
     "no longer available",
     "access denied",
 ]
+
+
+# Fullwidth ASCII block U+FF01-U+FF5E maps 1:1 onto U+0021-U+007E; the
+# ideographic space U+3000 maps to the ASCII space. This is the width-fold
+# subset of NFKC — the piece of ftfy's cleanup (reference utils.py:33
+# ensure_unicode context) that matters for CJK web text, expressible as a
+# pure translate() in BOTH engines (full NFKC has no DuckDB twin).
+WIDTH_FROM = "".join(chr(0xFF01 + i) for i in range(94)) + "　"
+WIDTH_TO = "".join(chr(0x21 + i) for i in range(94)) + " "
+
+# C0 controls minus \t \n \r, plus DEL — enumerated so Java regex and RE2
+# agree exactly (shorthand classes differ between engines).
+_CTRL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+def compat_fold(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Width-fold + control-strip canonicalization audit.
+
+    Fullwidth ASCII ('ＡＢＣ１２３' from CJK input methods) folds to its
+    ASCII twin, ideographic space to the plain space, and stray C0/DEL
+    control bytes (mojibake shrapnel, terminal escapes) are removed —
+    the canonicalization a tokenizer/dedup pass wants BEFORE hashing, and
+    the deterministic subset of ftfy's remaining cleanup (see module
+    docstring). Pure native translate + enumerated-class regexp_replace:
+    zero Python, zero exchanges, codegen throughout.
+
+    Returns (doc_id, changed, n_chars_raw, n_chars_folded, folded_md5).
+    """
+    folded = F.regexp_replace(
+        F.translate(F.col(text_col), WIDTH_FROM, WIDTH_TO), _CTRL_CLASS, ""
+    )
+    return df.select(
+        "doc_id",
+        (F.col(text_col) != folded).alias("changed"),
+        F.length(text_col).cast("bigint").alias("n_chars_raw"),
+        F.length(folded).cast("bigint").alias("n_chars_folded"),
+        F.md5(folded.cast("binary")).alias("folded_md5"),
+    )

@@ -1,6 +1,6 @@
 """Gate battery extension: text canonicalization + crawl-hygiene operators.
 
-Eight gates, same contract as queries.py (builder(spark, sf_dir) + DuckDB
+Nine gates, same contract as queries.py (builder(spark, sf_dir) + DuckDB
 oracle over the same parquet views, fixtures synthesized identically in
 both engines):
 
@@ -16,6 +16,8 @@ both engines):
   crawl_delta         — added/removed/changed/unchanged across snapshots
   token_budget_waterfill — closed-form data-mix waterfilling
                         (operators/mixer.py:waterfill_allocation)
+  width_fold          — fullwidth->ASCII fold + control strip (the
+                        NFKC-width subset of ftfy's remaining cleanup)
 """
 
 from __future__ import annotations
@@ -485,6 +487,83 @@ FROM flagged f, level l
 """
 
 
+
+
+
+
+# --- width-fold + control-strip canonicalization --------------------------
+
+
+def q_width_fold(spark, sf_dir):
+    """Width-fold/control-strip audit (operators/textnorm.py:compat_fold)
+    with planted fullwidth runs and control bytes: doc_id%5==1 appends a
+    fullwidth-ASCII + ideographic-space phrase (must fold), %5==2 appends
+    BEL/ESC/SOH control bytes (must strip), %5==3 appends fullwidth
+    parens around halfwidth text (partial fold), else untouched. Pure
+    codegen: translate + enumerated-class regexp_replace, zero Python,
+    zero exchanges; the per-row folded-text md5 pins Spark's translate
+    against DuckDB's bit-exactly."""
+    from language_identification_spark.operators.textnorm import compat_fold
+
+    did = F.col("doc_id")
+    suffix = (
+        F.when(
+            did % 5 == 1,
+            F.lit(
+                "\u3000\uff28\uff45\uff4c\uff4c\uff4f\u3000"
+                "\uff11\uff12\uff13\uff01"
+            ),
+        )
+        .when(did % 5 == 2, F.lit(" ctl\x07\x1b\x01end"))
+        .when(did % 5 == 3, F.lit(" \uff08test\uff09"))
+        .otherwise(F.lit(""))
+    )
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return compat_fold(docs)
+
+
+def _sql_width_fold() -> str:
+    from language_identification_spark.operators.textnorm import (
+        WIDTH_FROM,
+        WIDTH_TO,
+    )
+
+    frm = WIDTH_FROM.replace("'", "''")
+    to = WIDTH_TO.replace("'", "''")
+    ctrl = "[" + "\\x00-\\x08" + "\\x0B\\x0C" + "\\x0E-\\x1F" + "\\x7F]"
+    return f"""
+WITH synth AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 5 = 1 THEN chr(12288) || chr(65320) || chr(65349)
+                || chr(65356) || chr(65356) || chr(65359) || chr(12288)
+                || chr(65297) || chr(65298) || chr(65299) || chr(65281)
+           WHEN doc_id % 5 = 2 THEN ' ctl' || chr(7) || chr(27) || chr(1)
+                || 'end'
+           WHEN doc_id % 5 = 3 THEN ' ' || chr(65288) || 'test' || chr(65289)
+           ELSE '' END AS text
+  FROM documents
+),
+folded AS (
+  SELECT doc_id, text,
+         regexp_replace(translate(text, '{frm}', '{to}'),
+                        '{ctrl}', '', 'g') AS f
+  FROM synth
+)
+SELECT doc_id,
+       text <> f AS changed,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(f) AS BIGINT) AS n_chars_folded,
+       md5(f) AS folded_md5
+FROM folded
+"""
+
+
+SQL_WIDTH_FOLD = _sql_width_fold()
+
+
 QUERIES_TEXTOPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nfc_normalize_audit": q_nfc_normalize_audit,
     "soft404_filter": q_soft404_filter,
@@ -494,6 +573,7 @@ QUERIES_TEXTOPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_quality_wilson": q_host_quality_wilson,
     "crawl_delta": q_crawl_delta,
     "token_budget_waterfill": q_token_budget_waterfill,
+    "width_fold": q_width_fold,
 }
 
 ORACLE_SQL_TEXTOPS: dict[str, str] = {
@@ -505,4 +585,5 @@ ORACLE_SQL_TEXTOPS: dict[str, str] = {
     "host_quality_wilson": SQL_HOST_QUALITY_WILSON,
     "crawl_delta": SQL_CRAWL_DELTA,
     "token_budget_waterfill": SQL_TOKEN_BUDGET_WATERFILL,
+    "width_fold": SQL_WIDTH_FOLD,
 }

@@ -42,6 +42,54 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(PAGES_SCHEMA).parquet(path)
 
 
+def read_pages_lenient(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-tolerant pages reader for real crawl-dump drift.
+
+    Production dumps never match the contract schema exactly: early
+    snapshots lack columns added later (no ``lang`` before the tagger
+    ran), exporters rename nothing but ADD debug columns, and a typed
+    column occasionally arrives as its string form (``warc_ts`` written
+    as ISO text). A strict ``.schema(...)`` read silently nulls every
+    column whose Parquet type differs — far worse than failing.
+
+    Contract: read with the FILE's own schema, then reconcile to
+    PAGES_SCHEMA: missing columns materialize as typed nulls, matching
+    columns cast to the contract type (safe casts only — string
+    timestamps parse, binary/string coerce; an incompatible type raises
+    loudly with the column name), extra columns are preserved AFTER the
+    contract columns so downstream ``select`` order is stable. Pure
+    projection — no data pass, no Python.
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    from language_identification_spark.fixtures import PAGES_SCHEMA
+
+    df = spark.read.parquet(path)
+    want = _parse_datatype_string(PAGES_SCHEMA)
+    have = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for f in want.fields:
+        if f.name not in have:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif have[f.name] == f.dataType:
+            cols.append(F.col(f.name))
+        else:
+            src, dst = have[f.name].simpleString(), f.dataType.simpleString()
+            ok = (src, dst) in {
+                ("string", "timestamp"), ("string", "binary"),
+                ("binary", "string"), ("int", "bigint"),
+                ("bigint", "string"), ("date", "timestamp"),
+            }
+            if not ok:
+                raise ValueError(
+                    f"read_pages_lenient: column {f.name!r} has "
+                    f"incompatible type {src} (contract: {dst})"
+                )
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+    extras = [F.col(c) for c in df.columns if c not in {f.name for f in want.fields}]
+    return df.select(*cols, *extras)
+
+
 def read_wordlist(spark: SparkSession, path: str) -> DataFrame:
     """S4: plain-text wordlist -> (word) rows (datatypes.py:752-754 reads
     ``open(...).read().split()``; here each line may hold several words)."""

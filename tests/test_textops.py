@@ -231,3 +231,89 @@ def test_waterfill_budget_exceeds_supply(spark):
     assert all(r.saturated for r in rows.values())
     assert rows["a"].alloc == 10 and rows["b"].alloc == 20
     assert all(r.r_ppm is None for r in rows.values())
+
+
+class TestLenientPagesReader:
+    def _write(self, spark, tmpdir, df):
+        p = f"{tmpdir}/pages"
+        df.write.mode("overwrite").parquet(p)
+        return p
+
+    def test_missing_and_extra_columns(self, spark, tmp_path):
+        from language_identification_spark.sources.io import (
+            read_pages_lenient,
+        )
+
+        df = spark.createDataFrame(
+            [("u1", "hello", "crawl-7")],
+            "url string, text string, dump_id string",  # no warc_ts/html/lang
+        )
+        p = self._write(spark, tmp_path, df)
+        out = read_pages_lenient(spark, p)
+        assert out.columns == ["url", "warc_ts", "html", "text", "lang",
+                               "dump_id"]
+        r = out.first()
+        assert r.url == "u1" and r.warc_ts is None and r.html is None
+        assert r.dump_id == "crawl-7"
+
+    def test_string_timestamp_coerces(self, spark, tmp_path):
+        from language_identification_spark.sources.io import (
+            read_pages_lenient,
+        )
+
+        df = spark.createDataFrame(
+            [("u1", "2024-03-01 12:00:00", "t", "en")],
+            "url string, warc_ts string, text string, lang string",
+        )
+        p = self._write(spark, tmp_path, df)
+        r = read_pages_lenient(spark, p).first()
+        assert r.warc_ts is not None and r.warc_ts.year == 2024
+
+    def test_incompatible_type_raises_with_column_name(self, spark, tmp_path):
+        import pytest
+
+        from language_identification_spark.sources.io import (
+            read_pages_lenient,
+        )
+
+        df = spark.createDataFrame(
+            [("u1", 3.14)], "url string, text double"
+        )
+        p = self._write(spark, tmp_path, df)
+        with pytest.raises(ValueError, match="'text'.*incompatible|incompatible.*'text'"):
+            read_pages_lenient(spark, p)
+
+    def test_exact_schema_is_identity(self, spark, tmp_path):
+        from language_identification_spark.fixtures import pages_df
+        from language_identification_spark.sources.io import (
+            read_pages,
+            read_pages_lenient,
+        )
+
+        p = self._write(spark, tmp_path, pages_df(spark, 20))
+        strict = read_pages(spark, p).orderBy("url").collect()
+        lenient = read_pages_lenient(spark, p).orderBy("url").collect()
+        assert strict == lenient
+
+
+def test_compat_fold_fullwidth_and_controls(spark):
+    from language_identification_spark.operators.textnorm import compat_fold
+
+    df = spark.createDataFrame(
+        [
+            (1, "Ｈｅｌｌｏ　１２３"),
+            (2, "bell\x07 and esc\x1b here"),
+            (3, "already plain ascii"),
+            (4, "tabs\tand\nnewlines survive"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in compat_fold(df).collect()}
+    import hashlib
+
+    assert out[1].changed and out[1].n_chars_folded == 9
+    want = hashlib.md5("Hello 123".encode()).hexdigest()
+    assert out[1].folded_md5 == want
+    assert out[2].changed and out[2].n_chars_folded == len("bell and esc here")
+    assert not out[3].changed
+    assert not out[4].changed  # \t \n are NOT in the strip class
