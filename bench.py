@@ -149,6 +149,7 @@ HEADLINE = [
     "crawl_delta",
     "token_budget_waterfill",
     "width_fold",
+    "incremental_requalify",
     # lsh_recall_eval / minhash_prod_recall_eval: diagnostic gates,
     # quadratic truth on a pinned 500-doc universe — verified at the
     # gate, not a headline path

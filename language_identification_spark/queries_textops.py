@@ -1,6 +1,6 @@
 """Gate battery extension: text canonicalization + crawl-hygiene operators.
 
-Nine gates, same contract as queries.py (builder(spark, sf_dir) + DuckDB
+Ten gates, same contract as queries.py (builder(spark, sf_dir) + DuckDB
 oracle over the same parquet views, fixtures synthesized identically in
 both engines):
 
@@ -564,6 +564,93 @@ FROM folded
 SQL_WIDTH_FOLD = _sql_width_fold()
 
 
+
+
+# --- incremental re-qualification -----------------------------------------
+
+
+def q_incremental_requalify(spark, sf_dir):
+    """The operational incremental-curation flow on top of crawl_delta:
+    docs present in the new snapshot keep their PREVIOUS verdict when
+    unchanged and are re-scored only when added or changed (removed docs
+    drop out). Single pass: the delta join carries (prev_keep, new text
+    hash-compare), and the verdict is a lazy CASE — for this relational
+    rule (>= 40 words) per-row laziness is the right prune; for a
+    Python-stage scorer you would stage-filter status != 'unchanged'
+    before the UDF so unchanged rows never reach the Arrow boundary
+    (the plans/pipeline.py composition supports exactly that). Same
+    exchange shape as crawl_delta: ONE full-outer join on pre-hashed
+    narrow sides; the A side additionally carries its (cheap) prior
+    verdict computed below the join."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+
+    def rule(col):
+        return F.size(F.filter(F.split(col, " "), lambda w: w != "")) >= 40
+
+    a = docs.where(did % 7 != 1).select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("hash_a"),
+        rule(F.col("text")).alias("prev_keep"),
+    )
+    b_text = (
+        F.when(did % 5 == 0, F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(F.col("text"))
+    )
+    b = docs.where(did % 3 != 0).select(
+        "doc_id",
+        F.md5(b_text.cast("binary")).alias("hash_b"),
+        rule(b_text).alias("new_keep"),
+    )
+    j = a.join(b, "doc_id", "full_outer").where(F.col("hash_b").isNotNull())
+    status = (
+        F.when(F.col("hash_a").isNull(), F.lit("added"))
+        .when(F.col("hash_a") == F.col("hash_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        "doc_id",
+        status.alias("status"),
+        F.when(status == "unchanged", F.col("prev_keep"))
+        .otherwise(F.col("new_keep"))
+        .alias("keep"),
+        (status != "unchanged").alias("recomputed"),
+    )
+
+
+SQL_INCREMENTAL_REQUALIFY = r"""
+WITH a AS (
+  SELECT doc_id, md5(text) AS hash_a,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) >= 40
+           AS prev_keep
+  FROM documents WHERE doc_id % 7 <> 1
+),
+b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END)
+           AS hash_b,
+         len(list_filter(string_split(
+               CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END,
+               ' '), w -> w <> '')) >= 40 AS new_keep
+  FROM documents WHERE doc_id % 3 <> 0
+),
+j AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, hash_a, hash_b,
+         prev_keep, new_keep
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+  WHERE hash_b IS NOT NULL
+)
+SELECT doc_id,
+       CASE WHEN hash_a IS NULL THEN 'added'
+            WHEN hash_a = hash_b THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CASE WHEN hash_a IS NOT NULL AND hash_a = hash_b THEN prev_keep
+            ELSE new_keep END AS keep,
+       NOT (hash_a IS NOT NULL AND hash_a = hash_b) AS recomputed
+FROM j
+"""
+
+
 QUERIES_TEXTOPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nfc_normalize_audit": q_nfc_normalize_audit,
     "soft404_filter": q_soft404_filter,
@@ -574,6 +661,7 @@ QUERIES_TEXTOPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_delta": q_crawl_delta,
     "token_budget_waterfill": q_token_budget_waterfill,
     "width_fold": q_width_fold,
+    "incremental_requalify": q_incremental_requalify,
 }
 
 ORACLE_SQL_TEXTOPS: dict[str, str] = {
@@ -586,4 +674,5 @@ ORACLE_SQL_TEXTOPS: dict[str, str] = {
     "crawl_delta": SQL_CRAWL_DELTA,
     "token_budget_waterfill": SQL_TOKEN_BUDGET_WATERFILL,
     "width_fold": SQL_WIDTH_FOLD,
+    "incremental_requalify": SQL_INCREMENTAL_REQUALIFY,
 }

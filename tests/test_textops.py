@@ -317,3 +317,23 @@ def test_compat_fold_fullwidth_and_controls(spark):
     assert out[2].changed and out[2].n_chars_folded == len("bell and esc here")
     assert not out[3].changed
     assert not out[4].changed  # \t \n are NOT in the strip class
+
+
+def test_incremental_requalify_semantics(spark):
+    from language_identification_spark.queries_textops import (
+        q_incremental_requalify,
+    )
+
+    out = {r.doc_id: r for r in
+           q_incremental_requalify(spark, "/root/testdata/sf0.001").collect()}
+    # removed docs (in A only) are absent: doc_id=3 is in A, not B
+    assert 3 not in out
+    # added doc (B only): recomputed, keep == rule on B text
+    assert out[1].status == "added" and out[1].recomputed
+    # unchanged doc: verdict carried, not recomputed
+    assert out[2].status == "unchanged" and not out[2].recomputed
+    # changed doc (revised in B): recomputed
+    assert out[5].status == "changed" and out[5].recomputed
+    # every unchanged row's keep equals its prev (rule is deterministic
+    # on identical text, so carried == recomputed-on-same-text)
+    assert all(r.recomputed == (r.status != "unchanged") for r in out.values())
