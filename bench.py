@@ -150,6 +150,7 @@ HEADLINE = [
     "token_budget_waterfill",
     "width_fold",
     "incremental_requalify",
+    "containment_join",
     # lsh_recall_eval / minhash_prod_recall_eval: diagnostic gates,
     # quadratic truth on a pinned 500-doc universe — verified at the
     # gate, not a headline path

@@ -1,6 +1,6 @@
 """Gate battery extension: text canonicalization + crawl-hygiene operators.
 
-Ten gates, same contract as queries.py (builder(spark, sf_dir) + DuckDB
+Eleven gates, same contract as queries.py (builder(spark, sf_dir) + DuckDB
 oracle over the same parquet views, fixtures synthesized identically in
 both engines):
 
@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from language_identification_spark.operators.minhash import (
@@ -38,6 +38,7 @@ from language_identification_spark.operators.textnorm import (
     synth_nonnfc_docs,
 )
 from language_identification_spark.operators.urlnorm import latest_snapshot
+from language_identification_spark.functions import word_ngrams_expr
 from language_identification_spark.queries import _spread, _t, _words
 
 # --- NFC normalization audit ----------------------------------------------
@@ -651,6 +652,149 @@ FROM j
 """
 
 
+
+
+# --- exact containment self-join ------------------------------------------
+
+
+def q_containment_join(spark, sf_dir):
+    """EXACT asymmetric containment self-join at C(x->y) = |x∩y|/|x| >= 0.8
+    over word-3-gram shingles — the quote/excerpt detector symmetric
+    Jaccard structurally misses (a 50-word excerpt inside a 1000-word
+    article has J ~ 0.05 but containment 1.0; Lee et al's substring-dedup
+    motivation, set-ified). Prefix filtering adapts to containment: only
+    the PROBE side x prunes to its (sz - ceil(t*sz) + 1) rarest-shingle
+    prefix (the candidate side y cannot be pruned — x may sit anywhere
+    inside it), so join keys are still rare-token collisions and the
+    Zipf-head shingles never fan out; a size guard |y| >= t|x| prunes
+    before the distinct. Candidates verify exactly against full sets;
+    all threshold math is cross-multiplied integers. Fixture: every
+    doc_id%10==0 doc gets an excerpt twin (first half of its words,
+    id + 10000000) that must surface with containment 1.0. Same
+    per-doc-bounded ranking window discipline as jaccard_join_prefix."""
+    tn, td = 4, 5
+    base = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    ws = _words(F.col("text"))
+    exc = (
+        base.where(F.col("doc_id") % 10 == 0)
+        .withColumn("ws", ws)
+        .withColumn("n", F.size("ws"))
+        .select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.array_join(
+                # integer div (matches the oracle's //): DuckDB CAST of a
+                # fractional double ROUNDS while Spark truncates, so the
+                # half-length must never be fractional in either engine
+                F.slice(
+                    "ws", F.lit(1),
+                    F.greatest(F.lit(7), F.expr("n div 2")).cast("int"),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    docs = base.unionByName(exc)
+    sh = docs.select(
+        "doc_id", F.explode(word_ngrams_expr("text", 3)).alias("sh")
+    ).distinct()
+    dfc = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ranked = (
+        sh.join(dfc, "sh")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
+            ),
+        )
+        .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    pref = ranked.filter(
+        F.col("rnk") <= F.col("sz") - F.expr(f"({tn}*sz + {tn}) div {td}") + 1
+    ).select("doc_id", "sh", "sz")
+    y = sh.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("dst"), "sh", F.col("sz").alias("szy")
+    )
+    cand = (
+        pref.alias("x")
+        .join(y, "sh")
+        .filter(F.col("x.doc_id") != F.col("dst"))
+        .filter(td * F.col("szy") >= tn * F.col("x.sz"))
+        .select(
+            F.col("x.doc_id").alias("src"), "dst", F.col("x.sz").alias("szx")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.alias("xa"), cand["src"] == F.col("xa.doc_id"))
+        .join(
+            sh.alias("yb"),
+            (cand["dst"] == F.col("yb.doc_id"))
+            & (F.col("xa.sh") == F.col("yb.sh")),
+        )
+        .groupBy("src", "dst", "szx")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.filter(td * F.col("inter") >= tn * F.col("szx"))
+        .select(
+            "src",
+            "dst",
+            F.expr("1000000 * inter div szx").alias("containment_ppm"),
+        )
+    )
+
+
+SQL_CONTAINMENT_JOIN = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000,
+         array_to_string(
+           list_slice(list_filter(string_split(text, ' '), w -> w <> ''),
+                      1,
+                      CAST(greatest(7,
+                        len(list_filter(string_split(text, ' '),
+                            w -> w <> '')) // 2) AS INT)),
+           ' ')
+  FROM documents WHERE doc_id % 10 = 0
+), words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM base
+), sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+  FROM words, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS t(i)
+), dfc AS (
+  SELECT sh, count(*) AS df FROM sh GROUP BY sh
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), ranked AS (
+  SELECT s.doc_id, s.sh,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY d.df ASC, s.sh ASC) AS rnk,
+         count(*) OVER (PARTITION BY s.doc_id) AS sz
+  FROM sh s JOIN dfc d USING (sh)
+), pref AS (
+  SELECT doc_id, sh, sz FROM ranked
+  WHERE rnk <= sz - ((4*sz + 4) // 5) + 1
+), cand AS (
+  SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst, x.sz AS szx
+  FROM pref x
+  JOIN (SELECT s.doc_id, s.sh, z.sz FROM sh s JOIN sizes z USING (doc_id)) y
+    USING (sh)
+  WHERE x.doc_id <> y.doc_id AND 5*y.sz >= 4*x.sz
+), inter AS (
+  SELECT c.src, c.dst, c.szx, count(*) AS inter
+  FROM cand c
+  JOIN sh xa ON xa.doc_id = c.src
+  JOIN sh yb ON yb.doc_id = c.dst AND yb.sh = xa.sh
+  GROUP BY c.src, c.dst, c.szx
+)
+SELECT src, dst,
+       CAST((1000000 * inter) // szx AS BIGINT) AS containment_ppm
+FROM inter WHERE 5*inter >= 4*szx
+"""
+
+
 QUERIES_TEXTOPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nfc_normalize_audit": q_nfc_normalize_audit,
     "soft404_filter": q_soft404_filter,
@@ -662,6 +806,7 @@ QUERIES_TEXTOPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_waterfill": q_token_budget_waterfill,
     "width_fold": q_width_fold,
     "incremental_requalify": q_incremental_requalify,
+    "containment_join": q_containment_join,
 }
 
 ORACLE_SQL_TEXTOPS: dict[str, str] = {
@@ -675,4 +820,5 @@ ORACLE_SQL_TEXTOPS: dict[str, str] = {
     "token_budget_waterfill": SQL_TOKEN_BUDGET_WATERFILL,
     "width_fold": SQL_WIDTH_FOLD,
     "incremental_requalify": SQL_INCREMENTAL_REQUALIFY,
+    "containment_join": SQL_CONTAINMENT_JOIN,
 }

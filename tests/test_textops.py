@@ -337,3 +337,20 @@ def test_incremental_requalify_semantics(spark):
     # every unchanged row's keep equals its prev (rule is deterministic
     # on identical text, so carried == recomputed-on-same-text)
     assert all(r.recomputed == (r.status != "unchanged") for r in out.values())
+
+
+def test_containment_finds_excerpt_jaccard_misses(spark):
+    """A short excerpt inside a long doc: containment 1.0 but symmetric
+    Jaccard far below 0.8 — the pair the containment join exists for."""
+    from language_identification_spark.queries_textops import (
+        q_containment_join,
+    )
+
+    rows = q_containment_join(spark, "/root/testdata/sf0.001").collect()
+    pairs = {(r.src, r.dst): r.containment_ppm for r in rows}
+    # every excerpt twin (id = parent + 10000000) must be fully contained
+    excerpts = [(s, d) for (s, d) in pairs if s >= 10000000 and d == s - 10000000]
+    assert excerpts, "no excerpt pairs surfaced"
+    assert all(pairs[p] == 1000000 for p in excerpts)
+    # and the reverse direction (parent contained in excerpt) never fires
+    assert all((d, s) not in pairs for (s, d) in excerpts)
