@@ -185,13 +185,15 @@ def test_waterfill_closed_form_matches_iterative(spark):
     src = [("a", 100, 10), ("b", 1000, 10), ("c", 50, 5), ("d", 10000, 20)]
     budget = 4000
 
-    # reference: iterative waterfilling with exact integer floor level
+    # reference: iterative waterfilling with the EXACT-rational saturation
+    # test (a * w_tot <= remaining * w) — the floored-ppm variant diverges
+    # at exact boundaries (see tests/test_properties_curation.py)
     remaining, live = budget, dict((k, (a, w)) for k, a, w in src)
     sat = {}
     while True:
         w_tot = sum(w for _, w in live.values())
-        r = (remaining * 1_000_000) // w_tot
-        newly = {k for k, (a, w) in live.items() if r * w // 1_000_000 >= a}
+        newly = {k for k, (a, w) in live.items()
+                 if a * w_tot <= remaining * w}
         if not newly:
             break
         for k in newly:
