@@ -151,6 +151,7 @@ HEADLINE = [
     "width_fold",
     "incremental_requalify",
     "containment_join",
+    "ngram_novelty",
     # lsh_recall_eval / minhash_prod_recall_eval: diagnostic gates,
     # quadratic truth on a pinned 500-doc universe — verified at the
     # gate, not a headline path

@@ -1,6 +1,6 @@
 """Gate battery extension: text canonicalization + crawl-hygiene operators.
 
-Eleven gates, same contract as queries.py (builder(spark, sf_dir) + DuckDB
+Twelve gates, same contract as queries.py (builder(spark, sf_dir) + DuckDB
 oracle over the same parquet views, fixtures synthesized identically in
 both engines):
 
@@ -795,6 +795,61 @@ FROM inter WHERE 5*inter >= 4*szx
 """
 
 
+
+
+# --- n-gram novelty scoring -----------------------------------------------
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty: the fraction of a doc's distinct word-3-gram
+    shingles whose FIRST corpus occurrence (min doc_id — a deterministic
+    total order standing in for crawl arrival order) is this doc. The
+    contribution score dedup-aware sampling ranks by: a doc full of
+    already-seen shingles adds nothing even if no single pair crosses a
+    near-dup threshold. Cost shape = exact span dedup: one gram-keyed
+    aggregate (map-side combined, shuffle rows bounded by distinct
+    shingles) + one gram join back + one doc-grain aggregate on shrinking
+    keys. Integer ppm output."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", F.explode(word_ngrams_expr("text", 3)).alias("sh")
+    ).distinct()
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn("novelty_ppm", F.expr("1000000 * n_novel div n_shingles"))
+    )
+
+
+SQL_NGRAM_NOVELTY = r"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+  FROM words, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS t(i)
+), first AS (
+  SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST((1000000 * sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS novelty_ppm
+FROM sh JOIN first USING (sh)
+GROUP BY doc_id
+"""
+
+
 QUERIES_TEXTOPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nfc_normalize_audit": q_nfc_normalize_audit,
     "soft404_filter": q_soft404_filter,
@@ -807,6 +862,7 @@ QUERIES_TEXTOPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "width_fold": q_width_fold,
     "incremental_requalify": q_incremental_requalify,
     "containment_join": q_containment_join,
+    "ngram_novelty": q_ngram_novelty,
 }
 
 ORACLE_SQL_TEXTOPS: dict[str, str] = {
@@ -821,4 +877,5 @@ ORACLE_SQL_TEXTOPS: dict[str, str] = {
     "width_fold": SQL_WIDTH_FOLD,
     "incremental_requalify": SQL_INCREMENTAL_REQUALIFY,
     "containment_join": SQL_CONTAINMENT_JOIN,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
 }

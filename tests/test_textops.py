@@ -356,3 +356,34 @@ def test_containment_finds_excerpt_jaccard_misses(spark):
     assert all(pairs[p] == 1000000 for p in excerpts)
     # and the reverse direction (parent contained in excerpt) never fires
     assert all((d, s) not in pairs for (s, d) in excerpts)
+
+
+def test_ngram_novelty_duplicate_doc_scores_zero(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from language_identification_spark.queries_textops import SQL_NGRAM_NOVELTY  # noqa: F401
+    from language_identification_spark.functions import word_ngrams_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (3, "a completely different sentence about ships at sea"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = df.select("doc_id", F.explode(word_ngrams_expr("text", 3)).alias("sh")).distinct()
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    out = {
+        r.doc_id: r
+        for r in sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)).alias("nov"),
+        )
+        .collect()
+    }
+    assert out[1].nov == out[1].n          # first copy: fully novel
+    assert out[2].nov == 0                 # exact dup: zero novelty
+    assert out[3].nov == out[3].n          # unrelated doc: fully novel
